@@ -1,0 +1,48 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation (SURVEY.md
+  * §2.12: the engine computes the reference's precomputed `nodepairs.csv`
+  * denominator instead of requiring it as input, Application.scala:26-32).
+  *
+  * Each round a vertex adopts the minimum label among itself and its
+  * neighbors; converges in O(diameter) rounds. Same superstep shape as
+  * GraphX's Pregel-based connectedComponents, expressed over DataFrames so
+  * Catalyst/AQE plan the joins; `localCheckpoint` truncates iterative
+  * lineage (swap for `checkpoint` on a cluster).
+  */
+object ConnectedComponents {
+
+  /** @param edges (src,dst) directed; treated as undirected.
+    * @return (id, comp) where comp = min node id of the component. */
+  def components(edges: DataFrame): DataFrame = {
+    import graft.graph.CitationGraph.bidirectional
+    val bidir = bidirectional(edges).localCheckpoint(true)
+    var lbl = bidir.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = bidir.join(lbl, bidir("dst") === lbl("id"))
+        .groupBy(bidir("src").as("nid")).agg(min(col("comp")).as("nbComp"))
+      val upd = lbl.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbComp"), col("comp"))).as("comp2"))
+        .localCheckpoint(true)
+      changed = upd.filter(col("comp2") < col("comp")).count()
+      lbl = upd.select(col("id"), col("comp2").as("comp"))
+    }
+    lbl
+  }
+
+  /** Component sizes + the connected-pair count per component
+    * (denominator of the hop-plot percentages: sum of C(size,2)). */
+  def componentSizes(edges: DataFrame): DataFrame =
+    components(edges)
+      .groupBy(col("comp")).agg(count(lit(1)).as("size"))
+      .select(col("comp"), col("size"),
+        (col("size") * (col("size") - 1) / 2).cast("long").as("n_pairs"))
+      .orderBy(col("comp"))
+}

@@ -1,0 +1,151 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.CitationGraph
+import graft.graph.CitationGraph._
+import graft.registry.Q
+
+/** Graph analytics registry entries — the reference's two queries (density,
+  * hop-plot/diameter) plus their building blocks (G1-G3, components,
+  * effective diameter), each with a DuckDB oracle (recursive CTEs stand in
+  * for the iterative BFS).
+  */
+object GraphQueries {
+
+  private val bidirOfEdges = bidirSqlOf("edges")
+  private val bidirOfHop = bidirSqlOf("hopedges")
+
+  /** Flagship: densification n(t)/e(t) (Analytics.scala:77-142). */
+  val density: Q = Q(
+    "g_density",
+    Some(s"""WITH $nodesSql, $edgesSql,
+            |n AS (SELECT yr, count(*) AS nc FROM nodes GROUP BY 1),
+            |e AS (SELECT nodes.yr AS yr, count(*) AS ec FROM edges JOIN nodes ON edges.src = nodes.id GROUP BY 1)
+            |SELECT n.yr AS year,
+            |  CAST(sum(n.nc) OVER w AS BIGINT) AS n_t,
+            |  CAST(sum(e.ec) OVER w AS BIGINT) AS e_t
+            |FROM n JOIN e ON n.yr = e.yr
+            |WINDOW w AS (ORDER BY n.yr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |ORDER BY year""".stripMargin),
+    (s, d) => Density.densities(nodes(s, d), edges(s, d)))
+
+  /** Snapshot stats at year 1998 — F3 temporal predicate + J2 double join
+    * (Analytics.scala:348-360). */
+  val snapshot: Q = Q(
+    "g_snapshot_1998",
+    Some(s"""WITH $nodesSql, $edgesSql,
+            |e2 AS (SELECT nf.yr AS fy, nt.yr AS ty
+            |  FROM edges e JOIN nodes nf ON e.src = nf.id JOIN nodes nt ON e.dst = nt.id)
+            |SELECT
+            |  (SELECT count(*) FROM nodes WHERE yr <= 1998) AS n_1998,
+            |  (SELECT count(*) FROM e2 WHERE fy <= 1998 AND ty <= 1998) AS e_1998""".stripMargin),
+    (s, d) => {
+      val nd = nodes(s, d)
+      val e2 = edges(s, d)
+        .join(nd.select(col("id").as("fid"), col("yr").as("fy")), col("src") === col("fid"))
+        .join(nd.select(col("id").as("tid"), col("yr").as("ty")), col("dst") === col("tid"))
+      nd.filter(col("yr") <= 1998).agg(count(lit(1)).as("n_1998"))
+        .crossJoin(
+          e2.filter(col("fy") <= 1998 && col("ty") <= 1998)
+            .agg(count(lit(1)).as("e_1998")))
+    })
+
+  /** G2 — canonical pairs of length 1 (Analytics.scala:370-377). */
+  val pairsLen1: Q = Q(
+    "g2_pairs_len1",
+    Some(s"""WITH $edgesSql
+            |SELECT least(src, dst) AS a, greatest(src, dst) AS b, count(*) AS n_dup
+            |FROM edges WHERE src <> dst GROUP BY 1, 2 ORDER BY a, b""".stripMargin),
+    (s, d) =>
+      edges(s, d).filter(col("src") =!= col("dst"))
+        .groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(count(lit(1)).as("n_dup"))
+        .orderBy(col("a"), col("b")))
+
+  /** G1 — bidirectionalize + per-node degree (Analytics.scala:344-365). */
+  val bidirectDegree: Q = Q(
+    "g1_bidirect_degree",
+    Some(s"""WITH $edgesSql, $bidirOfEdges
+            |SELECT src AS node, count(*) AS degree FROM bidir GROUP BY 1 ORDER BY node""".stripMargin),
+    (s, d) =>
+      bidirectional(edges(s, d))
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+        .orderBy(col("node")))
+
+  /** G3 — wedge (length-2 path) enumeration per middle vertex
+    * (Analytics.scala:382-401), via self-join instead of the reference's
+    * driver-collected adjacency map. */
+  val wedges: Q = Q(
+    "g3_wedges",
+    Some(s"""WITH $hopEdgesSql, $bidirOfHop
+            |SELECT m, count(*) AS n_wedges FROM (
+            |  SELECT DISTINCT b1.src AS m, b1.dst AS a, b2.dst AS b
+            |  FROM bidir b1 JOIN bidir b2 ON b1.src = b2.src AND b1.dst < b2.dst
+            |) GROUP BY m ORDER BY m""".stripMargin),
+    (s, d) => {
+      val b = bidirectional(hopEdges(s, d))
+      val b1 = b.select(col("src").as("m"), col("dst").as("a"))
+      val b2 = b.select(col("src").as("m2"), col("dst").as("b"))
+      b1.join(b2, col("m") === col("m2") && col("a") < col("b"))
+        .select(col("m"), col("a"), col("b")).distinct()
+        .groupBy(col("m")).agg(count(lit(1)).as("n_wedges"))
+        .orderBy(col("m"))
+    })
+
+  private val hopsSql =
+    s"""WITH RECURSIVE $hopEdgesSql, $bidirOfHop,
+       |hops AS (
+       |  SELECT src, dst, 1 AS d FROM bidir
+       |  UNION
+       |  SELECT h.src, b.dst, h.d + 1 FROM hops h JOIN bidir b ON h.dst = b.src
+       |  WHERE h.src <> b.dst AND h.d < 20
+       |),
+       |sp AS (SELECT src, dst, min(d) AS dist FROM hops WHERE src < dst GROUP BY 1, 2),
+       |hist AS (SELECT dist AS d, count(*) AS nd FROM sp GROUP BY 1),
+       |curve AS (SELECT d, CAST(sum(nd) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS g_d FROM hist)""".stripMargin
+
+  /** The hop-plot query g(d) (Analytics.scala:152-229). */
+  val hopplot: Q = Q(
+    "g_hopplot",
+    Some(s"""$hopsSql,
+            |tot AS (SELECT max(g_d) AS t FROM curve)
+            |SELECT CAST(d AS BIGINT) AS d, g_d,
+            |  round(CAST(g_d AS DOUBLE) / t, 6) AS pct
+            |FROM curve, tot ORDER BY d""".stripMargin),
+    (s, d) => HopPlot.hopPlot(s, hopEdges(s, d)))
+
+  /** Interpolated effective diameter at 90% (SURVEY.md §2.12). */
+  val effDiameter: Q = Q(
+    "g_eff_diameter",
+    Some(s"""$hopsSql,
+            |tgt AS (SELECT 0.9 * max(g_d) AS target FROM curve),
+            |sel AS (SELECT d, g_d, lag(d) OVER (ORDER BY d) AS d0, lag(g_d) OVER (ORDER BY d) AS g0 FROM curve),
+            |cr AS (SELECT sel.*, tgt.target FROM sel, tgt WHERE g_d >= target ORDER BY d LIMIT 1)
+            |SELECT round(CASE WHEN d0 IS NULL THEN CAST(d AS DOUBLE)
+            |  ELSE d0 + (target - g0) / CAST(g_d - g0 AS DOUBLE) END, 6) AS effective_diameter
+            |FROM cr""".stripMargin),
+    (s, d) => HopPlot.effectiveDiameter(s, hopEdges(s, d)))
+
+  /** Connected components → sizes + pair counts (computes the reference's
+    * nodepairs.csv denominator, Application.scala:26-32). */
+  val components: Q = Q(
+    "g_components",
+    Some(s"""WITH RECURSIVE $hopEdgesSql, $bidirOfHop,
+            |vertices AS (SELECT DISTINCT src AS id FROM bidir),
+            |reach AS (
+            |  SELECT id, id AS r FROM vertices
+            |  UNION
+            |  SELECT re.id, b.dst FROM reach re JOIN bidir b ON re.r = b.src
+            |),
+            |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)
+            |SELECT comp, count(*) AS size,
+            |  CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+            |FROM comp GROUP BY 1 ORDER BY comp""".stripMargin),
+    (s, d) => ConnectedComponents.componentSizes(hopEdges(s, d)))
+
+  val all: Seq[Q] = Seq(
+    density, snapshot, pairsLen1, bidirectDegree, wedges,
+    hopplot, effDiameter, components)
+}

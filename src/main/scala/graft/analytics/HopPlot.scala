@@ -1,0 +1,127 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Hop-plot / effective-diameter queries (SURVEY.md §2.12, §7.3;
+  * Analytics.scala:152-229): g(d) = number of distinct connected node
+  * pairs at shortest-path distance <= d.
+  *
+  * Implementation: level-synchronous all-pairs BFS over ordered pairs.
+  * Key design vs the reference (Analytics.scala:235-280): no path arrays —
+  * the visited-set anti-join subsumes the cycle check for shortest paths,
+  * shrinking state from O(pairs x pathLen) to O(pairs). Each round:
+  * frontier ⋈ edges -> candidates, anti-join visited -> new frontier,
+  * union into visited. `localCheckpoint` truncates the growing union
+  * lineage every round (the reference's unpersist dance, done properly);
+  * on a real cluster swap for `checkpoint` with a reliable dir.
+  *
+  * Scale: all-pairs BFS is inherently O(pairs) state — fine for the
+  * bounded analytics graph it serves (reference materialized 76M pairs);
+  * at 100-TB graph scale the same API should switch to HyperANF-style
+  * approximation (approx_count_distinct over neighborhoods).
+  */
+object HopPlot {
+
+  final case class HopRow(d: Int, g_d: Long, pct: Double)
+
+  /** Full hop-plot rows for an undirected graph given by `edges`(src,dst).
+    *
+    * @param maxD     hard distance cap (reference caps at 20)
+    * @param coverage stop once g(d)/total >= coverage (reference: 0.90);
+    *                 1.0 computes the full curve to the fixpoint.
+    */
+  def hopPlotRows(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxD: Int = 20,
+      coverage: Double = 1.0): Seq[HopRow] = {
+    import graft.graph.CitationGraph.bidirectional
+
+    val bidir = bidirectional(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val nbr = bidir.select(col("src").as("m"), col("dst").as("nb"))
+
+    // ordered pairs (both directions kept: needed to expand frontiers)
+    var frontier = bidir.localCheckpoint(true)
+    var visited = frontier
+    val perD = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    var newCount = frontier.count()
+    perD += 1 -> newCount
+    var d = 1
+    // total connected pairs = fixpoint size; for early coverage-stop we
+    // need it up front only when coverage < 1.0 — computed lazily below.
+    while (newCount > 0 && d < maxD) {
+      d += 1
+      val cand = frontier.join(nbr, col("dst") === col("m"))
+        .select(col("src"), col("nb").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val fresh = cand.join(visited, Seq("src", "dst"), "left_anti")
+        .localCheckpoint(true)
+      newCount = fresh.count()
+      if (newCount > 0) {
+        frontier.unpersist(false)
+        frontier = fresh
+        visited = visited.union(fresh).localCheckpoint(true)
+        perD += d -> newCount
+      }
+    }
+    bidir.unpersist(false)
+
+    val total = perD.map(_._2).sum // ordered connected pairs
+    var cum = 0L
+    val rows = perD.map { case (dd, n) =>
+      cum += n
+      // unordered pair counts; pct via double division + half-up 6dp,
+      // matching DuckDB round(x, 6)
+      val g = cum / 2
+      val pct = BigDecimal(g.toDouble / (total / 2).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      HopRow(dd, g, pct)
+    }.toSeq
+    coverageCut(rows, coverage)
+  }
+
+  private def coverageCut(rows: Seq[HopRow], coverage: Double): Seq[HopRow] =
+    if (coverage >= 1.0) rows
+    else {
+      val idx = rows.indexWhere(_.pct >= coverage)
+      if (idx < 0) rows else rows.take(idx + 1)
+    }
+
+  def hopPlot(spark: SparkSession, edges: DataFrame, maxD: Int = 20,
+      coverage: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    hopPlotRows(spark, edges, maxD, coverage)
+      .toDF("d", "g_d", "pct")
+      .select(col("d").cast("long").as("d"), col("g_d"), col("pct"))
+  }
+
+  /** Interpolated effective diameter (SURVEY.md §2.12): smallest d* with
+    * g(d*)/T >= q, linearly interpolated between the straddling rows.
+    * Computed from exact pair counts (not the rounded pct) so the oracle's
+    * double arithmetic reproduces it bit-for-bit.
+    */
+  def effectiveDiameter(spark: SparkSession, edges: DataFrame,
+      q: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val rows = hopPlotRows(spark, edges)
+    val total = if (rows.isEmpty) 0L else rows.last.g_d
+    val target = q * total
+    val ed: Double =
+      if (rows.isEmpty) 0.0
+      else if (rows.head.g_d >= target) 1.0
+      else {
+        val i = rows.indexWhere(_.g_d >= target)
+        if (i < 0) rows.last.d.toDouble
+        else {
+          val lo = rows(i - 1); val hi = rows(i)
+          lo.d + (target - lo.g_d) / (hi.g_d - lo.g_d).toDouble
+        }
+      }
+    Seq(BigDecimal(ed).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .toDF("effective_diameter")
+  }
+}

@@ -1,0 +1,239 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.registry.Q
+
+/** Training-data pipeline operators (north star, SURVEY.md §7.5): exact +
+  * fuzzy deduplication, text analysis, similarity search over embeddings.
+  * Every formula is expressed identically in Spark and in the DuckDB
+  * oracle; float work is done in DOUBLE with sequential folds and rounded,
+  * so hashes match.
+  */
+object PipelineQueries {
+
+  // ---- shared text fragments -------------------------------------------
+
+  /** tokens = whitespace-split of trimmed text (C1 semantics). */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+
+  private val enStops = Seq("the", "a", "of", "and", "to")
+  private val deStops = Seq("der", "die", "das", "und", "ist")
+  private val esStops = Seq("el", "la", "los", "que", "y")
+  private def sqlList(xs: Seq[String]) = xs.mkString("['", "', '", "']")
+  private def hits(tc: Column, stops: Seq[String]): Column =
+    size(filter(tc, t => t.isInCollection(stops))).cast(LongType)
+  private def hitsSql(stops: Seq[String]) =
+    s"CAST(len(list_filter(toks, t -> list_contains(${sqlList(stops)}, t))) AS BIGINT)"
+
+  // ---- dedup ------------------------------------------------------------
+
+  /** Exact dedup by content hash: survivor = min doc_id per md5(text). */
+  val dedupExact: Q = Q(
+    "d_dedup_exact",
+    Some("""SELECT min(doc_id) AS doc_id, md5(text) AS h, count(*) AS n_copies
+           |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("h"), col("n_copies"))
+        .orderBy(col("doc_id")))
+
+  /** Near-dup detection by word-3-gram Jaccard >= 0.5 over all pairs, with
+    * the size-ratio necessary condition (|A| >= t|B|) as a pre-filter.
+    * This is the exact oracle that the MinHash-LSH path approximates. */
+  val dedupNgram: Q = Q(
+    "d_dedup_ngram_jaccard",
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, $toksSql AS toks FROM documents),
+            |sh AS (
+            |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+            |  FROM t WHERE len(toks) >= 3)
+            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            |  round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jac
+            |FROM sh a JOIN sh b
+            |  ON a.doc_id < b.doc_id
+            |  AND len(a.gs)*2 >= len(b.gs) AND len(b.gs)*2 >= len(a.gs)
+            |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5
+            |ORDER BY a_id, b_id""".stripMargin),
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .as("gs"))
+      val a = sh.select(col("doc_id").as("a_id"), col("gs").as("ga"))
+      val b = sh.select(col("doc_id").as("b_id"), col("gs").as("gb"))
+      a.join(b, col("a_id") < col("b_id")
+          && size(col("ga")) * 2 >= size(col("gb"))
+          && size(col("gb")) * 2 >= size(col("ga")))
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+        .withColumn("jac_raw", col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")))
+        .filter(col("jac_raw") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+
+  /** Embedding near-dup: cosine >= 0.95 over all pairs (exact; the
+    * LSH-bucketed ANN path approximates this at scale). Dot products in
+    * DOUBLE via sequential folds on both engines, rounded to 6dp. */
+  val dedupEmbedding: Q = Q(
+    "d_dedup_embedding_cosine",
+    Some("""WITH n AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+           |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           |  FROM embeddings)
+           |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |  round(list_sum(list_transform(generate_series(1, len(a.vd)), i -> a.vd[i]*b.vd[i]))
+           |    / (a.nrm*b.nrm), 6) AS sim
+           |FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |WHERE round(list_sum(list_transform(generate_series(1, len(a.vd)), i -> a.vd[i]*b.vd[i]))
+           |    / (a.nrm*b.nrm), 6) >= 0.95
+           |ORDER BY a_id, b_id""".stripMargin),
+    (s, d) => {
+      val n = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd"))
+        .withColumn("nrm", sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
+      val a = n.select(col("vec_id").as("a_id"), col("vd").as("va"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("b_id"), col("vd").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("sim", round(col("dot") / (col("na") * col("nb")), 6))
+        .filter(col("sim") >= 0.95)
+        .select(col("a_id"), col("b_id"), col("sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+
+  // ---- similarity search ------------------------------------------------
+
+  /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 10).
+    * Ties broken by rounded sim then neighbor id → deterministic ranks. */
+  val annTopk: Q = Q(
+    "sim_ann_topk",
+    Some("""WITH n AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+           |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           |  FROM embeddings),
+           |p AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |    round(list_sum(list_transform(generate_series(1, len(q.vd)), i -> q.vd[i]*c.vd[i]))
+           |      / (q.nrm*c.nrm), 6) AS sim
+           |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 10)
+           |SELECT qid, nid, sim, rnk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM p)
+           |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+    (s, d) => {
+      val n = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd"))
+        .withColumn("nrm", sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qn"))
+      val c = n.select(col("vec_id").as("nid"), col("vd").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      q.join(c, col("qid") =!= col("nid"))
+        .withColumn("dot", aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("sim", round(col("dot") / (col("qn") * col("cn")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("nid"), col("sim"), col("rnk").cast(LongType).as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    })
+
+  // ---- text analysis ----------------------------------------------------
+
+  /** Token counting (whitespace tokenizer). */
+  val tokenCount: Q = Q(
+    "t_token_count",
+    Some(s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+            |  CAST(length(text) AS BIGINT) AS n_chars_actual
+            |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks(col("text"))).cast(LongType).as("n_tokens"),
+        length(col("text")).cast(LongType).as("n_chars_actual"))
+        .orderBy(col("doc_id")))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
+  val fingerprint: Q = Q(
+    "t_fingerprint",
+    Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .orderBy(col("doc_id")))
+
+  /** Quality scoring: type-token ratio, stopword ratio, composite score. */
+  val quality: Q = Q(
+    "t_quality_score",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+            |SELECT doc_id,
+            |  CAST(len(toks) AS BIGINT) AS n_tokens,
+            |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+            |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+            |  round(CAST(${hitsSql(enStops)} AS DOUBLE) / len(toks), 6) AS stop_ratio,
+            |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+            |    * (1.0 - CAST(${hitsSql(enStops)} AS DOUBLE) / len(toks)), 6) AS quality
+            |FROM t WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"), toks(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+      t.select(
+        col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6).as("ttr"),
+        round(hits(col("toks"), enStops).cast("double") / size(col("toks")), 6).as("stop_ratio"),
+        round((size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          * (lit(1.0) - hits(col("toks"), enStops).cast("double") / size(col("toks"))), 6)
+          .as("quality"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Language-ID heuristic: argmax of marker-stopword hits (en/de/es). */
+  val langId: Q = Q(
+    "t_lang_id",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |h AS (SELECT doc_id,
+            |  ${hitsSql(enStops)} AS h_en, ${hitsSql(deStops)} AS h_de, ${hitsSql(esStops)} AS h_es
+            |  FROM t)
+            |SELECT doc_id, h_en, h_de, h_es,
+            |  CASE WHEN h_en >= h_de AND h_en >= h_es THEN 'en'
+            |       WHEN h_de >= h_es THEN 'de' ELSE 'es' END AS lang_pred
+            |FROM h ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"), toks(col("text")).as("toks"))
+      t.select(
+        col("doc_id"),
+        hits(col("toks"), enStops).as("h_en"),
+        hits(col("toks"), deStops).as("h_de"),
+        hits(col("toks"), esStops).as("h_es"))
+        .withColumn("lang_pred",
+          when(col("h_en") >= col("h_de") && col("h_en") >= col("h_es"), "en")
+            .when(col("h_de") >= col("h_es"), "de")
+            .otherwise("es"))
+        .orderBy(col("doc_id"))
+    })
+
+  val all: Seq[Q] = Seq(
+    dedupExact, dedupNgram, dedupEmbedding,
+    annTopk,
+    tokenCount, fingerprint, quality, langId)
+}

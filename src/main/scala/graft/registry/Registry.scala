@@ -1,0 +1,31 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine capability exposed through the driver contract.
+  *
+  * @param name   stable query id (key in SparkEntry.queries)
+  * @param oracle equivalent ANSI SQL runnable by DuckDB against the same
+  *               parquet tables; None for ops DuckDB can't express → the
+  *               driver records a weaker rows-only check.
+  * @param run    builds the result DataFrame for a given sf directory
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+object Registry {
+  /** Every registered capability, in rough SURVEY.md §2 order. */
+  def all: Seq[Q] =
+    graft.queries.Relational.all ++
+      graft.analytics.GraphQueries.all ++
+      graft.pipeline.PipelineQueries.all ++
+      graft.streaming.StreamingQueries.all
+
+  lazy val byName: Map[String, Q] = {
+    val qs = all
+    require(qs.map(_.name).distinct.size == qs.size, "duplicate query name")
+    qs.map(q => q.name -> q).toMap
+  }
+}

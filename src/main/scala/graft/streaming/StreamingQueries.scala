@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.Tables.dec
+import graft.registry.Q
+
+/** Event-time operators over the `events` table (SURVEY.md §2.11 — new
+  * capability vs the reference). The registry entries are the batch
+  * equivalents (verifiable against DuckDB); `Streams` runs the same
+  * aggregations under Structured Streaming with watermarks and is
+  * cross-checked against these in ScalaTest.
+  */
+object StreamingQueries {
+
+  /** Tumbling 1-hour event-time window per event type. */
+  val tumbling: Q = Q(
+    "st_tumbling_window",
+    Some("""SELECT date_trunc('hour', ts) AS hstart, event_type,
+           |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS v
+           |FROM events GROUP BY 1, 2 ORDER BY hstart, event_type""".stripMargin),
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
+        .select(col("w.start").as("hstart"), col("event_type"), col("n"), col("v"))
+        .orderBy(col("hstart"), col("event_type")))
+
+  /** Sliding 1-hour window, 30-minute slide, per event type: each event
+    * lands in 2 windows. Oracle enumerates both candidate window starts. */
+  val sliding: Q = Q(
+    "st_sliding_window",
+    Some("""WITH x AS (
+           |  SELECT e.*, make_timestamp(epoch_bucket * 1000000) AS wstart FROM (
+           |    SELECT *,
+           |      unnest([CAST(floor(epoch(ts)/1800)*1800 AS BIGINT),
+           |              CAST(floor(epoch(ts)/1800)*1800 - 1800 AS BIGINT)]) AS epoch_bucket
+           |    FROM events) e
+           |  WHERE epoch(ts) >= epoch_bucket AND epoch(ts) < epoch_bucket + 3600)
+           |SELECT wstart, event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS v
+           |FROM x GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin),
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("v"))
+        .orderBy(col("wstart"), col("event_type")))
+
+  /** Batch sessionization with a 30-minute inactivity gap — the exact
+    * semantics `Streams.sessionize` implements with
+    * flatMapGroupsWithState. Gap test in integer microseconds on both
+    * engines (DuckDB epoch_us == Spark unix_micros). */
+  val sessionize: Q = Q(
+    "st_sessionize",
+    Some("""WITH x AS (
+           |  SELECT user_id, ts, event_id,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (
+           |  SELECT user_id, ts,
+           |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |  FROM x)
+           |SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts) AS session_start,
+           |  max(ts) AS session_end, count(*) AS n_events
+           |FROM s GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("brk",
+          when(col("prev_us").isNull
+            || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(wc).cast(LongType))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("sid"))
+    })
+
+  val all: Seq[Q] = Seq(tumbling, sliding, sessionize)
+}
