@@ -16,19 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Density {
 
-  /** @param nodes (id, yr)  @param edges (src, dst) */
+  /** @param nodes (id, yr)  @param edges (src, dst)
+    *
+    * The running totals MUST be computed per side BEFORE the year join
+    * (reference order: W1 then J3, Analytics.scala:121-140) — a year with
+    * nodes but no edges drops from the output rows yet still contributes
+    * to every later cumulative count. */
   def densities(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val nPerYear = nodes.groupBy(col("yr")).agg(count(lit(1)).as("nc"))
-    val ePerYear = edges
-      .join(nodes, edges("src") === nodes("id"))
-      .groupBy(col("yr")).agg(count(lit(1)).as("ec"))
     val w = Window.orderBy(col("yr"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    nPerYear.join(ePerYear, "yr")
-      .select(
-        col("yr").as("year"),
-        sum(col("nc")).over(w).cast("long").as("n_t"),
-        sum(col("ec")).over(w).cast("long").as("e_t"))
+    val nCum = nodes.groupBy(col("yr")).agg(count(lit(1)).as("nc"))
+      .select(col("yr"), sum(col("nc")).over(w).cast("long").as("n_t"))
+    val eCum = edges
+      .join(nodes, edges("src") === nodes("id"))
+      .groupBy(col("yr")).agg(count(lit(1)).as("ec"))
+      .select(col("yr"), sum(col("ec")).over(w).cast("long").as("e_t"))
+    nCum.join(eCum, "yr")
+      .select(col("yr").as("year"), col("n_t"), col("e_t"))
       .orderBy(col("year"))
   }
 }

@@ -21,12 +21,11 @@ object GraphQueries {
     "g_density",
     Some(s"""WITH $nodesSql, $edgesSql,
             |n AS (SELECT yr, count(*) AS nc FROM nodes GROUP BY 1),
-            |e AS (SELECT nodes.yr AS yr, count(*) AS ec FROM edges JOIN nodes ON edges.src = nodes.id GROUP BY 1)
-            |SELECT n.yr AS year,
-            |  CAST(sum(n.nc) OVER w AS BIGINT) AS n_t,
-            |  CAST(sum(e.ec) OVER w AS BIGINT) AS e_t
-            |FROM n JOIN e ON n.yr = e.yr
-            |WINDOW w AS (ORDER BY n.yr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |e AS (SELECT nodes.yr AS yr, count(*) AS ec FROM edges JOIN nodes ON edges.src = nodes.id GROUP BY 1),
+            |ncum AS (SELECT yr, CAST(sum(nc) OVER (ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_t FROM n),
+            |ecum AS (SELECT yr, CAST(sum(ec) OVER (ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e_t FROM e)
+            |SELECT ncum.yr AS year, n_t, e_t
+            |FROM ncum JOIN ecum ON ncum.yr = ecum.yr
             |ORDER BY year""".stripMargin),
     (s, d) => Density.densities(nodes(s, d), edges(s, d)))
 

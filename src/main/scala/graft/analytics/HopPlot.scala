@@ -27,17 +27,25 @@ object HopPlot {
 
   final case class HopRow(d: Int, g_d: Long, pct: Double)
 
-  /** Full hop-plot rows for an undirected graph given by `edges`(src,dst).
+  /** Hop-plot rows for an undirected graph given by `edges`(src,dst).
     *
-    * @param maxD     hard distance cap (reference caps at 20)
-    * @param coverage stop once g(d)/total >= coverage (reference: 0.90);
-    *                 1.0 computes the full curve to the fixpoint.
+    * @param maxD       hard distance cap (reference caps at 20)
+    * @param coverage   stop once g(d)/total >= coverage (reference: 0.90);
+    *                   1.0 computes the full curve to the fixpoint.
+    * @param totalPairs known connected-pair count (unordered). When given
+    *                   (from ConnectedComponents.componentSizes or a
+    *                   nodepairs file, S3), the BFS SHORT-CIRCUITS at the
+    *                   coverage threshold — the scale path: components
+    *                   cost O(diameter) cheap rounds, the all-pairs BFS
+    *                   O(pairs) state per round. Without it the full
+    *                   fixpoint is computed and is itself the denominator.
     */
   def hopPlotRows(
       spark: SparkSession,
       edges: DataFrame,
       maxD: Int = 20,
-      coverage: Double = 1.0): Seq[HopRow] = {
+      coverage: Double = 1.0,
+      totalPairs: Option[Long] = None): Seq[HopRow] = {
     import graft.graph.CitationGraph.bidirectional
 
     val bidir = bidirectional(edges).persist(StorageLevel.MEMORY_AND_DISK)
@@ -49,10 +57,12 @@ object HopPlot {
     val perD = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
     var newCount = frontier.count()
     perD += 1 -> newCount
+    var cum = newCount
     var d = 1
-    // total connected pairs = fixpoint size; for early coverage-stop we
-    // need it up front only when coverage < 1.0 — computed lazily below.
-    while (newCount > 0 && d < maxD) {
+    def coverageReached: Boolean = totalPairs.exists { t =>
+      coverage < 1.0 && (cum / 2).toDouble / t.toDouble >= coverage
+    }
+    while (newCount > 0 && d < maxD && !coverageReached) {
       d += 1
       val cand = frontier.join(nbr, col("dst") === col("m"))
         .select(col("src"), col("nb").as("dst"))
@@ -66,18 +76,19 @@ object HopPlot {
         frontier = fresh
         visited = visited.union(fresh).localCheckpoint(true)
         perD += d -> newCount
+        cum += newCount
       }
     }
     bidir.unpersist(false)
 
-    val total = perD.map(_._2).sum // ordered connected pairs
-    var cum = 0L
+    val total = totalPairs.getOrElse(perD.map(_._2).sum / 2) // unordered
+    var c = 0L
     val rows = perD.map { case (dd, n) =>
-      cum += n
+      c += n
       // unordered pair counts; pct via double division + half-up 6dp,
       // matching DuckDB round(x, 6)
-      val g = cum / 2
-      val pct = BigDecimal(g.toDouble / (total / 2).toDouble)
+      val g = c / 2
+      val pct = BigDecimal(g.toDouble / total.toDouble)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       HopRow(dd, g, pct)
     }.toSeq
