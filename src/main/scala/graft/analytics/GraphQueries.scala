@@ -144,7 +144,21 @@ object GraphQueries {
             |FROM comp GROUP BY 1 ORDER BY comp""".stripMargin),
     (s, d) => ConnectedComponents.componentSizes(hopEdges(s, d)))
 
+  /** Packed canonical pair key via the native PackPair expression
+    * ((min<<32)|max as one BIGINT) — the shuffle-narrow key used by the
+    * BFS state; oracle reproduces it arithmetically. */
+  val packPair: Q = Q(
+    "g_pack_pair",
+    Some(s"""WITH $edgesSql
+            |SELECT least(src, dst) * 4294967296 + greatest(src, dst) AS pair_key, count(*) AS n
+            |FROM edges WHERE src <> dst GROUP BY 1 ORDER BY pair_key""".stripMargin),
+    (s, d) =>
+      edges(s, d).filter(col("src") =!= col("dst"))
+        .groupBy(graft.functions.GraftFunctions.pack_pair(col("src"), col("dst")).as("pair_key"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("pair_key")))
+
   val all: Seq[Q] = Seq(
     density, snapshot, pairsLen1, bidirectDegree, wedges,
-    hopplot, effDiameter, components)
+    hopplot, effDiameter, components, packPair)
 }

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions (codegen'd — preferred over UDFs per the
+  * engine policy, SURVEY.md §2.10): these stay inside whole-stage codegen
+  * so the hot paths they serve (pair-keyed BFS state, binary feature
+  * extraction) never fall back to interpreted row processing.
+  */
+
+/** Canonical node pair packed into one 64-bit key:
+  * (min(a,b) << 32) | max(a,b). Replaces the reference's (Int,Int) tuple
+  * keys (Analytics.scala:251,269) with a single shuffle-friendly long;
+  * requires non-negative ids < 2^32 (holds for all graph ids here).
+  */
+case class PackPair(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long]; val y = b.asInstanceOf[Long]
+    (math.min(x, y) << 32) | math.max(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"(java.lang.Math.min($a, $b) << 32) | java.lang.Math.max($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PackPair =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 16-bin histogram of the high nibble of each byte in a binary column —
+  * the deterministic stand-in for multimodal feature extraction (the
+  * container has no image/audio codecs; the Spark-side plumbing — binary
+  * input, fixed-width numeric feature output, per-row narrow op — is the
+  * real part). Returns array<long>[16].
+  */
+case class ByteHistogram(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val h = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) { h((bytes(i) & 0xFF) >>> 4) += 1; i += 1 }
+    new GenericArrayData(h)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.freshName("hist")
+      val i = ctx.freshName("i")
+      s"""
+         |long[] $h = new long[16];
+         |for (int $i = 0; $i < $c.length; $i++) {
+         |  $h[(($c[$i]) & 0xFF) >>> 4] += 1L;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($h);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+    copy(child = newChild)
+}
+
+/** Every k-th byte of a binary column (deterministic "frame sampling"
+  * stand-in for video/audio frame extraction). Returns binary. */
+case class SampleBytes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any, kv: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val k = math.max(1, kv.asInstanceOf[Int])
+    val out = new Array[Byte]((bytes.length + k - 1) / k)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * k); i += 1 }
+    out
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, kv) => {
+      val k = ctx.freshName("k")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $k = java.lang.Math.max(1, $kv);
+         |byte[] $out = new byte[($c.length + $k - 1) / $k];
+         |for (int $i = 0; $i < $out.length; $i++) { $out[$i] = $c[$i * $k]; }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SampleBytes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column wrappers + SQL registration. */
+object GraftFunctions {
+  def pack_pair(a: Column, b: Column): Column =
+    GraftColumnBridge.column(PackPair(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def byte_histogram(c: Column): Column =
+    GraftColumnBridge.column(ByteHistogram(GraftColumnBridge.expression(c)))
+
+  def sample_bytes(c: Column, k: Column): Column =
+    GraftColumnBridge.column(SampleBytes(
+      GraftColumnBridge.expression(c), GraftColumnBridge.expression(k)))
+
+  /** Make the functions usable from SQL text too. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("pack_pair", es => PackPair(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("byte_histogram", es => ByteHistogram(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sample_bytes", es => SampleBytes(es(0), es(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.GraftFunctions.{byte_histogram, sample_bytes}
+import graft.registry.Q
+
+/** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
+  * opaque `binary` columns + typed metadata struct, with decode /
+  * feature-extract / resize / frame-sample as per-row narrow operators.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake (byte histogram / byte sampling via
+  * native codegen'd expressions); everything around it — binary columns,
+  * metadata structs, fixed-width numeric feature output, narrow
+  * (shuffle-free) per-row execution — is the real engine surface a codec
+  * UDF would plug into.
+  *
+  * Oracle trick: the synthetic corpus is pure ASCII, where byte == char,
+  * so DuckDB reproduces byte-level results via ord(substr(text, i, 1)).
+  */
+object Multimodal {
+
+  /** documents -> (doc_id, bytes BINARY, meta STRUCT<format,width,height,n_bytes>). */
+  def withAssets(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        lit("fake/raw").as("format"),
+        (length(col("text")) % 64 + 1).cast(LongType).as("width"),
+        (length(col("text")) % 48 + 1).cast(LongType).as("height"),
+        octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"))
+        .as("meta"))
+
+  /** Decode stub: 16-bin byte histogram as the "extracted features". */
+  def decodeFeatures(assets: DataFrame): DataFrame =
+    assets.select(
+      col("doc_id"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      byte_histogram(col("bytes")).as("features"))
+
+  /** Frame-sample stub: every k-th byte of the payload. */
+  def frameSample(assets: DataFrame, k: Int): DataFrame =
+    assets.select(
+      col("doc_id"),
+      sample_bytes(col("bytes"), lit(k)).as("frames"))
+
+  // ---- registry entries -------------------------------------------------
+
+  private def histBinsSql: String =
+    (0 until 16).map { b =>
+      s"len(list_filter(generate_series(1, length(text)), i -> (ord(substr(text, i, 1)) // 16) = $b))"
+    }.mkString("[", ", ", "]")
+
+  val decodeQ: Q = Q(
+    "m_decode_features",
+    Some(s"""SELECT doc_id,
+            |  CAST(length(text) % 64 + 1 AS BIGINT) AS width,
+            |  CAST(length(text) % 48 + 1 AS BIGINT) AS height,
+            |  array_to_string($histBinsSql, ',') AS hist
+            |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      decodeFeatures(withAssets(Tables.documents(s, d)))
+        .select(col("doc_id"), col("width"), col("height"),
+          array_join(transform(col("features"), x => x.cast("string")), ",").as("hist"))
+        .orderBy(col("doc_id")))
+
+  val frameSampleQ: Q = Q(
+    "m_frame_sample",
+    Some("""SELECT doc_id,
+           |  md5(array_to_string(list_transform(
+           |    generate_series(1, (length(text) + 6) // 7),
+           |    i -> substr(text, (i - 1) * 7 + 1, 1)), '')) AS frame_fp
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      frameSample(withAssets(Tables.documents(s, d)), 7)
+        .select(col("doc_id"), md5(col("frames")).as("frame_fp"))
+        .orderBy(col("doc_id")))
+
+  val all: Seq[Q] = Seq(decodeQ, frameSampleQ)
+}

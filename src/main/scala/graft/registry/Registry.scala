@@ -21,6 +21,7 @@ object Registry {
     graft.queries.Relational.all ++
       graft.analytics.GraphQueries.all ++
       graft.pipeline.PipelineQueries.all ++
+      graft.pipeline.Multimodal.all ++
       graft.streaming.StreamingQueries.all
 
   lazy val byName: Map[String, Q] = {
