@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events stream (SURVEY.md
+  * §2.11 — capability the reference lacks entirely). The same
+  * aggregations as the batch registry entries (StreamingQueries), run
+  * incrementally with watermarks; StreamingSpec proves stream == batch.
+  */
+object Streams {
+
+  /** File-source schema: ts is TIMESTAMP(NANOS) in the parquet, read as
+    * nanos-long (`nanosAsLong`) and truncated to micros — identical to
+    * Tables.events. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema)
+      // file source needs a directory; select just the events file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour window per event type with a 1-hour watermark —
+    * streaming twin of StreamingQueries.tumbling. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("v"))
+      .select(col("w.start").as("hstart"), col("event_type"), col("n"), col("v"))
+
+  // ---- stateful sessionization -----------------------------------------
+
+  final case class Ev(user_id: Long, ts: Timestamp)
+  final case class SessState(startUs: Long, endUs: Long, n: Long)
+  final case class Session(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  def tsToUs(ts: Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** 30-minute-gap sessionization with flatMapGroupsWithState +
+    * event-time timeout: a session closes when a later event arrives past
+    * the gap, or when the watermark passes end+gap (timeout). Semantics
+    * equal StreamingQueries.sessionize (proven in StreamingSpec).
+    */
+  def sessionize(events: Dataset[Ev], gapUs: Long = 1800000000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def fn(uid: Long, it: Iterator[Ev], state: GroupState[SessState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(uid, s.startUs, s.endUs, s.n))
+      } else {
+        val sorted = it.map(e => tsToUs(e.ts)).toArray.sorted
+        var open = state.getOption
+        val closed = scala.collection.mutable.ArrayBuffer[Session]()
+        sorted.foreach { us =>
+          open match {
+            case Some(s) if us - s.endUs <= gapUs =>
+              open = Some(SessState(s.startUs, math.max(s.endUs, us), s.n + 1))
+            case Some(s) =>
+              closed += Session(uid, s.startUs, s.endUs, s.n)
+              open = Some(SessState(us, us, 1))
+            case None =>
+              open = Some(SessState(us, us, 1))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          // close via watermark: timeout at session end + gap
+          state.setTimeoutTimestamp(s.endUs / 1000L + gapUs / 1000L)
+        }
+        closed.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Streams, StreamingQueries}
+
+/** Streaming == batch equivalence: the same event-time operators must
+  * produce identical results run incrementally (Structured Streaming)
+  * and as batch SQL (the DuckDB-verified registry entries). */
+class StreamingSpec extends SparkSpec {
+
+  test("tumbling window: streaming (complete mode) == batch") {
+    val stream = Streams.tumblingCounts(Streams.readEventsStream(spark, sf()))
+    val q = stream.writeStream
+      .format("memory").queryName("tumbling_out")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("tumbling_out")
+      .select("hstart", "event_type", "n", "v")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3).toPlainString)).toSet
+    val want = StreamingQueries.tumbling.run(spark, sf())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3).toPlainString)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("sessionize: flatMapGroupsWithState == batch window sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Tables.events(spark, sf())
+      .select(col("user_id"), col("ts")).as[Streams.Ev].collect().toSeq
+    val maxUs = events.map(e => Streams.tsToUs(e.ts)).max
+
+    val input = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      // advance the watermark far past every open session's timeout so
+      // flush happens (sentinel user filtered out below)
+      input.addData(Seq(Streams.Ev(-1L,
+        new Timestamp((maxUs / 1000L) + 48L * 3600 * 1000))))
+      q.processAllAvailable()
+      input.addData(Seq(Streams.Ev(-1L,
+        new Timestamp((maxUs / 1000L) + 96L * 3600 * 1000))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sessions_out")
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = StreamingQueries.sessionize.run(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0),
+        Streams.tsToUs(r.getTimestamp(2)),
+        Streams.tsToUs(r.getTimestamp(3)),
+        r.getLong(4))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+}
