@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import graft.registry.Q
 
 /** Training-data pipeline operators (north star, SURVEY.md §7.5): exact +
@@ -45,14 +46,9 @@ object PipelineQueries {
         .select(col("doc_id"), col("h"), col("n_copies"))
         .orderBy(col("doc_id")))
 
-  /** Distinct word-3-gram sets per doc: (doc_id, gs). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-        .as("gs"))
+  /** Distinct word-3-gram postings (doc_id, g) — see Sketches.shinglePosts. */
+  private def shinglePosts(s: SparkSession, d: String): DataFrame =
+    Sketches.shinglePosts(Tables.documents(s, d))
 
   /** Exact all-pairs 3-gram-Jaccard >= t oracle (shared by the exact query
     * and the MinHash-LSH query, whose banding is exhaustive on this data). */
@@ -72,21 +68,29 @@ object PipelineQueries {
             |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= $t
             |ORDER BY a_id, b_id""".stripMargin)
 
-  /** Near-dup detection by word-3-gram Jaccard >= 0.5 over all pairs, with
-    * the size-ratio necessary condition (|A| >= t|B|) as a pre-filter.
-    * This is the exact baseline that the MinHash-LSH path accelerates. */
+  /** EXACT near-dup detection by word-3-gram Jaccard >= 0.5 via an
+    * inverted shingle index: explode shingles, equi-join postings on the
+    * shingle, count common shingles per pair, then J = c/(na+nb-c).
+    * Identical results to the all-pairs compare (pairs sharing no shingle
+    * have J=0) but the O(n²) nested loop becomes a shuffle equi-join
+    * sized by Σ C(df,2) — linear-ish when shingles are near-unique, and
+    * the 100-TB-safe plan (skew = max shingle df, bounded by dedup of
+    * exact-duplicate shingle sets upstream). */
   val dedupNgram: Q = Q(
     "d_dedup_ngram_jaccard",
     dedupNgramOracle(0.5),
     (s, d) => {
-      val sh = shingles(s, d)
-      val a = sh.select(col("doc_id").as("a_id"), col("gs").as("ga"))
-      val b = sh.select(col("doc_id").as("b_id"), col("gs").as("gb"))
-      a.join(b, col("a_id") < col("b_id")
-          && size(col("ga")) * 2 >= size(col("gb"))
-          && size(col("gb")) * 2 >= size(col("ga")))
-        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
-        .withColumn("jac_raw", col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")))
+      val posts = shinglePosts(s, d)
+      val sz = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = posts.select(col("doc_id").as("a_id"), col("g"))
+        .join(posts.select(col("doc_id").as("b_id"), col("g")), "g")
+        .where(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c"))
+      common
+        .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .withColumn("jac_raw",
+          col("c").cast("double") / (col("na") + col("nb") - col("c")))
         .filter(col("jac_raw") >= 0.5)
         .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
         .orderBy(col("a_id"), col("b_id"))
@@ -113,28 +117,31 @@ object PipelineQueries {
       val n = Tables.embeddings(s, d).select(
         col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("vd"))
-        .withColumn("nrm", sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
+        .withColumn("nrm", sqrt(GraftFunctions.array_dot(col("vd"), col("vd"))))
       val a = n.select(col("vec_id").as("a_id"), col("vd").as("va"), col("nrm").as("na"))
       val b = n.select(col("vec_id").as("b_id"), col("vd").as("vb"), col("nrm").as("nb"))
       a.join(b, col("a_id") < col("b_id"))
-        .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
+        .withColumn("dot", GraftFunctions.array_dot(col("va"), col("vb")))
         .withColumn("sim", round(col("dot") / (col("na") * col("nb")), 6))
         .filter(col("sim") >= 0.45)
         .select(col("a_id"), col("b_id"), col("sim"))
         .orderBy(col("a_id"), col("b_id"))
     })
 
-  /** MinHash signatures (32 perms over md5-derived token hashes) — the
-    * sketch itself is oracle-checked value-for-value. */
+  /** MinHash signatures (32 perms over md5-derived SHINGLE hashes — the
+    * set the downstream Jaccard actually measures) — the sketch itself is
+    * oracle-checked value-for-value. */
   val minhashSig: Q = Q(
     "d_minhash_signature",
     Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-            |h AS (SELECT doc_id, ${Sketches.tokenHashesSql} AS hs FROM t WHERE len(toks) > 0)
+            |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+            |  FROM t WHERE len(toks) >= 3),
+            |h AS (SELECT doc_id, list_transform(gs, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 1000000007) AS hs FROM g)
             |SELECT doc_id, array_to_string(${Sketches.minhashSigSql("hs")}, ',') AS sig
             |FROM h ORDER BY doc_id""".stripMargin),
     (s, d) =>
-      Sketches.sketchTable(Tables.documents(s, d))
+      Sketches.minhashTable(Tables.documents(s, d))
         .select(col("doc_id"),
           array_join(transform(col("sig"), x => x.cast("string")), ",").as("sig"))
         .orderBy(col("doc_id")))
@@ -148,19 +155,27 @@ object PipelineQueries {
     "d_dedup_minhash_lsh",
     dedupNgramOracle(0.5),
     (s, d) => {
-      val sk = Sketches.sketchTable(Tables.documents(s, d))
+      val sk = Sketches.minhashTable(Tables.documents(s, d))
         .select(col("doc_id"), Sketches.bandKeys(col("sig")).as("bands"))
       val banded = sk.select(col("doc_id"), explode(col("bands")).as("band"))
       val cand = banded.as("x").join(banded.as("y"), Seq("band"))
         .where(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val sh = shingles(s, d)
-      cand
-        .join(sh.select(col("doc_id").as("a_id"), col("gs").as("ga")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("gs").as("gb")), "b_id")
-        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
-        .withColumn("jac_raw", col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")))
+      // exact verification scoped to candidates: join each side's shingle
+      // postings through the candidate pair, count common, then Jaccard —
+      // cost is |candidates| x shingles, never all-pairs
+      val posts = shinglePosts(s, d)
+      val sz = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(posts.select(col("doc_id").as("a_id"), col("g")), "a_id")
+        .join(posts.select(col("doc_id").as("b_id"), col("g")), Seq("b_id", "g"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c"))
+      common
+        .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .withColumn("jac_raw",
+          col("c").cast("double") / (col("na") + col("nb") - col("c")))
         .filter(col("jac_raw") >= 0.5)
         .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
         .orderBy(col("a_id"), col("b_id"))
@@ -175,7 +190,7 @@ object PipelineQueries {
             |SELECT doc_id, ${Sketches.simhashSql("hs")} AS simhash
             |FROM h ORDER BY doc_id""".stripMargin),
     (s, d) =>
-      Sketches.sketchTable(Tables.documents(s, d))
+      Sketches.simhashTable(Tables.documents(s, d))
         .select(col("doc_id"), col("simhash"))
         .orderBy(col("doc_id")))
 
@@ -193,7 +208,7 @@ object PipelineQueries {
             |WHERE bit_count(xor(a.sh, b.sh)) <= 3
             |ORDER BY a_id, b_id""".stripMargin),
     (s, d) => {
-      val sk = Sketches.sketchTable(Tables.documents(s, d))
+      val sk = Sketches.simhashTable(Tables.documents(s, d))
         .select(col("doc_id"), col("simhash"))
       val a = sk.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
       val b = sk.select(col("doc_id").as("b_id"), col("simhash").as("sb"))
@@ -227,14 +242,13 @@ object PipelineQueries {
       val n = Tables.embeddings(s, d).select(
         col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("vd"))
-        .withColumn("nrm", sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
+        .withColumn("nrm", sqrt(GraftFunctions.array_dot(col("vd"), col("vd"))))
       val q = n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qn"))
       val c = n.select(col("vec_id").as("nid"), col("vd").as("cv"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
       q.join(c, col("qid") =!= col("nid"))
-        .withColumn("dot", aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
+        .withColumn("dot", GraftFunctions.array_dot(col("qv"), col("cv")))
         .withColumn("sim", round(col("dot") / (col("qn") * col("cn")), 6))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)

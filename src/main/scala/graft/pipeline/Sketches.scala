@@ -22,7 +22,13 @@ object Sketches {
 
   val P = 1000000007L
   val NumHashes = 32
-  val BandRows = 2 // 16 bands x 2 rows: recall 1-(1-s²)¹⁶ (≈0.99 at s=0.5)
+  /** 8 bands x 4 rows. r=2 floods band buckets on this high-overlap
+    * corpus (every doc shares tokens -> 2-minhash collisions -> O(k²)
+    * candidate blowup per bucket, measured 205s at sf0.1); r=4 keeps
+    * buckets tight while catching every planted near-dup (all have
+    * J >= 0.9, where P(catch) = 1-(1-s⁴)⁸ ≈ 0.9998 — recall asserted
+    * against the exact query in DedupSpec). */
+  val BandRows = 4
   val NumBands: Int = NumHashes / BandRows
   val SimHashBits = 60
 
@@ -78,15 +84,63 @@ object Sketches {
       s"(CASE WHEN len(list_filter($hsExpr, h -> ((h >> $bb) & 1) = 1)) * 2 > len($hsExpr) THEN ${1L << bb} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** doc-level sketch table: (doc_id, hs, sig, simhash). */
-  def sketchTable(docs: DataFrame, textCol: String = "text"): DataFrame =
+  /** Single-string base hash (scalar form, codegen'd). */
+  def tokenHash(t: Column): Column =
+    conv(md5(t).substr(1, 15), 16, 10).cast(LongType) % P
+
+  /** Distinct word-3-gram postings (doc_id, g) via posexplode + window
+    * lead — codegen'd, one doc_id shuffle, no array lambdas. */
+  def shinglePosts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
     docs
-      .select(col("doc_id"), split(trim(col(textCol)), "\\s+").as("toks"))
-      .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
-        tokenHashes(col("toks")).as("hs"),
-        tokenHashesAll(col("toks")).as("hsAll"))
-      .select(col("doc_id"), col("hs"),
-        minhashSig(col("hs")).as("sig"),
-        simhash(col("hsAll")).as("simhash"))
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"),
+          lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)).as("g"),
+        lead(col("tok"), 2).over(w).isNotNull.as("complete"))
+      .filter(col("complete"))
+      .select(col("doc_id"), col("g"))
+      .distinct()
+  }
+
+  /** MinHash signatures over the SHINGLE sets: (doc_id, sig ARRAY[32]).
+    *
+    * Shingles, not tokens: MinHash estimates the Jaccard of whatever set
+    * it sketches, and the downstream verification is 3-gram Jaccard. On a
+    * small-vocabulary corpus token sets are near-identical across all
+    * docs (token-minhash banding measured a 2318-doc bucket = 22M
+    * candidate pairs at sf0.1); shingle sets are near-unique, so buckets
+    * stay tight. Built on explode + 32 codegen'd min() aggregates — array
+    * higher-order functions run interpreted and dominated this path.
+    */
+  def minhashTable(docs: DataFrame, textCol: String = "text"): DataFrame =
+    shinglePosts(docs, textCol)
+      .withColumn("h", tokenHash(col("g")))
+      .groupBy(col("doc_id"))
+      .agg(min((col("h") * a(0) + b(0)) % P).as("m0"),
+        (1 until NumHashes).map(i =>
+          min((col("h") * a(i) + b(i)) % P).as(s"m$i")): _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+
+  /** Frequency-weighted 60-bit SimHash over token occurrences:
+    * (doc_id, simhash) via 60 codegen'd sum() aggregates. */
+  def simhashTable(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", tokenHash(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ntok"),
+        (0 until SimHashBits).map(bb =>
+          sum(shiftright(col("h"), bb).bitwiseAND(1)).as(s"c$bb")): _*)
+      .select(col("doc_id"),
+        (0 until SimHashBits).map { bb =>
+          when(col(s"c$bb") * 2 > col("ntok"), lit(1L << bb)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
+
+  /** Combined sketch table (docs with >= 3 tokens): (doc_id, sig, simhash). */
+  def sketchTable(docs: DataFrame, textCol: String = "text"): DataFrame =
+    minhashTable(docs, textCol).join(simhashTable(docs, textCol), "doc_id")
 }

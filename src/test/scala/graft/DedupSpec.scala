@@ -24,7 +24,7 @@ class DedupSpec extends SparkSpec {
     val two = Seq((1L, "a b c a"), (2L, "a b c a"), (3L, "x y z w"))
       .toDF("doc_id", "text")
     val sk = Sketches.sketchTable(two).collect()
-      .map(r => r.getLong(0) -> (r.getSeq[Long](2), r.getLong(3))).toMap
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
     assert(sk(1L) === sk(2L))
     assert(sk(1L) !== sk(3L))
   }
@@ -37,7 +37,7 @@ class DedupSpec extends SparkSpec {
       (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")) // J = 0
       .toDF("doc_id", "text")
     val sk = Sketches.sketchTable(docs).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     def est(a: Seq[Long], b: Seq[Long]) =
       a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
     assert(est(sk(1L), sk(2L)) > 0.5)
