@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import graft.registry.Q
+
+/** Extended operator coverage beyond the reference's repertoire: as-of
+  * join, pivot, interpolated percentiles, array/regex/generator
+  * functions. Each with a DuckDB oracle (DuckDB has native ASOF JOIN —
+  * the perfect oracle for ours).
+  */
+object Extended {
+
+  /** As-of join: each event enriched with the latest signup (same user,
+    * signup.ts <= event.ts). */
+  val asofJoin: Q = Q(
+    "x_asof_join",
+    Some("""WITH b AS (
+           |  SELECT user_id, ts, max(event_id) AS sid FROM events
+           |  WHERE event_type = 'signup' GROUP BY 1, 2)
+           |SELECT e.event_id, b.sid AS signup_id
+           |FROM events e ASOF JOIN b ON e.user_id = b.user_id AND b.ts <= e.ts
+           |ORDER BY e.event_id""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val probe = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val build = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("sid"))
+      AsOfJoin.asof(probe, build, "user_id", "ts", Seq("sid"))
+        .select(col("event_id"), col("sid").as("signup_id"))
+        .orderBy(col("event_id"))
+    })
+
+  /** Pivot: order counts by priority x status (fixed value list). */
+  val pivot: Q = Q(
+    "x_pivot",
+    Some("""SELECT o_orderpriority,
+           |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+           |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+           |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p
+           |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("f"), col("O").as("o"), col("P").as("p"))
+        .orderBy(col("o_orderpriority")))
+
+  /** Interpolated percentiles (Spark percentile == DuckDB quantile_cont:
+    * both linear interpolation at rank q*(n-1)). */
+  val percentiles: Q = Q(
+    "x_percentiles",
+    Some("""SELECT l_returnflag,
+           |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+           |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+           |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy(col("l_returnflag")))
+
+  /** Array functions over the embedding column. */
+  val arrayFuncs: Q = Q(
+    "x_array_funcs",
+    Some("""SELECT vec_id,
+           |  CAST(len(embedding) AS BIGINT) AS dim,
+           |  CAST(embedding[1] AS DOUBLE) AS first_el,
+           |  CAST(embedding[len(embedding)] AS DOUBLE) AS last_el
+           |FROM embeddings ORDER BY vec_id""".stripMargin),
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast(LongType).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_el"),
+          element_at(col("embedding"), size(col("embedding"))).cast("double").as("last_el"))
+        .orderBy(col("vec_id")))
+
+  /** Regex extract/replace (C1 generalization). */
+  val regex: Q = Q(
+    "x_regex",
+    Some("""SELECT p_partkey,
+           |  regexp_extract(p_type, '^([A-Z]+)', 1) AS type_first,
+           |  regexp_replace(p_brand, '[0-9]+', 'N', 'g') AS brand_anon
+           |FROM part ORDER BY p_partkey""".stripMargin),
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_first"),
+          regexp_replace(col("p_brand"), "[0-9]+", "N").as("brand_anon"))
+        .orderBy(col("p_partkey")))
+
+  /** Generator: explode a split column into rows (G-ops generalization,
+    * UDTF-shaped). */
+  val explodeWords: Q = Q(
+    "x_explode_words",
+    Some("""SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w
+           |FROM part ORDER BY p_partkey, w""".stripMargin),
+    (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("w"))
+        .orderBy(col("p_partkey"), col("w")))
+
+  val all: Seq[Q] = Seq(asofJoin, pivot, percentiles, arrayFuncs, regex, explodeWords)
+}

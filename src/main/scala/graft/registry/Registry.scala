@@ -19,6 +19,7 @@ object Registry {
   /** Every registered capability, in rough SURVEY.md §2 order. */
   def all: Seq[Q] =
     graft.queries.Relational.all ++
+      graft.queries.Extended.all ++
       graft.analytics.GraphQueries.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.pipeline.Multimodal.all ++

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.registry.Registry
+
+/** Physical-plan regression guards: the properties that make these
+  * queries scale (pushdown, pruning, broadcast, map-side combine) are
+  * asserted, not assumed — a refactor that silently de-optimizes a plan
+  * fails here even though results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, sf("0.01")).queryExecution.executedPlan.toString
+
+  test("s1_scan_prune: filter pushed to parquet, schema pruned") {
+    val p = plan("s1_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"))
+  }
+
+  test("j1_join_inner: dimension side broadcast, aggregation partial") {
+    val p = plan("j1_join_inner")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q1_agg: map-side combine + column-pruned scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("partial_count"))
+    // only the 5 referenced columns are read
+    assert(p.contains("struct<l_quantity:double,l_extendedprice:double,l_discount:double"))
+  }
+
+  test("j2_join_double: both joins resolved, customer broadcast") {
+    val p = plan("j2_join_double")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("f3_temporal_snapshot: both conjuncts pushed to the scan") {
+    val p = plan("f3_temporal_snapshot")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(o_orderdate"))
+    assert(p.contains("o_totalprice#") && p.contains("<= 50000.0"))
+  }
+
+  test("m_decode_features: narrow per-row pipeline, zero exchanges before sort") {
+    val p = Registry.byName("m_decode_features").run(spark, sf("0.01"))
+      .queryExecution.executedPlan.toString
+    // one exchange allowed: the final presentation sort
+    assert(p.split("Exchange").length - 1 <= 1, p)
+  }
+
+  test("d_dedup_ngram_jaccard: equi-join inverted index, no cartesian") {
+    val p = plan("d_dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("whole-stage codegen wraps the aggregation pipelines") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"))
+  }
+}
