@@ -37,6 +37,19 @@ object ConnectedComponents {
     lbl
   }
 
+  /** GraphX alternate (Pregel-based under the hood) — cross-validated
+    * against the DataFrame propagation in CitationParitySpec. */
+  def componentsGraphX(edges: DataFrame): DataFrame = {
+    import graft.graph.CitationGraph.bidirectional
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val tuples = bidirectional(edges).rdd.map(r => (r.getLong(0), r.getLong(1)))
+    org.apache.spark.graphx.Graph.fromEdgeTuples(tuples, defaultValue = 1)
+      .connectedComponents()
+      .vertices
+      .toDF("id", "comp")
+  }
+
   /** Component sizes + the connected-pair count per component
     * (denominator of the hop-plot percentages: sum of C(size,2)). */
   def componentSizes(edges: DataFrame): DataFrame =

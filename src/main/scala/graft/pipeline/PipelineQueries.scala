@@ -256,6 +256,74 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     })
 
+  /** Deterministic random-projection hyperplane j: component i derives
+    * from an LCG over integers, so Spark (Scala-computed literals) and
+    * DuckDB (in-SQL integer arithmetic) produce bit-identical doubles
+    * (k/2^31 - 0.5 is exact in binary). */
+  private def lcgPlane(j: Int): Seq[Double] =
+    (0 until 64).map { i =>
+      ((1103515245L * (j * 64 + i) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+    }
+
+  private def planeSql(j: Int): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> vd[i] * " +
+      s"(((1103515245 * ($j * 64 + i - 1) + 12345) % 2147483648) / 2147483648.0 - 0.5)))"
+
+  private val NumPlanes = 8
+
+  /** LSH-bucketed approximate nearest neighbors — the scale path for
+    * similarity search: 8 sign-of-projection bits partition vectors into
+    * buckets; each query ranks only its own bucket (IVF nprobe=1 shape).
+    * Approximate BY DESIGN: the oracle replicates the same algorithm
+    * (identical buckets + ranking), not brute force; sim_ann_topk is the
+    * exact baseline. Bucketing turns the O(n²) compare into an equi-join
+    * on bucket id — shuffle-partitionable at 100 TB.
+    */
+  val annLsh: Q = Q(
+    "sim_ann_lsh",
+    Some({
+      val bucketExpr = (0 until NumPlanes).map { j =>
+        s"(CASE WHEN ${planeSql(j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"""WITH n AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, vd, nrm, $bucketExpr AS bucket FROM n),
+         |p AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    round(list_sum(list_transform(generate_series(1, len(q.vd)), i -> q.vd[i]*c.vd[i]))
+         |      / (q.nrm*c.nrm), 6) AS sim
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10)
+         |SELECT qid, nid, sim, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM p)
+         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+    }),
+    (s, d) => {
+      val base = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd"))
+        .withColumn("nrm", sqrt(GraftFunctions.array_dot(col("vd"), col("vd"))))
+      val bucket = (0 until NumPlanes).map { j =>
+        val plane = array(lcgPlane(j).map(lit): _*)
+        when(GraftFunctions.array_dot(col("vd"), plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val n = base.withColumn("bucket", bucket)
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qn"), col("bucket"))
+      val c = n.select(col("vec_id").as("nid"), col("vd").as("cv"), col("nrm").as("cn"),
+        col("bucket").as("bucket2"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      q.join(c, col("bucket") === col("bucket2") && col("qid") =!= col("nid"))
+        .withColumn("sim", round(
+          GraftFunctions.array_dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("nid"), col("sim"), col("rnk").cast(LongType).as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    })
+
   // ---- text analysis ----------------------------------------------------
 
   /** Token counting (whitespace tokenizer). */
@@ -337,6 +405,6 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupNgram, dedupEmbedding,
     minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash,
-    annTopk,
+    annTopk, annLsh,
     tokenCount, fingerprint, quality, langId)
 }

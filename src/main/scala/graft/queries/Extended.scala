@@ -110,5 +110,32 @@ object Extended {
         .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("w"))
         .orderBy(col("p_partkey"), col("w")))
 
-  val all: Seq[Q] = Seq(asofJoin, pivot, percentiles, arrayFuncs, regex, explodeWords)
+  /** Salted two-phase aggregation over a 3-value (maximally hot) key —
+    * exact same result as the direct groupBy, which is the oracle. */
+  val saltedAgg: Q = Q(
+    "x_salted_agg",
+    Some("""SELECT l_returnflag,
+           |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    (s, d) =>
+      graft.operators.Salted.saltedAgg(
+        Tables.lineitem(s, d), "l_returnflag", 16,
+        "total_price" -> sum(Tables.dec(col("l_extendedprice"))),
+        "n" -> count(lit(1)))
+        .orderBy(col("l_returnflag")))
+
+  /** HLL++ approximate distinct (sketch differs from DuckDB's — weaker
+    * rows-only check by design; a_global_stats carries the exact twin). */
+  val approxDistinct: Q = Q(
+    "x_approx_distinct",
+    None,
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders")))
+
+  val all: Seq[Q] = Seq(asofJoin, pivot, percentiles, arrayFuncs, regex,
+    explodeWords, saltedAgg, approxDistinct)
 }

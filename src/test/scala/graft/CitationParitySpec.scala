@@ -84,6 +84,15 @@ class CitationParitySpec extends SparkSpec {
     assert(sizes.head.getLong(2) === 55L)
   }
 
+  test("GraphX connectedComponents agrees with DataFrame propagation") {
+    val edges = CitationAnalytics.snapshotEdges(citations, published, 1998)
+    val df = ConnectedComponents.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = ConnectedComponents.componentsGraphX(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df === gx)
+  }
+
   test("effective diameter interpolates between straddling rows") {
     val ed = HopPlot.effectiveDiameter(spark,
       CitationAnalytics.snapshotEdges(citations, published, 1998))
