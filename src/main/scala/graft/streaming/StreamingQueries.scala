@@ -84,5 +84,32 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("sid"))
     })
 
-  val all: Seq[Q] = Seq(tumbling, sliding, sessionize)
+  /** Spark's native session_window operator (gap-merged event-time
+    * sessions) — must agree with the window-function sessionization
+    * above; the oracle is the same lag/sum construction. */
+  val sessionWindow: Q = Q(
+    "st_session_window",
+    Some("""WITH x AS (
+           |  SELECT user_id, ts, event_id,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (
+           |  SELECT user_id, ts,
+           |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |  FROM x)
+           |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           |  count(*) AS n_events
+           |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin),
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start")))
+
+  val all: Seq[Q] = Seq(tumbling, sliding, sessionize, sessionWindow)
 }
