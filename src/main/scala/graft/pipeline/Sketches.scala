@@ -32,8 +32,14 @@ object Sketches {
   val NumBands: Int = NumHashes / BandRows
   val SimHashBits = 60
 
-  private def a(i: Int): Long = 2L * i + 3
-  private def b(i: Int): Long = 5L * i + 7
+  /** Permutation constants MUST wrap the modulus: tiny multipliers make
+    * (a*h + b) mod P order-preserving for small h, so every slot picks
+    * the same minimum element and the signature collapses (found as a
+    * J=0.98 pair with zero matching bands). Large odd multipliers from
+    * Knuth's multiplicative hashing scramble the order; products stay
+    * < 2^60 (a,h < P < 2^30) — no int64 overflow on either engine. */
+  private def a(i: Int): Long = (2654435761L * (i + 1)) % P
+  private def b(i: Int): Long = (1779033703L * (i + 1) + 113L) % P
 
   /** Distinct-token base hashes (set semantics — MinHash/Jaccard). */
   def tokenHashes(toks: Column): Column =

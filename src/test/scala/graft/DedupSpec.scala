@@ -53,6 +53,15 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)  // the corpus has planted near-dups
   }
 
+  test("LSH recall holds at bench scale too (sf0.1, 5000 docs)") {
+    val exact = PipelineQueries.dedupNgram.run(spark, sf("0.1"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = PipelineQueries.dedupMinhashLsh.run(spark, sf("0.1"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === lsh)
+    assert(exact.nonEmpty)
+  }
+
   test("simhash hamming pairs: threshold respected and canonical order") {
     val rows = PipelineQueries.dedupSimhash.run(spark, sf()).collect()
     assert(rows.forall(r => r.getLong(2) <= 3))
