@@ -219,6 +219,41 @@ object PipelineQueries {
         .orderBy(col("a_id"), col("b_id"))
     })
 
+  /** Dedup survivorship: collapse near-dup clusters (connected components
+    * of the Jaccard>=0.5 pair graph) to their min-id representative —
+    * the operator that actually REMOVES duplicates from a corpus. Output:
+    * (doc_id, survivor_id) for every doc merged away. */
+  val dedupSurvivors: Q = Q(
+    "d_dedup_survivors",
+    Some(s"""WITH RECURSIVE t AS (
+            |  SELECT doc_id, $toksSql AS toks FROM documents),
+            |sh AS (
+            |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+            |  FROM t WHERE len(toks) >= 3),
+            |pr AS (
+            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5),
+            |bidir AS (SELECT a_id AS src, b_id AS dst FROM pr UNION SELECT b_id, a_id FROM pr),
+            |vertices AS (SELECT DISTINCT src AS id FROM bidir),
+            |reach AS (
+            |  SELECT id, id AS r FROM vertices
+            |  UNION
+            |  SELECT re.id, b.dst FROM reach re JOIN bidir b ON re.r = b.src),
+            |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)
+            |SELECT id AS doc_id, comp AS survivor_id FROM comp
+            |WHERE id <> comp ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val pairs = dedupNgram.run(s, d)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      graft.analytics.ConnectedComponents.components(pairs)
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"), col("comp").as("survivor_id"))
+        .orderBy(col("doc_id"))
+    })
+
   // ---- similarity search ------------------------------------------------
 
   /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 10).
@@ -404,7 +439,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupNgram, dedupEmbedding,
-    minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash,
+    minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash, dedupSurvivors,
     annTopk, annLsh,
     tokenCount, fingerprint, quality, langId)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -136,6 +137,45 @@ object Extended {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders")))
 
+  /** Array higher-order functions (exists/forall/filter) — API coverage;
+    * hot paths use codegen'd equivalents (see Sketches scaladoc). */
+  val higherOrder: Q = Q(
+    "x_higher_order",
+    Some("""SELECT vec_id,
+           |  len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.9)) > 0 AS has_big,
+           |  len(list_filter(embedding, x -> CAST(x AS DOUBLE) < -10.0)) = 0 AS all_sane,
+           |  CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) < 0)) AS BIGINT) AS n_neg
+           |FROM embeddings ORDER BY vec_id""".stripMargin),
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          exists(col("embedding"), x => x.cast("double") > 0.9).as("has_big"),
+          forall(col("embedding"), x => x.cast("double") >= -10.0).as("all_sane"),
+          size(filter(col("embedding"), x => x.cast("double") < 0)).cast(LongType).as("n_neg"))
+        .orderBy(col("vec_id")))
+
+  /** RANGE-frame window: trailing 30-day revenue over daily totals —
+    * event-time frames beyond the reference's single ROWS frame. */
+  val windowRange: Q = Q(
+    "x_window_range_30d",
+    Some("""WITH daily AS (
+           |  SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+           |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           |  FROM orders GROUP BY 1)
+           |SELECT day_num, rev,
+           |  sum(rev) OVER (ORDER BY day_num RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS rev_30d
+           |FROM daily ORDER BY day_num""".stripMargin),
+    (s, d) => {
+      val w = Window.orderBy(col("day_num")).rangeBetween(-29, 0)
+      Tables.orders(s, d)
+        .groupBy(datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast(LongType).as("day_num"))
+        .agg(sum(Tables.dec(col("o_totalprice"))).as("rev"))
+        .select(col("day_num"), col("rev"), sum(col("rev")).over(w).as("rev_30d"))
+        .orderBy(col("day_num"))
+    })
+
   val all: Seq[Q] = Seq(asofJoin, pivot, percentiles, arrayFuncs, regex,
-    explodeWords, saltedAgg, approxDistinct)
+    explodeWords, saltedAgg, approxDistinct, higherOrder, windowRange)
 }
