@@ -176,6 +176,59 @@ object Extended {
         .orderBy(col("day_num"))
     })
 
+  /** GROUPING SETS through the SQL surface (spark.sql over a temp view) —
+    * the third grouping shape next to rollup/cube. */
+  val groupingSets: Q = Q(
+    "x_grouping_sets",
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    })
+
+  /** Null semantics: outer-join nulls through coalesce / nullif /
+    * null-safe equality / IS NULL, with null-first ordering. */
+  val nullSemantics: Q = Q(
+    "x_null_semantics",
+    Some("""SELECT c.c_custkey, o.o_orderkey,
+           |  coalesce(CAST(o.o_totalprice AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS price0,
+           |  o.o_orderkey IS NULL AS no_big_order,
+           |  o.o_orderstatus IS NOT DISTINCT FROM 'F' AS status_f,
+           |  nullif(c.c_mktsegment, 'BUILDING') AS seg_nb
+           |FROM customer c LEFT JOIN orders o
+           |  ON o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+           |ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST""".stripMargin),
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("o_custkey") === col("c_custkey") && col("o_totalprice") > 300000.0, "left")
+        .select(
+          col("c_custkey"), col("o_orderkey"),
+          coalesce(Tables.dec(col("o_totalprice")), lit(0).cast("decimal(18,2)")).as("price0"),
+          col("o_orderkey").isNull.as("no_big_order"),
+          (col("o_orderstatus") <=> "F").as("status_f"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    })
+
+  /** Edit distance (identical DP on both engines — exact ints). */
+  val editDistance: Q = Q(
+    "x_levenshtein",
+    Some("""SELECT p_partkey, CAST(levenshtein(p_name, p_type) AS BIGINT) AS dist
+           |FROM part ORDER BY p_partkey""".stripMargin),
+    (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("p_type")).cast(LongType).as("dist"))
+        .orderBy(col("p_partkey")))
+
   val all: Seq[Q] = Seq(asofJoin, pivot, percentiles, arrayFuncs, regex,
-    explodeWords, saltedAgg, approxDistinct, higherOrder, windowRange)
+    explodeWords, saltedAgg, approxDistinct, higherOrder, windowRange,
+    groupingSets, nullSemantics, editDistance)
 }

@@ -62,4 +62,16 @@ class PlanSpec extends SparkSpec {
     val p = plan("q1_agg")
     assert(p.contains("HashAggregate"))
   }
+
+  test("join strategy hints are honored in the initial plan") {
+    import org.apache.spark.sql.functions.col
+    val o = Tables.orders(spark, sf("0.01"))
+    val c = Tables.customer(spark, sf("0.01"))
+    val sh = o.join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(sh.contains("ShuffledHashJoin"), sh)
+    val sm = o.join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(sm.contains("SortMergeJoin"), sm)
+  }
 }

@@ -31,6 +31,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("sliding window: streaming (complete mode) == batch") {
+    import org.apache.spark.sql.functions._
+    import graft.Tables.dec
+    val stream = Streams.readEventsStream(spark, sf())
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("v"))
+    val q = stream.writeStream
+      .format("memory").queryName("sliding_out")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sliding_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3).toPlainString)).toSet
+    val want = StreamingQueries.sliding.run(spark, sf()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3).toPlainString)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("sessionize: flatMapGroupsWithState == batch window sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
