@@ -56,7 +56,7 @@ object HopPlot {
     var visited = frontier
     val perD = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
     var newCount = frontier.count()
-    perD += 1 -> newCount
+    if (newCount > 0) perD += 1 -> newCount // empty graph → empty hop-plot
     var cum = newCount
     var d = 1
     def coverageReached: Boolean = totalPairs.exists { t =>

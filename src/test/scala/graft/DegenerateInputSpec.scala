@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.analytics.{ConnectedComponents, Density, HopPlot}
+import graft.operators.AsOfJoin
+import graft.pipeline.Sketches
+
+/** Degenerate inputs must not crash or mislead: empty graphs, empty
+  * corpora, probe-without-build as-of joins. These are the edges a
+  * production pipeline hits first (empty partition, empty filter result).
+  */
+class DegenerateInputSpec extends SparkSpec {
+
+  private def emptyEdges = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("src", "dst")
+  }
+
+  test("hop-plot of an empty graph is empty") {
+    assert(HopPlot.hopPlotRows(spark, emptyEdges) === Seq.empty)
+  }
+
+  test("effective diameter of an empty graph is defined (0.0)") {
+    assert(HopPlot.effectiveDiameter(spark, emptyEdges).head.getDouble(0) === 0.0)
+  }
+
+  test("connected components of an empty graph is empty") {
+    assert(ConnectedComponents.componentSizes(emptyEdges).count() === 0)
+  }
+
+  test("density with edges referencing unknown nodes drops them (inner join)") {
+    import spark.implicits._
+    val nodes = Seq((1L, 1995L), (2L, 1996L)).toDF("id", "yr")
+    val edges = Seq((1L, 2L), (99L, 1L)).toDF("src", "dst") // 99 unknown
+    val got = Density.densities(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1995L, 1L, 1L)))
+  }
+
+  test("sketches of an empty corpus are empty; single-token docs survive") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Sketches.sketchTable(empty).count() === 0)
+    val tiny = Seq((1L, "solo")).toDF("doc_id", "text")
+    // no 3-gram → no minhash row; simhash alone still works
+    assert(Sketches.minhashTable(tiny).count() === 0)
+    assert(Sketches.simhashTable(tiny).count() === 1)
+  }
+
+  test("as-of join with empty build side returns no rows (inner)") {
+    import spark.implicits._
+    val probe = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 100L))
+      .toDF("user_id", "ts", "event_id")
+    val build = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("user_id", "ts", "sid")
+    assert(AsOfJoin.asof(probe, build, "user_id", "ts", Seq("sid")).count() === 0)
+  }
+}
