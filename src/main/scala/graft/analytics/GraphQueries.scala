@@ -158,7 +158,28 @@ object GraphQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("pair_key")))
 
+  /** Global triangle count on the citation graph via three-way canonical
+    * edge self-join (beyond-reference graph analytics; cross-validated
+    * against GraphX triangleCount in GraphQueriesSpec). */
+  val triangles: Q = Q(
+    "g_triangles",
+    Some(s"""WITH $edgesSql, $bidirOfEdges,
+            |e AS (SELECT src AS a, dst AS b FROM bidir WHERE src < dst)
+            |SELECT count(*) AS n_triangles
+            |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin),
+    (s, d) => {
+      val e = bidirectional(edges(s, d))
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
+      val e1 = e.select(col("a"), col("b"))
+      val e2 = e.select(col("a").as("b2"), col("b").as("c"))
+      val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
+      e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+    })
+
   val all: Seq[Q] = Seq(
     density, snapshot, pairsLen1, bidirectDegree, wedges,
-    hopplot, effDiameter, components, packPair)
+    hopplot, effDiameter, components, packPair, triangles)
 }

@@ -437,9 +437,61 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     })
 
+  /** End-to-end training-data pipeline: near-dup survivors removed, then
+    * quality + language gates, emitting the cleaned corpus stats — the
+    * composition the individual operators exist for. */
+  val pipelineE2e: Q = Q(
+    "d_pipeline_e2e",
+    Some(s"""WITH RECURSIVE t AS (
+            |  SELECT doc_id, $toksSql AS toks FROM documents),
+            |sh AS (
+            |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+            |  FROM t WHERE len(toks) >= 3),
+            |pr AS (
+            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5),
+            |bidir AS (SELECT a_id AS src, b_id AS dst FROM pr UNION SELECT b_id, a_id FROM pr),
+            |vertices AS (SELECT DISTINCT src AS id FROM bidir),
+            |reach AS (
+            |  SELECT id, id AS r FROM vertices
+            |  UNION
+            |  SELECT re.id, b.dst FROM reach re JOIN bidir b ON re.r = b.src),
+            |merged AS (SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY 1) WHERE id <> comp),
+            |q AS (
+            |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+            |    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+            |    ${hitsSql(enStops)} AS h_en, ${hitsSql(deStops)} AS h_de, ${hitsSql(esStops)} AS h_es
+            |  FROM t WHERE len(toks) > 0)
+            |SELECT doc_id, n_tokens, ttr FROM q
+            |WHERE doc_id NOT IN (SELECT id FROM merged)
+            |  AND ttr >= 0.3
+            |  AND h_en >= h_de AND h_en >= h_es
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val merged = dedupSurvivors.run(s, d).select(col("doc_id"))
+      val t = Tables.documents(s, d).select(col("doc_id"), toks(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+      t.select(
+        col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6).as("ttr"),
+        hits(col("toks"), enStops).as("h_en"),
+        hits(col("toks"), deStops).as("h_de"),
+        hits(col("toks"), esStops).as("h_es"))
+        .join(merged, Seq("doc_id"), "left_anti")
+        .filter(col("ttr") >= 0.3
+          && col("h_en") >= col("h_de") && col("h_en") >= col("h_es"))
+        .select(col("doc_id"), col("n_tokens"), col("ttr"))
+        .orderBy(col("doc_id"))
+    })
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupNgram, dedupEmbedding,
     minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash, dedupSurvivors,
+    pipelineE2e,
     annTopk, annLsh,
     tokenCount, fingerprint, quality, langId)
 }
