@@ -10,9 +10,9 @@ import org.apache.spark.sql.types.LongType
   * cross-engine-stable hash — reduced to integer arithmetic that DuckDB
   * reproduces exactly (`CAST('0x'||substr(md5(t),1,15) AS BIGINT)`), so
   * sketch values themselves are oracle-checkable, not just downstream
-  * results. Permutations are (a_i*h + b_i) mod P with small constants:
-  * h < P = 1e9+7 < 2^30 and a_i < 2^7 keep products < 2^37 — no int64
-  * overflow on either engine.
+  * results. Permutations are (a_i*h + b_i) mod P with Knuth-multiplier
+  * constants (see `a`/`b` below): h, a_i < P = 1e9+7 < 2^30 keeps
+  * products < 2^60 — no int64 overflow on either engine.
   *
   * Scale: signatures are embarrassingly parallel (per-row); the LSH
   * band-bucket join replaces the O(n²) all-pairs comparison with an
@@ -41,27 +41,11 @@ object Sketches {
   private def a(i: Int): Long = (2654435761L * (i + 1)) % P
   private def b(i: Int): Long = (1779033703L * (i + 1) + 113L) % P
 
-  /** Distinct-token base hashes (set semantics — MinHash/Jaccard). */
-  def tokenHashes(toks: Column): Column =
-    transform(array_distinct(toks),
-      t => (conv(md5(t).substr(1, 15), 16, 10).cast(LongType) % P))
-
-  val tokenHashesSql: String =
-    "list_transform(list_distinct(toks), t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1000000007)"
-
-  /** Token hashes WITH multiplicity (bag semantics — the frequency
-    * weighting of Charikar SimHash). */
-  def tokenHashesAll(toks: Column): Column =
-    transform(toks, t => (conv(md5(t).substr(1, 15), 16, 10).cast(LongType) % P))
-
+  /** Token hashes WITH multiplicity, as DuckDB SQL (bag semantics — the
+    * frequency weighting of Charikar SimHash); feeds the d_simhash
+    * oracles. */
   val tokenHashesAllSql: String =
     "list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1000000007)"
-
-  /** 32 minhash values (array column) from a token-hash array column. */
-  def minhashSig(hs: Column): Column =
-    array((0 until NumHashes).map { i =>
-      array_min(transform(hs, h => (h * a(i) + b(i)) % P))
-    }: _*)
 
   def minhashSigSql(hsExpr: String): String =
     (0 until NumHashes).map { i =>
@@ -75,15 +59,6 @@ object Sketches {
         (lit(s"$j:") +: (0 until BandRows).map(r =>
           element_at(sig, j * BandRows + r + 1).cast("string"))): _*)
     }: _*)
-
-  /** 60-bit SimHash from a token-hash array column (pass the
-    * with-multiplicity hashes for standard frequency weighting): bit b is
-    * set when more than half the token occurrences have bit b set. */
-  def simhash(hs: Column): Column =
-    (0 until SimHashBits).map { bb =>
-      when(size(filter(hs, h => (shiftright(h, bb).bitwiseAND(1)) === 1)) * 2
-        > size(hs), lit(1L << bb)).otherwise(0L)
-    }.reduce(_ + _)
 
   def simhashSql(hsExpr: String): String =
     (0 until SimHashBits).map { bb =>
