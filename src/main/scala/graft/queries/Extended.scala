@@ -228,7 +228,47 @@ object Extended {
           levenshtein(col("p_name"), col("p_type")).cast(LongType).as("dist"))
         .orderBy(col("p_partkey")))
 
+  /** Second string batch: padding, repetition, reversal, ascii. */
+  val stringFuncs2: Q = Q(
+    "c_string_funcs2",
+    Some("""SELECT p_partkey,
+           |  lpad(p_brand, 12, '_') AS brand_pad,
+           |  rpad(substr(p_name, 1, 6), 8, '.') AS name_pad,
+           |  reverse(p_brand) AS brand_rev,
+           |  repeat(substr(p_type, 1, 2), 3) AS type_rep,
+           |  CAST(ascii(p_name) AS BIGINT) AS first_cp
+           |FROM part ORDER BY p_partkey""".stripMargin),
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "_").as("brand_pad"),
+          rpad(substring(col("p_name"), 1, 6), 8, ".").as("name_pad"),
+          reverse(col("p_brand")).as("brand_rev"),
+          repeat(substring(col("p_type"), 1, 2), 3).as("type_rep"),
+          ascii(col("p_name")).cast(LongType).as("first_cp"))
+        .orderBy(col("p_partkey")))
+
+  /** Date arithmetic: day offsets, month boundaries, day diffs — results
+    * as formatted strings (DATE columns round-trip asymmetrically). */
+  val dateArith: Q = Q(
+    "c_date_arith",
+    Some("""SELECT o_orderkey,
+           |  strftime(CAST(o_orderdate AS DATE) + 7, '%Y-%m-%d') AS plus7,
+           |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+           |FROM orders ORDER BY o_orderkey""".stripMargin),
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          date_format(date_add(col("o_orderdate").cast("date"), 7), "yyyy-MM-dd").as("plus7"),
+          date_format(last_day(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("month_end"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast(LongType).as("days_since"))
+        .orderBy(col("o_orderkey")))
+
   val all: Seq[Q] = Seq(asofJoin, pivot, percentiles, arrayFuncs, regex,
     explodeWords, saltedAgg, approxDistinct, higherOrder, windowRange,
-    groupingSets, nullSemantics, editDistance)
+    groupingSets, nullSemantics, editDistance, stringFuncs2, dateArith)
 }
