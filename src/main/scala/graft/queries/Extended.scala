@@ -268,7 +268,44 @@ object Extended {
             .cast(LongType).as("days_since"))
         .orderBy(col("o_orderkey")))
 
+  /** Integer bit operations (&, |, xor, shifts). */
+  val bitOps: Q = Q(
+    "x_bit_ops",
+    Some("""SELECT c_custkey,
+           |  c_custkey & 255 AS low_byte,
+           |  c_custkey | 4096 AS with_flag,
+           |  xor(c_custkey, 1365) AS xored,
+           |  c_custkey << 3 AS shl,
+           |  c_custkey >> 2 AS shr
+           |FROM customer ORDER BY c_custkey""".stripMargin),
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          col("c_custkey").bitwiseAND(255).as("low_byte"),
+          col("c_custkey").bitwiseOR(4096).as("with_flag"),
+          col("c_custkey").bitwiseXOR(1365).as("xored"),
+          shiftleft(col("c_custkey"), 3).as("shl"),
+          shiftright(col("c_custkey"), 2).as("shr"))
+        .orderBy(col("c_custkey")))
+
+  /** arg-max aggregate: per customer, the order id of their most
+    * expensive order (tie-free ordinal = cents*2^20 + orderkey). */
+  val argMax: Q = Q(
+    "x_argmax",
+    Some("""SELECT o_custkey,
+           |  arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 1048576 + o_orderkey) AS top_order
+           |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin),
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max_by(col("o_orderkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)") * 1048576L
+            + col("o_orderkey")).as("top_order"))
+        .orderBy(col("o_custkey")))
+
   val all: Seq[Q] = Seq(asofJoin, pivot, percentiles, arrayFuncs, regex,
     explodeWords, saltedAgg, approxDistinct, higherOrder, windowRange,
-    groupingSets, nullSemantics, editDistance, stringFuncs2, dateArith)
+    groupingSets, nullSemantics, editDistance, stringFuncs2, dateArith,
+    bitOps, argMax)
 }
