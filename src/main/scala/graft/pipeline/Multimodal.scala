@@ -50,6 +50,31 @@ object Multimodal {
       col("doc_id"),
       sample_bytes(col("bytes"), lit(k)).as("frames"))
 
+  final case class Asset(doc_id: Long, bytes: Array[Byte])
+  final case class Features(doc_id: Long, features: Array[Long])
+
+  /** The iterator-shaped decode path (preference (d), mapPartitions):
+    * where a REAL codec plugs in — per-partition init (load model/codec
+    * once), then row-at-a-time decode. The fake decode is the same byte
+    * histogram, asserted equal to the expression path in
+    * MultimodalTypedSpec; the batch shape (Iterator => Iterator, no
+    * per-row setup) is the part a production decode inherits. */
+  def decodeFeaturesTyped(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("bytes")).as[Asset]
+      .mapPartitions { it =>
+        // per-partition "codec init" happens here, once
+        it.map { a =>
+          val h = new Array[Long](16)
+          var i = 0
+          while (i < a.bytes.length) { h((a.bytes(i) & 0xFF) >>> 4) += 1; i += 1 }
+          Features(a.doc_id, h)
+        }
+      }
+      .toDF()
+  }
+
   // ---- registry entries -------------------------------------------------
 
   private def histBinsSql: String =

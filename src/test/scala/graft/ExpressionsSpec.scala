@@ -47,6 +47,15 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getLong(1) === 2L)
   }
 
+  test("typed mapPartitions decode equals the expression decode") {
+    val assets = Multimodal.withAssets(Tables.documents(spark, sf()))
+    val viaExpr = Multimodal.decodeFeatures(assets)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3)).toMap
+    val viaTyped = Multimodal.decodeFeaturesTyped(assets)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr === viaTyped)
+  }
+
   test("multimodal pipeline: assets carry metadata, features are 16-wide") {
     val feats = Multimodal.decodeFeatures(
       Multimodal.withAssets(Tables.documents(spark, sf())))

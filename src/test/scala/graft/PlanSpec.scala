@@ -63,6 +63,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("rank<=k filter triggers WindowGroupLimit pushdown (map-side top-k)") {
+    val p = plan("w_rank_topk_per_group")
+    // Partial before the shuffle + Final after: per-partition state is
+    // bounded to k rows — the built-in that makes a custom TopKPerKey
+    // operator unnecessary (see README design positions)
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial") && p.contains("Final"))
+  }
+
   test("join strategy hints are honored in the initial plan") {
     import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, sf("0.01"))
