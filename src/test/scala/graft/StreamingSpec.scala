@@ -55,6 +55,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("watermark drops late data in append-mode window aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .count()
+      .select(col("w.start").as("h"), col("event_type"), col("count"))
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      // two on-time events in hour 10
+      input.addData(Seq((ts("2024-01-01 10:05:00"), "a"), (ts("2024-01-01 10:50:00"), "a")))
+      q.processAllAvailable()
+      // advance watermark far past hour 10 (event at 13:00 → wm 12:50)
+      input.addData(Seq((ts("2024-01-01 13:00:00"), "a")))
+      q.processAllAvailable()
+      // LATE arrival for hour 10 — behind the watermark, must be dropped
+      input.addData(Seq((ts("2024-01-01 10:30:00"), "a")))
+      q.processAllAvailable()
+      // close the 13:00 window too
+      input.addData(Seq((ts("2024-01-01 16:00:00"), "a")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("late_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    // hour-10 window emitted with 2 events — the late third never counted
+    assert(rows("2024-01-01 10:00:00.0") === 2L)
+    assert(rows("2024-01-01 13:00:00.0") === 1L)
+  }
+
   test("sessionize: flatMapGroupsWithState == batch window sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
