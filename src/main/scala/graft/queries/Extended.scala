@@ -304,8 +304,47 @@ object Extended {
             + col("o_orderkey")).as("top_order"))
         .orderBy(col("o_custkey")))
 
+  /** Correlated scalar subquery (Catalyst decorrelates to an aggregate +
+    * join): customers above their nation's average balance. */
+  val corrSubquery: Q = Q(
+    "x_corr_subquery",
+    Some("""SELECT c_custkey, c_nationkey FROM customer c
+           |WHERE CAST(c_acctbal AS DECIMAL(18,2)) > (
+           |  SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer c2
+           |  WHERE c2.c_nationkey = c.c_nationkey)
+           |ORDER BY c_custkey""".stripMargin),
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_cs")
+      s.sql("""SELECT c_custkey, c_nationkey FROM customer_cs c
+              |WHERE CAST(c_acctbal AS DECIMAL(18,2)) > (
+              |  SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer_cs c2
+              |  WHERE c2.c_nationkey = c.c_nationkey)
+              |ORDER BY c_custkey""".stripMargin)
+    })
+
+  /** first_value / last_value with full frames and deterministic order. */
+  val firstLast: Q = Q(
+    "w_first_last_value",
+    Some("""SELECT s_suppkey,
+           |  first_value(s_suppkey) OVER w AS nation_first,
+           |  last_value(s_suppkey) OVER w AS nation_last
+           |FROM supplier
+           |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |ORDER BY s_suppkey""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          first(col("s_suppkey")).over(w).as("nation_first"),
+          last(col("s_suppkey")).over(w).as("nation_last"))
+        .orderBy(col("s_suppkey"))
+    })
+
   val all: Seq[Q] = Seq(asofJoin, pivot, percentiles, arrayFuncs, regex,
     explodeWords, saltedAgg, approxDistinct, higherOrder, windowRange,
     groupingSets, nullSemantics, editDistance, stringFuncs2, dateArith,
-    bitOps, argMax)
+    bitOps, argMax, corrSubquery, firstLast)
 }
