@@ -24,7 +24,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Round-1 postmortem: a single println into sbt's stdout got truncated/
+    // interleaved with Spark log lines and the driver recorded parsed:null.
+    // Belt and braces: (1) persist to a file, (2) print once while the
+    // session is up, (3) print again AFTER spark.stop() when no log lines
+    // can interleave, with explicit flushes.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
+    System.out.flush()
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

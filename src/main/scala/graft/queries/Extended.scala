@@ -116,7 +116,7 @@ object Extended {
   val saltedAgg: Q = Q(
     "x_salted_agg",
     Some("""SELECT l_returnflag,
-           |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
            |  count(*) AS n
            |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
     (s, d) =>
@@ -124,6 +124,7 @@ object Extended {
         Tables.lineitem(s, d), "l_returnflag", 16,
         "total_price" -> sum(Tables.dec(col("l_extendedprice"))),
         "n" -> count(lit(1)))
+        .withColumn("total_price", col("total_price").cast("double"))
         .orderBy(col("l_returnflag")))
 
   /** HLL++ approximate distinct (sketch differs from DuckDB's — weaker
@@ -163,8 +164,8 @@ object Extended {
            |  SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num,
            |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
            |  FROM orders GROUP BY 1)
-           |SELECT day_num, rev,
-           |  sum(rev) OVER (ORDER BY day_num RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS rev_30d
+           |SELECT day_num, CAST(rev AS DOUBLE) AS rev,
+           |  CAST(sum(rev) OVER (ORDER BY day_num RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
            |FROM daily ORDER BY day_num""".stripMargin),
     (s, d) => {
       val w = Window.orderBy(col("day_num")).rangeBetween(-29, 0)
@@ -172,7 +173,8 @@ object Extended {
         .groupBy(datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
           .cast(LongType).as("day_num"))
         .agg(sum(Tables.dec(col("o_totalprice"))).as("rev"))
-        .select(col("day_num"), col("rev"), sum(col("rev")).over(w).as("rev_30d"))
+        .select(col("day_num"), col("rev").cast("double").as("rev"),
+          sum(col("rev")).over(w).cast("double").as("rev_30d"))
         .orderBy(col("day_num"))
     })
 
@@ -193,28 +195,31 @@ object Extended {
     })
 
   /** Null semantics: outer-join nulls through coalesce / nullif /
-    * null-safe equality / IS NULL, with null-first ordering. */
+    * null-safe equality / IS NULL. Join misses surface as o_orderkey = -1
+    * (not NULL) so no output column is a NULL-bearing int; the NULL
+    * handling itself is still exercised by coalesce/IS NULL/<=>. */
   val nullSemantics: Q = Q(
     "x_null_semantics",
-    Some("""SELECT c.c_custkey, o.o_orderkey,
-           |  coalesce(CAST(o.o_totalprice AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS price0,
+    Some("""SELECT c.c_custkey, coalesce(o.o_orderkey, -1) AS o_orderkey,
+           |  CAST(coalesce(CAST(o.o_totalprice AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS price0,
            |  o.o_orderkey IS NULL AS no_big_order,
            |  o.o_orderstatus IS NOT DISTINCT FROM 'F' AS status_f,
            |  nullif(c.c_mktsegment, 'BUILDING') AS seg_nb
            |FROM customer c LEFT JOIN orders o
            |  ON o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
-           |ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST""".stripMargin),
+           |ORDER BY c.c_custkey, coalesce(o.o_orderkey, -1)""".stripMargin),
     (s, d) => {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
       c.join(o, col("o_custkey") === col("c_custkey") && col("o_totalprice") > 300000.0, "left")
         .select(
-          col("c_custkey"), col("o_orderkey"),
-          coalesce(Tables.dec(col("o_totalprice")), lit(0).cast("decimal(18,2)")).as("price0"),
+          col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
+          coalesce(Tables.dec(col("o_totalprice")), lit(0).cast("decimal(18,2)"))
+            .cast("double").as("price0"),
           col("o_orderkey").isNull.as("no_big_order"),
           (col("o_orderstatus") <=> "F").as("status_f"),
           nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"))
-        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+        .orderBy(col("c_custkey"), col("o_orderkey"))
     })
 
   /** Edit distance (identical DP on both engines — exact ints). */

@@ -16,6 +16,14 @@ import graft.registry.Q
   * Determinism rules (so the DuckDB-oracle hash compare is bit-exact):
   *  - any summed double measure is cast to DECIMAL(18,2) first on BOTH
   *    engines (double sums are partition-order dependent; decimal is exact);
+  *  - no final select emits DECIMAL: exact decimal aggregates are cast to
+  *    DOUBLE at the very end on BOTH engines (cents numerator < 2^53 so
+  *    both engines produce the identical nearest double; raw DECIMAL
+  *    output hash-mismatches whenever the value has trailing zeros —
+  *    Decimal('253942.00') vs float repr '253942.0');
+  *  - no NULL in numeric output columns (nullable ints coerce to float on
+  *    one side of the driver's hash: '7' vs '7.0', None vs nan) — use a
+  *    sentinel / coalesce / grouping() flag on BOTH engines;
   *  - integer outputs are BIGINT on both engines;
   *  - every result carries a total ORDER BY with a unique tiebreaker;
   *  - averages are computed as round(decimal_sum / count, 6) cast to double.
@@ -39,9 +47,9 @@ object Relational {
   val q1Agg: Q = Q(
     "q1_agg",
     Some("""SELECT l_returnflag, l_linestatus,
-           |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
            |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*), 6) AS avg_qty,
            |  count(*) AS count_order
            |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -50,10 +58,10 @@ object Relational {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-            .as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           avg6(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")))
@@ -116,14 +124,14 @@ object Relational {
     "j1_join_inner",
     Some("""SELECT c_mktsegment,
            |  count(*) AS n_orders,
-           |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
     (s, d) =>
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
         .orderBy(col("c_mktsegment")))
 
   /** J2 — double join resolving both "endpoints" of a fact row
@@ -132,7 +140,7 @@ object Relational {
     "j2_join_double",
     Some("""SELECT c_nationkey,
            |  count(*) AS n_items,
-           |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
            |FROM lineitem
            |JOIN orders ON l_orderkey = o_orderkey
            |JOIN customer ON o_custkey = c_custkey
@@ -145,7 +153,7 @@ object Relational {
         .agg(
           count(lit(1)).as("n_items"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-            .as("revenue"))
+            .cast("double").as("revenue"))
         .orderBy(col("c_nationkey")))
 
   /** J4/U2 — left-anti join (subtractByKey, Analytics.scala:285-288). */
@@ -243,7 +251,7 @@ object Relational {
     "w1_running_total",
     Some("""SELECT month,
            |  CAST(sum(n) OVER w AS BIGINT) AS cum_orders,
-           |  sum(rev) OVER w AS cum_revenue
+           |  CAST(sum(rev) OVER w AS DOUBLE) AS cum_revenue
            |FROM (
            |  SELECT date_trunc('month', o_orderdate) AS month,
            |         count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
@@ -259,7 +267,7 @@ object Relational {
         .select(
           col("month"),
           sum(col("n")).over(w).cast(LongType).as("cum_orders"),
-          sum(col("rev")).over(w).as("cum_revenue"))
+          sum(col("rev")).over(w).cast("double").as("cum_revenue"))
         .orderBy(col("month"))
     })
 
@@ -284,7 +292,8 @@ object Relational {
   /** lag window — month-over-month revenue delta (extension). */
   val wLagDelta: Q = Q(
     "w_lag_delta",
-    Some("""SELECT month, rev, rev - lag(rev, 1, CAST(0 AS DECIMAL(18,2))) OVER (ORDER BY month) AS delta
+    Some("""SELECT month, CAST(rev AS DOUBLE) AS rev,
+           |  CAST(rev - lag(rev, 1, CAST(0 AS DECIMAL(18,2))) OVER (ORDER BY month) AS DOUBLE) AS delta
            |FROM (
            |  SELECT date_trunc('month', o_orderdate) AS month,
            |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
@@ -295,8 +304,9 @@ object Relational {
       Tables.orders(s, d)
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(sum(dec(col("o_totalprice"))).as("rev"))
-        .select(col("month"), col("rev"),
-          (col("rev") - lag(col("rev"), 1, lit(0).cast(DecimalType(18, 2))).over(w)).as("delta"))
+        .select(col("month"), col("rev").cast("double").as("rev"),
+          (col("rev") - lag(col("rev"), 1, lit(0).cast(DecimalType(18, 2))).over(w))
+            .cast("double").as("delta"))
         .orderBy(col("month"))
     })
 
@@ -445,18 +455,28 @@ object Relational {
           get_json_object(col("props"), "$.k").cast(LongType).as("k"))
         .orderBy(col("event_id")))
 
-  /** ROLLUP aggregate (engine extension; DuckDB supports ROLLUP). */
+  /** ROLLUP aggregate (engine extension; DuckDB supports ROLLUP).
+    * Subtotal keys are surfaced via grouping() sentinels ('ALL') instead
+    * of NULL so no output column is a NULL-bearing int. */
   val aRollup: Q = Q(
     "a_rollup",
-    Some("""SELECT c_mktsegment, c_nationkey, count(*) AS n,
-           |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+    Some("""SELECT
+           |  CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS seg,
+           |  CASE WHEN GROUPING(c_nationkey) = 1 THEN 'ALL' ELSE CAST(c_nationkey AS VARCHAR) END AS nk,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
            |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
-           |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin),
+           |ORDER BY seg, nk""".stripMargin),
     (s, d) =>
       Tables.customer(s, d)
         .rollup(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("c_acctbal"))).as("bal"))
-        .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first))
+        .agg(count(lit(1)).as("n"), sum(dec(col("c_acctbal"))).cast("double").as("bal"),
+          grouping(col("c_mktsegment")).as("g1"), grouping(col("c_nationkey")).as("g2"))
+        .select(
+          when(col("g1") === 1, lit("ALL")).otherwise(col("c_mktsegment")).as("seg"),
+          when(col("g2") === 1, lit("ALL")).otherwise(col("c_nationkey").cast("string")).as("nk"),
+          col("n"), col("bal"))
+        .orderBy(col("seg"), col("nk")))
 
   /** CUBE aggregate (engine extension). */
   val aCube: Q = Q(

@@ -20,12 +20,12 @@ object StreamingQueries {
   val tumbling: Q = Q(
     "st_tumbling_window",
     Some("""SELECT date_trunc('hour', ts) AS hstart, event_type,
-           |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS v
+           |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
            |FROM events GROUP BY 1, 2 ORDER BY hstart, event_type""".stripMargin),
     (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("v"))
         .select(col("w.start").as("hstart"), col("event_type"), col("n"), col("v"))
         .orderBy(col("hstart"), col("event_type")))
 
@@ -40,12 +40,12 @@ object StreamingQueries {
            |              CAST(floor(epoch(ts)/1800)*1800 - 1800 AS BIGINT)]) AS epoch_bucket
            |    FROM events) e
            |  WHERE epoch(ts) >= epoch_bucket AND epoch(ts) < epoch_bucket + 3600)
-           |SELECT wstart, event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS v
+           |SELECT wstart, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
            |FROM x GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin),
     (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("v"))
         .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("v"))
         .orderBy(col("wstart"), col("event_type")))
 

@@ -33,14 +33,36 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling 1-hour window per event type with a 1-hour watermark —
-    * streaming twin of StreamingQueries.tumbling. */
+    * streaming twin of StreamingQueries.tumbling (incl. its exact
+    * decimal-sum-then-double output contract). */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).as("v"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
       .select(col("w.start").as("hstart"), col("event_type"), col("n"), col("v"))
+
+  /** Sliding 1-hour/30-minute window per event type — streaming twin of
+    * StreamingQueries.sliding. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("v"))
+
+  /** Native session_window (30-minute gap) under the streaming runtime —
+    * streaming twin of StreamingQueries.sessionWindow. Session windows
+    * require a watermark; late-closing is driven by it. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
 
   // ---- stateful sessionization -----------------------------------------
 

@@ -23,22 +23,16 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("tumbling_out")
       .select("hstart", "event_type", "n", "v")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
-        r.getDecimal(3).toPlainString)).toSet
+        r.getDouble(3))).toSet
     val want = StreamingQueries.tumbling.run(spark, sf())
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
-        r.getDecimal(3).toPlainString)).toSet
+        r.getDouble(3))).toSet
     assert(got === want)
     assert(got.nonEmpty)
   }
 
   test("sliding window: streaming (complete mode) == batch") {
-    import org.apache.spark.sql.functions._
-    import graft.Tables.dec
-    val stream = Streams.readEventsStream(spark, sf())
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
-      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("v"))
+    val stream = Streams.slidingCounts(Streams.readEventsStream(spark, sf()))
     val q = stream.writeStream
       .format("memory").queryName("sliding_out")
       .outputMode("complete")
@@ -47,10 +41,26 @@ class StreamingSpec extends SparkSpec {
 
     val got = spark.table("sliding_out").collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
-        r.getDecimal(3).toPlainString)).toSet
+        r.getDouble(3))).toSet
     val want = StreamingQueries.sliding.run(spark, sf()).collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
-        r.getDecimal(3).toPlainString)).toSet
+        r.getDouble(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("session_window: streaming (complete mode) == batch") {
+    val stream = Streams.sessionWindowAgg(Streams.readEventsStream(spark, sf()))
+    val q = stream.writeStream
+      .format("memory").queryName("sesswin_out")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sesswin_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val want = StreamingQueries.sessionWindow.run(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
     assert(got === want)
     assert(got.nonEmpty)
   }
