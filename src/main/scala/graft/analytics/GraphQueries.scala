@@ -113,7 +113,7 @@ object GraphQueries {
             |SELECT CAST(d AS BIGINT) AS d, g_d,
             |  round(CAST(g_d AS DOUBLE) / t, 6) AS pct
             |FROM curve, tot ORDER BY d""".stripMargin),
-    (s, d) => HopPlot.hopPlot(s, hopEdges(s, d)))
+    (s, d) => HopPlot.rowsToDf(s, HopPlot.hopPlotRowsCached(s, hopEdges(s, d), d)))
 
   /** Interpolated effective diameter at 90% (SURVEY.md §2.12). */
   val effDiameter: Q = Q(
@@ -125,7 +125,8 @@ object GraphQueries {
             |SELECT round(CASE WHEN d0 IS NULL THEN CAST(d AS DOUBLE)
             |  ELSE d0 + (target - g0) / CAST(g_d - g0 AS DOUBLE) END, 6) AS effective_diameter
             |FROM cr""".stripMargin),
-    (s, d) => HopPlot.effectiveDiameter(s, hopEdges(s, d)))
+    (s, d) => HopPlot.effectiveDiameterFromRows(
+      s, HopPlot.hopPlotRowsCached(s, hopEdges(s, d), d)))
 
   /** Connected components → sizes + pair counts (computes the reference's
     * nodepairs.csv denominator, Application.scala:26-32). */
@@ -158,9 +159,15 @@ object GraphQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("pair_key")))
 
-  /** Global triangle count on the citation graph via three-way canonical
-    * edge self-join (beyond-reference graph analytics; cross-validated
-    * against GraphX triangleCount in GraphQueriesSpec). */
+  /** Global triangle count via DEGREE-ORIENTED two-hop join (beyond-
+    * reference graph analytics; cross-validated against GraphX
+    * triangleCount in GraphQueriesSpec). Each undirected edge is oriented
+    * from its lower-(degree, id) endpoint to the higher one, so every
+    * out-neighborhood is O(sqrt(m)) even at a high-degree hub — the
+    * standard skew bound for the wedge self-join at scale (id-based
+    * orientation lets one hub inflate the join quadratically). The count
+    * is orientation-invariant, so the id-canonical SQL is still the
+    * oracle. */
   val triangles: Q = Q(
     "g_triangles",
     Some(s"""WITH $edgesSql, $bidirOfEdges,
@@ -168,14 +175,24 @@ object GraphQueries {
             |SELECT count(*) AS n_triangles
             |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin),
     (s, d) => {
-      val e = bidirectional(edges(s, d))
-        .filter(col("src") < col("dst"))
-        .select(col("src").as("a"), col("dst").as("b"))
-      val e1 = e.select(col("a"), col("b"))
-      val e2 = e.select(col("a").as("b2"), col("b").as("c"))
-      val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
-      e1.join(e2, col("b") === col("b2"))
-        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      val bidir = bidirectional(edges(s, d))
+      val deg = bidir.groupBy(col("src").as("n")).agg(count(lit(1)).as("dg"))
+      val rankLt = col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst"))
+      val ePlus = bidir.filter(col("src") < col("dst"))
+        .join(deg.select(col("n").as("src"), col("dg").as("ds")), Seq("src"))
+        .join(deg.select(col("n").as("dst"), col("dg").as("dd")), Seq("dst"))
+        .select(
+          when(rankLt, col("src")).otherwise(col("dst")).as("a"),
+          when(rankLt, col("dst")).otherwise(col("src")).as("b"))
+      // triangle {u<v<w} by rank has oriented edges u→v, u→w, v→w: join
+      // the out-wedge (u→v, u→w) against E+ membership of (v, w) — each
+      // triangle matches exactly once (only one of (v,w)/(w,v) is in E+)
+      val e1 = ePlus.select(col("a").as("u"), col("b").as("v"))
+      val e2 = ePlus.select(col("a").as("u2"), col("b").as("w"))
+      val e3 = ePlus.select(col("a").as("v3"), col("b").as("w3"))
+      e1.join(e2, col("u") === col("u2") && col("v") =!= col("w"))
+        .join(e3, col("v") === col("v3") && col("w") === col("w3"))
         .agg(count(lit(1)).as("n_triangles"))
     })
 

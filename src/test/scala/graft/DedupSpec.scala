@@ -67,4 +67,47 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(2) <= 3))
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("df cap: jaccard values stay exact (full-posting verification)") {
+    import spark.implicits._
+    // docs 1,2 share a HOT shingle (df=72 via filler docs) and rare r1:
+    // J = 2/(3+3-2) = 0.5. With the hot shingle capped out of candidate
+    // generation, the pair must still surface via r1 AND with the hot
+    // shingle counted in the jaccard (capped verification would say 1/3).
+    val posts = (Seq(
+      (1L, "hot"), (1L, "r1"), (1L, "r2"),
+      (2L, "hot"), (2L, "r1"), (2L, "r3")) ++
+      (100L until 170L).map(i => (i, "hot"))).toDF("doc_id", "g")
+    val got = PipelineQueries.ngramJaccardPairs(posts, 0.5, dfCap = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.get((1L, 2L)) === Some(0.5))
+    // the documented tradeoff: filler pairs share ONLY the hot shingle
+    // (true J = 1.0) and are missed under the cap...
+    assert(!got.contains((100L, 101L)))
+    // ...but found when the cap is above the corpus max df
+    val uncapped = PipelineQueries.ngramJaccardPairs(posts, 0.5, dfCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)) && uncapped.contains((1L, 2L)))
+  }
+
+  test("df cap is a no-op on the testdata corpus (max df << cap)") {
+    val posts = Sketches.shinglePosts(Tables.documents(spark, sf()))
+    val capped = PipelineQueries.ngramJaccardPairs(posts, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = PipelineQueries.ngramJaccardPairs(posts, 0.5, dfCap = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+  }
+
+  test("exact all-pairs baselines fail fast above the input cap") {
+    import spark.implicits._
+    val big = spark.range(201).toDF("vec_id")
+    val e = intercept[IllegalArgumentException] {
+      PipelineQueries.requireBounded(big, "test op", cap = 200L)
+    }
+    assert(e.getMessage.contains("LSH-bucketed"))
+    // at or under the cap it passes through unchanged
+    assert(PipelineQueries.requireBounded(big, "test op", cap = 201L).count() === 201L)
+  }
 }
