@@ -36,6 +36,15 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    runTask(spark, task, inDir, outDir, args.drop(3).map(_.toInt).toSeq)
+    spark.stop()
+  }
+
+  /** Task dispatch against an existing session (what `main` wraps; also
+    * the e2e test surface — CitationScaleSpec drives it on a synthesized
+    * full-scale graph without tearing the shared session down). */
+  def runTask(spark: SparkSession, task: String, inDir: String,
+      outDir: String, yearArgs: Seq[Int] = Seq.empty): Unit = {
     val citations = CitationLoaders.loadCitations(spark, s"$inDir/citations.txt")
     val published = CitationLoaders.loadPublishedDates(spark, s"$inDir/published-dates.txt")
 
@@ -45,7 +54,7 @@ object Main {
           CitationAnalytics.density(citations, published), outDir, "densities", "year")
       case "diameter" =>
         val years =
-          if (args.length > 3) args.drop(3).map(_.toInt).toSeq
+          if (yearArgs.nonEmpty) yearArgs
           else published.select("year").distinct()
             .collect().map(_.getInt(0)).sorted.toSeq
         years.foreach { y =>
@@ -57,6 +66,5 @@ object Main {
         System.err.println(s"unknown task: $other (density|diameter)")
         sys.exit(2)
     }
-    spark.stop()
   }
 }
