@@ -36,15 +36,25 @@ object CitationGraph {
       |  FROM orders GROUP BY 1)""".stripMargin
 
   /** Directed edge list of the citation-style graph: (src, dst) BIGINT.
-    * Mirrors citations(from, to) (schemas/package.scala:7-9). */
-  def edges(spark: SparkSession, dir: String): DataFrame = {
-    val m = Tables.customer(spark, dir).agg((max(col("c_custkey")) + 1).as("m"))
+    * Mirrors citations(from, to) (schemas/package.scala:7-9).
+    *
+    * The modulus (max customer id + 1) is a dimension scalar resolved
+    * ONCE per (session, dataset) and inlined as a literal: the previous
+    * 1-row crossJoin planned as a BroadcastNestedLoopJoin inside every
+    * graph query and defeated the no-nested-loop plan guards. */
+  private val modCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+
+  private def custModulus(spark: SparkSession, dir: String): Long =
+    modCache.computeIfAbsent((System.identityHashCode(spark), dir),
+      _ => Tables.customer(spark, dir).agg(max(col("c_custkey")))
+        .head.getLong(0) + 1L)
+
+  def edges(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .crossJoin(broadcast(m))
       .select(
         col("o_custkey").cast("long").as("src"),
-        (col("o_orderkey") % col("m")).cast("long").as("dst"))
-  }
+        (col("o_orderkey") % lit(custModulus(spark, dir))).cast("long").as("dst"))
 
   val edgesSql: String =
     """edges AS (SELECT CAST(o_custkey AS BIGINT) AS src,

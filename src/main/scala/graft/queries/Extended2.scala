@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.Tables.dec
+import graft.registry.Q
+
+/** Second extended-coverage batch: exact statistical aggregates,
+  * distribution windows (ntile/percent_rank/cume_dist), filtered and
+  * boolean aggregates, array analytics, histogram bucketing, unpivot,
+  * and an interval (equi + time-range) self-join.
+  *
+  * Determinism notes on top of Relational's rules:
+  *  - variance/correlation are NOT computed with the engines'
+  *    streaming aggregates (partition-order-dependent double sums) but
+  *    from EXACT decimal sums via the textbook formulas, evaluated with
+  *    the identical expression tree on both engines;
+  *  - sqrt is IEEE-754 correctly rounded on both engines (safe, unlike
+  *    exp/ln whose libm implementations may differ in the last ulp);
+  *  - FILTER'd sums are coalesced so no numeric output column is NULL.
+  */
+object Extended2 {
+
+  /** Exact one-pass sufficient statistics: n, Sx, Sxx, Sxy... as decimal
+    * sums, then variance / stddev / correlation by identical formulas. */
+  val statsAgg: Q = Q(
+    "x_stats_agg",
+    Some("""WITH s AS (
+           |  SELECT l_returnflag, count(*) AS n,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, n,
+           |  round((sxx - sx*sx/n) / (n - 1), 6) AS var_qty,
+           |  round(sqrt((sxx - sx*sx/n) / (n - 1)), 6) AS std_qty,
+           |  round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price
+           |FROM s ORDER BY l_returnflag""".stripMargin),
+    (s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val base = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"), sum(x * x).cast("double").as("sxx"),
+          sum(y).cast("double").as("sy"), sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+      base.select(
+        col("l_returnflag"), col("n"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 6)
+          .as("var_qty"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+          .as("std_qty"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    })
+
+  /** Distribution windows: quartile, percent_rank, cume_dist over a
+    * tie-free total order. */
+  val ntileDist: Q = Q(
+    "w_ntile_dist",
+    Some("""SELECT s_suppkey,
+           |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           |  round(percent_rank() OVER w, 6) AS pr,
+           |  round(cume_dist() OVER w, 6) AS cd
+           |FROM supplier WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+           |ORDER BY s_suppkey""".stripMargin),
+    (s, d) => {
+      val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("s_suppkey"))
+    })
+
+  /** Array analytics over the embedding vectors: argmax/argmin position
+    * (float equality on identical bits), extrema, count above the mean
+    * (left-fold mean, same fold both engines). */
+  val arrayFuncs2: Q = Q(
+    "x_array_funcs2",
+    Some("""SELECT vec_id,
+           |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos,
+           |  CAST(list_position(embedding, list_min(embedding)) AS BIGINT) AS argmin_pos,
+           |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+           |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
+           |  CAST(len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           |    x -> x > list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding))) AS BIGINT) AS n_above_mean
+           |FROM embeddings ORDER BY vec_id""".stripMargin),
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("mean",
+          aggregate(col("vd"), lit(0.0), (acc, x) => acc + x) / size(col("embedding")))
+        .select(
+          col("vec_id"),
+          array_position(col("embedding"), array_max(col("embedding")))
+            .cast(LongType).as("argmax_pos"),
+          array_position(col("embedding"), array_min(col("embedding")))
+            .cast(LongType).as("argmin_pos"),
+          array_max(col("embedding")).cast("double").as("vmax"),
+          array_min(col("embedding")).cast("double").as("vmin"),
+          size(filter(col("vd"), x => x > col("mean"))).cast(LongType).as("n_above_mean"))
+        .orderBy(col("vec_id")))
+
+  /** FILTER'd + boolean aggregates (count_if family). */
+  val filteredAgg: Q = Q(
+    "x_filtered_agg",
+    Some("""SELECT l_returnflag,
+           |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           |  bool_and(l_extendedprice > 0) AS all_pos,
+           |  bool_or(l_discount > 0.05) AS any_disc,
+           |  CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_discount = 0),
+           |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS qty_nodisc
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_quantity") > 25).as("n_big"),
+          bool_and(col("l_extendedprice") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.05).as("any_disc"),
+          coalesce(sum(when(col("l_discount") === 0, dec(col("l_quantity")))),
+            lit(0).cast("decimal(18,2)")).cast("double").as("qty_nodisc"))
+        .orderBy(col("l_returnflag")))
+
+  /** Histogram via width_bucket on integer input (exact boundaries).
+    * DuckDB has no width_bucket — the oracle states the equivalent
+    * integer arithmetic for these equal-width int buckets. */
+  val widthBucketHist: Q = Q(
+    "x_width_bucket_hist",
+    Some("""SELECT CAST(c_nationkey // 5 + 1 AS BIGINT) AS bucket,
+           |  count(*) AS n
+           |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin),
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(width_bucket(col("c_nationkey"), lit(0), lit(25), lit(5))
+          .cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")))
+
+  /** Unpivot (wide -> long) via stack(); oracle is the equivalent UNION. */
+  val unpivot: Q = Q(
+    "x_unpivot",
+    Some("""SELECT c_custkey, k, v FROM (
+           |  SELECT c_custkey, 'acct_cents' AS k,
+           |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM customer
+           |  UNION ALL
+           |  SELECT c_custkey, 'nation' AS k, CAST(c_nationkey AS BIGINT) AS v FROM customer)
+           |ORDER BY c_custkey, k""".stripMargin),
+    (s, d) =>
+      Tables.customer(s, d)
+        .selectExpr("c_custkey",
+          "stack(2, 'acct_cents', CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT), " +
+            "'nation', CAST(c_nationkey AS BIGINT)) AS (k, v)")
+        .orderBy(col("c_custkey"), col("k")))
+
+  /** Interval join: for each signup event, how many events the same user
+    * fired within the next 60 seconds — an equi (user) + time-range join,
+    * so it stays a shuffle/sort-merge join (never a nested loop) and the
+    * range predicate is evaluated on integer microseconds. */
+  val intervalJoin: Q = Q(
+    "x_interval_join",
+    Some("""SELECT a.event_id AS sid, count(b.event_id) AS n_next_min
+           |FROM events a LEFT JOIN events b
+           |  ON a.user_id = b.user_id AND epoch_us(b.ts) > epoch_us(a.ts)
+           |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+           |WHERE a.event_type = 'signup'
+           |GROUP BY 1 ORDER BY sid""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sid"), col("user_id"),
+          unix_micros(col("ts")).as("aus"))
+      val b = ev.select(col("user_id").as("uid2"), unix_micros(col("ts")).as("bus"),
+        col("event_id").as("bid"))
+      a.join(b,
+        col("user_id") === col("uid2") && col("bus") > col("aus")
+          && col("bus") - col("aus") <= 60000000L, "left")
+        .groupBy(col("sid")).agg(count(col("bid")).as("n_next_min"))
+        .orderBy(col("sid"))
+    })
+
+  /** Row generator: per-row integer sequence exploded to rows. */
+  val sequenceExplode: Q = Q(
+    "x_sequence_explode",
+    Some("""SELECT n_nationkey, CAST(unnest(generate_series(1, n_nationkey % 4 + 1)) AS BIGINT) AS i
+           |FROM nation ORDER BY n_nationkey, i""".stripMargin),
+    (s, d) =>
+      Tables.nation(s, d)
+        .select(col("n_nationkey"),
+          explode(sequence(lit(1), col("n_nationkey") % 4 + 1)).as("i0"))
+        .select(col("n_nationkey"), col("i0").cast(LongType).as("i"))
+        .orderBy(col("n_nationkey"), col("i")))
+
+  val all: Seq[Q] = Seq(statsAgg, ntileDist, arrayFuncs2, filteredAgg,
+    widthBucketHist, unpivot, intervalJoin, sequenceExplode)
+}

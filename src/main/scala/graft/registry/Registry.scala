@@ -20,6 +20,7 @@ object Registry {
   def all: Seq[Q] =
     graft.queries.Relational.all ++
       graft.queries.Extended.all ++
+      graft.queries.Extended2.all ++
       graft.queries.Typed.all ++
       graft.analytics.GraphQueries.all ++
       graft.pipeline.PipelineQueries.all ++

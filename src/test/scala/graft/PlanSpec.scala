@@ -72,6 +72,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Partial") && p.contains("Final"))
   }
 
+  test("sim_ann_multiprobe: bucket equi-join, never a nested loop") {
+    val p = plan("sim_ann_multiprobe")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("g_triangles: degree-oriented wedge join, no nested loop") {
+    val p = plan("g_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the orientation requires joining per-node degrees onto both endpoints
+    assert(p.split("Join").length - 1 >= 4, p)
+  }
+
+  test("x_interval_join: equi component keeps the range join off nested loops") {
+    val p = plan("x_interval_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d_dedup_simhash: banding carries only id pairs through distinct") {
+    val p = plan("d_dedup_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the distinct aggregate's grouping keys are the two ids, no sketches
+    assert(p.contains("HashAggregate(keys=[a_id"), p)
+  }
+
   test("join strategy hints are honored in the initial plan") {
     import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, sf("0.01"))
