@@ -128,6 +128,15 @@ object GraphQueries {
     (s, d) => HopPlot.effectiveDiameterFromRows(
       s, HopPlot.hopPlotRowsCached(s, hopEdges(s, d), d)))
 
+  /** HyperANF approximate hop-plot (the 100-TB path: O(2^lgK) HLL state
+    * per vertex vs the exact BFS's O(pairs)). Rows-only check — the
+    * sketch estimate is engine-specific, like x_approx_distinct;
+    * HyperANFSpec pins it against the exact BFS within HLL error. */
+  val hopplotApprox: Q = Q(
+    "g_hopplot_approx",
+    None,
+    (s, d) => HyperANF.approxHopPlot(s, hopEdges(s, d)))
+
   /** Connected components → sizes + pair counts (computes the reference's
     * nodepairs.csv denominator, Application.scala:26-32). */
   val components: Q = Q(
@@ -198,5 +207,5 @@ object GraphQueries {
 
   val all: Seq[Q] = Seq(
     density, snapshot, pairsLen1, bidirectDegree, wedges,
-    hopplot, effDiameter, components, packPair, triangles)
+    hopplot, effDiameter, hopplotApprox, components, packPair, triangles)
 }
