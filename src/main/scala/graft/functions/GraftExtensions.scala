@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     e.injectFunction((
       FunctionIdentifier("pack_pair"),
       info("pack_pair", "pack_pair(a, b) - canonical (min<<32)|max pair key"),

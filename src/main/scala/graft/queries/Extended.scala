@@ -35,6 +35,28 @@ object Extended {
         .orderBy(col("event_id"))
     })
 
+  /** The SAME as-of join through the custom Catalyst operator
+    * (graft.plans.AsOfJoinPlan: LogicalPlan + Strategy + streaming merge
+    * exec — SURVEY §2.10 preference (c)); identical oracle. Spark
+    * timestamps are Long micros internally, so `ts` binds directly. */
+  val asofJoinNative: Q = Q(
+    "x_asof_join_native",
+    Some("""WITH b AS (
+           |  SELECT user_id, ts, max(event_id) AS sid FROM events
+           |  WHERE event_type = 'signup' GROUP BY 1, 2)
+           |SELECT e.event_id, b.sid AS signup_id
+           |FROM events e ASOF JOIN b ON e.user_id = b.user_id AND b.ts <= e.ts
+           |ORDER BY e.event_id""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val probe = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val build = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("sid"))
+      graft.plans.AsOfJoinPlan.asofNative(probe, build, "user_id", "ts", Seq("sid"))
+        .select(col("event_id"), col("sid").as("signup_id"))
+        .orderBy(col("event_id"))
+    })
+
   /** Pivot: order counts by priority x status (fixed value list). */
   val pivot: Q = Q(
     "x_pivot",
@@ -348,7 +370,7 @@ object Extended {
         .orderBy(col("s_suppkey"))
     })
 
-  val all: Seq[Q] = Seq(asofJoin, pivot, percentiles, arrayFuncs, regex,
+  val all: Seq[Q] = Seq(asofJoin, asofJoinNative, pivot, percentiles, arrayFuncs, regex,
     explodeWords, saltedAgg, approxDistinct, higherOrder, windowRange,
     groupingSets, nullSemantics, editDistance, stringFuncs2, dateArith,
     bitOps, argMax, corrSubquery, firstLast)

@@ -1,13 +1,23 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-/** Bridge to the private[sql] Column<->Expression converters, so custom
-  * Catalyst expressions (graft.functions) can be exposed as Columns.
-  * Placed in the Spark SQL package — the standard extension-point pattern
-  * for libraries shipping native expressions.
+/** Bridge to the private[sql] Column<->Expression and plan<->DataFrame
+  * converters, so custom Catalyst expressions and logical plans
+  * (graft.functions / graft.plans) can be exposed through the public
+  * API. Placed in the Spark SQL package — the standard extension-point
+  * pattern for libraries shipping native operators.
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzed(df: DataFrame): LogicalPlan = {
+    val qe = df.asInstanceOf[classic.Dataset[_]].queryExecution
+    qe.analyzed
+  }
 }
