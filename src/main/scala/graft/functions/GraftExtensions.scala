@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"),
       info("array_dot", "array_dot(a, b) - strict left-fold dot product"),
       (es: Seq[Expression]) => ArrayDot(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_agg"),
+      info("minhash_agg", "minhash_agg(h) - 32-slot MinHash signature over long hashes"),
+      (es: Seq[Expression]) => MinHashAgg(es.head).toAggregateExpression()))
   }
 }

@@ -38,8 +38,10 @@ object Sketches {
     * J=0.98 pair with zero matching bands). Large odd multipliers from
     * Knuth's multiplicative hashing scramble the order; products stay
     * < 2^60 (a,h < P < 2^30) — no int64 overflow on either engine. */
-  private def a(i: Int): Long = (2654435761L * (i + 1)) % P
-  private def b(i: Int): Long = (1779033703L * (i + 1) + 113L) % P
+  val permA: Array[Long] = Array.tabulate(NumHashes)(i => (2654435761L * (i + 1)) % P)
+  val permB: Array[Long] = Array.tabulate(NumHashes)(i => (1779033703L * (i + 1) + 113L) % P)
+  private def a(i: Int): Long = permA(i)
+  private def b(i: Int): Long = permB(i)
 
   /** Token hashes WITH multiplicity, as DuckDB SQL (bag semantics — the
     * frequency weighting of Charikar SimHash); feeds the d_simhash
@@ -120,6 +122,16 @@ object Sketches {
         (0 until SimHashBits).map { bb =>
           when(col(s"c$bb") * 2 > col("ntok"), lit(1L << bb)).otherwise(0L)
         }.reduce(_ + _).as("simhash"))
+
+  /** MinHash signatures via the native MinHashAgg TypedImperativeAggregate
+    * (one long[32] buffer update per row through ObjectHashAggregate)
+    * instead of 32 independent min() columns. Value-for-value identical
+    * to minhashTable — DedupSpec cross-checks. */
+  def minhashTableNative(docs: DataFrame, textCol: String = "text"): DataFrame =
+    shinglePosts(docs, textCol)
+      .withColumn("h", tokenHash(col("g")))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash_agg(col("h")).as("sig"))
 
   /** Combined sketch table (docs with >= 3 tokens): (doc_id, sig, simhash). */
   def sketchTable(docs: DataFrame, textCol: String = "text"): DataFrame =

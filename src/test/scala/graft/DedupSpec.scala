@@ -100,6 +100,15 @@ class DedupSpec extends SparkSpec {
     assert(capped.nonEmpty)
   }
 
+  test("native MinHashAgg == 32-column min() formulation, value for value") {
+    val classic = Sketches.minhashTable(Tables.documents(spark, sf()))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = Sketches.minhashTableNative(Tables.documents(spark, sf()))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === classic)
+    assert(native.nonEmpty)
+  }
+
   test("exact all-pairs baselines fail fast above the input cap") {
     import spark.implicits._
     val big = spark.range(201).toDF("vec_id")

@@ -101,6 +101,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 13:00:00.0") === 1L)
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark expires state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = input.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("dedup_stream_out")
+      .outputMode("append").start()
+    try {
+      // duplicate id 1 within the watermark window → emitted once
+      input.addData(Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:01:00")),
+        (2L, ts("2024-01-01 10:00:30"))))
+      q.processAllAvailable()
+      // advance the watermark far past 10:0x → id 1's dedup state expires
+      input.addData(Seq((9L, ts("2024-01-01 13:00:00"))))
+      q.processAllAvailable()
+      // same id, new epoch → emitted AGAIN (within-watermark, not global, dedup)
+      input.addData(Seq((1L, ts("2024-01-01 13:01:00"))))
+      q.processAllAvailable()
+      input.addData(Seq((8L, ts("2024-01-01 16:00:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byId = spark.table("dedup_stream_out").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byId(1L) === 2) // once per watermark epoch
+    assert(byId(2L) === 1)
+  }
+
   test("sessionize: flatMapGroupsWithState == batch window sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
