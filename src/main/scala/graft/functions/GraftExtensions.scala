@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    e.injectOptimizerRule(_ => graft.plans.PushProbeFilterThroughAsOf)
     e.injectFunction((
       FunctionIdentifier("pack_pair"),
       info("pack_pair", "pack_pair(a, b) - canonical (min<<32)|max pair key"),

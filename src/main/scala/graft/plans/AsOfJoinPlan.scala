@@ -188,6 +188,37 @@ object GraftStrategies extends SparkStrategy {
   }
 }
 
+/** Optimizer rule: push probe-side filter conjuncts through AsOfJoinPlan.
+  * Catalyst's PushPredicateThroughJoin only understands built-in nodes,
+  * so without this a `asofNative(...).filter(probe_col ...)` evaluates
+  * the predicate AFTER the merge — shuffling and merging rows the scan
+  * could have dropped. Sound because every output row derives from
+  * exactly one probe row and a probe-only predicate cannot observe the
+  * payload; build-side conjuncts are NOT pushed (dropping a build row
+  * can change which row is "latest" for later probes — as-of joins are
+  * order-sensitive on the build side). */
+object PushProbeFilterThroughAsOf
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, PredicateHelper}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private object Split extends PredicateHelper {
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      splitConjunctivePredicates(e)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, asof: AsOfJoinPlan) =>
+      val (push, keep) = Split.conjuncts(cond)
+        .partition(c => c.deterministic && c.references.subsetOf(asof.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = asof.copy(left = Filter(push.reduce(And), asof.left))
+        if (keep.isEmpty) pushed else Filter(keep.reduce(And), pushed)
+      }
+  }
+}
+
 object AsOfJoinPlan {
 
   /** DataFrame-level entry: enrich `probe` with the latest `payload`
@@ -198,6 +229,9 @@ object AsOfJoinPlan {
     if (!spark.experimental.extraStrategies.contains(GraftStrategies))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GraftStrategies
+    if (!spark.experimental.extraOptimizations.contains(PushProbeFilterThroughAsOf))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushProbeFilterThroughAsOf
     GraftColumnBridge.ofRows(spark,
       AsOfJoinPlan(GraftColumnBridge.analyzed(probe),
         GraftColumnBridge.analyzed(build), key, ts, payload))

@@ -203,6 +203,78 @@ object Extended2 {
         .select(col("n_nationkey"), col("i0").cast(LongType).as("i"))
         .orderBy(col("n_nationkey"), col("i")))
 
+  /** regexp_extract_all: all matches as a joined string (array output
+    * columns hash differently per reader — scalars only). */
+  val regexpExtractAll: Q = Q(
+    "x_regexp_extract_all",
+    Some("""SELECT p_partkey,
+           |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words,
+           |  CAST(len(regexp_extract_all(p_type, '[A-Z]+')) AS BIGINT) AS n_upper_runs
+           |FROM part ORDER BY p_partkey""".stripMargin),
+    (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          array_join(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)), ",").as("words"),
+          size(regexp_extract_all(col("p_type"), lit("[A-Z]+"), lit(0))).cast(LongType).as("n_upper_runs"))
+        .orderBy(col("p_partkey")))
+
+  /** try_* arithmetic: NULL instead of error on div-by-zero/overflow,
+    * surfaced through coalesce sentinels (no NULL numeric outputs). */
+  val tryArith: Q = Q(
+    "x_try_arith",
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  coalesce(CAST(l_orderkey AS BIGINT) / nullif(CAST(l_linenumber - 1 AS BIGINT), 0), -1) AS div0_guarded,
+           |  coalesce(TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_orderkey AS VARCHAR)
+           |    ELSE l_returnflag END AS BIGINT), -1) AS maybe_num
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(try_divide(col("l_orderkey").cast(LongType),
+            (col("l_linenumber") - 1).cast(LongType)), lit(-1L)).as("div0_guarded"),
+          coalesce(expr("TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_orderkey AS STRING)" +
+            " ELSE l_returnflag END AS BIGINT)"), lit(-1L)).as("maybe_num"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")))
+
+  /** Correlated LATERAL subquery (decorrelated by Catalyst): per
+    * customer, their max order price (0 cents when orderless). */
+  val lateralJoin: Q = Q(
+    "x_lateral",
+    Some("""SELECT c.c_custkey, t.max_price_cents
+           |FROM customer c, LATERAL (
+           |  SELECT coalesce(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT), 0) AS max_price_cents
+           |  FROM orders o WHERE o.o_custkey = c.c_custkey) t
+           |ORDER BY c.c_custkey""".stripMargin),
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+      s.sql("""SELECT c.c_custkey, t.max_price_cents
+              |FROM customer_lat c, LATERAL (
+              |  SELECT coalesce(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT), 0) AS max_price_cents
+              |  FROM orders_lat o WHERE o.o_custkey = c.c_custkey) t
+              |ORDER BY c.c_custkey""".stripMargin)
+    })
+
+  /** IGNORE NULLS window navigation: carry the last non-null forward. */
+  val ignoreNullsWindow: Q = Q(
+    "w_ignore_nulls",
+    Some("""SELECT o_orderkey,
+           |  coalesce(last_value(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END IGNORE NULLS)
+           |    OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS last_f_key
+           |FROM orders ORDER BY o_orderkey""".stripMargin),
+    (s, d) => {
+      val w = Window.orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          coalesce(
+            last(when(col("o_orderstatus") === "F", col("o_orderkey")),
+              ignoreNulls = true).over(w),
+            lit(-1L)).as("last_f_key"))
+        .orderBy(col("o_orderkey"))
+    })
+
   val all: Seq[Q] = Seq(statsAgg, ntileDist, arrayFuncs2, filteredAgg,
-    widthBucketHist, unpivot, intervalJoin, sequenceExplode)
+    widthBucketHist, unpivot, intervalJoin, sequenceExplode,
+    regexpExtractAll, tryArith, lateralJoin, ignoreNullsWindow)
 }

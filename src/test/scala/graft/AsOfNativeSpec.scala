@@ -57,6 +57,24 @@ class AsOfNativeSpec extends SparkSpec {
     }
   }
 
+  test("probe-side filter pushes through the custom node to the scan") {
+    val ev = Tables.events(spark, sf("0.01"))
+    val probe = ev.select(col("event_id"), col("user_id"), col("ts"))
+    val build = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("sid"))
+    val df = AsOfJoinPlan.asofNative(probe, build, "user_id", "ts", Seq("sid"))
+      .filter(col("event_id") < 1000L)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the Filter sits BELOW AsOfJoinPlan after the custom rule runs
+    assert(opt.indexOf("AsOfJoinPlan") < opt.indexOf("event_id"), opt)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters: [IsNotNull(event_id), LessThan(event_id,1000)]"), phys)
+    // and results are identical to filtering after the join
+    val after = AsOfJoinPlan.asofNative(probe, build, "user_id", "ts", Seq("sid"))
+      .collect().filter(_.getLong(0) < 1000L).map(_.getLong(0)).toSet
+    assert(df.collect().map(_.getLong(0)).toSet === after)
+  }
+
   test("null keys and empty build side handled") {
     import spark.implicits._
     val probe = Seq((1L, Option(1L), 10L), (2L, None, 20L))
