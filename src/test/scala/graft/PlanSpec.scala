@@ -99,6 +99,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate(keys=[a_id"), p)
   }
 
+  test("x_lateral decorrelates to an aggregate + join (no per-row subquery)") {
+    val p = plan("x_lateral")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("AQE coalesces post-shuffle partitions at runtime") {
+    import org.apache.spark.sql.functions.count
+    val df = Tables.orders(spark, sf("0.01"))
+      .groupBy("o_orderstatus").agg(count(org.apache.spark.sql.functions.lit(1)))
+    df.collect() // run so AQE replaces the plan with the final one
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead"), p)
+    assert(p.contains("coalesced"), p)
+  }
+
   test("join strategy hints are honored in the initial plan") {
     import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, sf("0.01"))
