@@ -54,12 +54,16 @@ object Sketches {
       s"list_min(list_transform($hsExpr, h -> (h * ${a(i)} + ${b(i)}) % 1000000007))"
     }.mkString("[", ", ", "]")
 
-  /** LSH band keys: NumBands strings "band:v1,v2". */
+  /** LSH band keys: one 64-bit hash per band over (band index, its
+    * BandRows signature slots) — a LONG key instead of the former
+    * "j:v1,v2,.." string narrows the band-explode shuffle ~6x. An
+    * xxhash64 collision across different band contents merely adds a
+    * candidate pair, and every candidate is exactly verified downstream
+    * (jaccardVerify), so correctness is unaffected. */
   def bandKeys(sig: Column): Column =
     array((0 until NumBands).map { j =>
-      concat_ws(",",
-        (lit(s"$j:") +: (0 until BandRows).map(r =>
-          element_at(sig, j * BandRows + r + 1).cast("string"))): _*)
+      xxhash64((lit(j) +: (0 until BandRows).map(r =>
+        element_at(sig, j * BandRows + r + 1))): _*)
     }: _*)
 
   def simhashSql(hsExpr: String): String =
