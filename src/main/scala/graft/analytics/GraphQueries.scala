@@ -135,7 +135,22 @@ object GraphQueries {
   val hopplotApprox: Q = Q(
     "g_hopplot_approx",
     None,
-    (s, d) => HyperANF.approxHopPlot(s, hopEdges(s, d)))
+    (s, d) => {
+      import s.implicits._
+      HyperANF.approxHopPlotRowsCached(s, hopEdges(s, d), d)
+        .toDF("d", "g_d", "pct")
+        .select(col("d").cast("long").as("d"), col("g_d"), col("pct"))
+    })
+
+  /** Approximate effective diameter from the HyperANF curve — the same
+    * interpolation as g_eff_diameter over sketch-estimated pair counts
+    * (rows-only; HyperANFSpec pins the curve against the exact BFS). */
+  val effDiameterApprox: Q = Q(
+    "g_eff_diameter_approx",
+    None,
+    (s, d) => HopPlot.effectiveDiameterFromRows(s,
+      HyperANF.approxHopPlotRowsCached(s, hopEdges(s, d), d)
+        .map(r => HopPlot.HopRow(r.d, r.g_d, r.pct))))
 
   /** Connected components → sizes + pair counts (computes the reference's
     * nodepairs.csv denominator, Application.scala:26-32). */
@@ -207,5 +222,6 @@ object GraphQueries {
 
   val all: Seq[Q] = Seq(
     density, snapshot, pairsLen1, bidirectDegree, wedges,
-    hopplot, effDiameter, hopplotApprox, components, packPair, triangles)
+    hopplot, effDiameter, hopplotApprox, effDiameterApprox,
+    components, packPair, triangles)
 }

@@ -24,6 +24,18 @@ object HyperANF {
 
   final case class ApproxHopRow(d: Int, g_d: Long, pct: Double)
 
+  /** Memoized per (session, input key) — g_hopplot_approx and
+    * g_eff_diameter_approx share one superstep run, mirroring
+    * HopPlot.hopPlotRowsCached for the exact pair. */
+  private val rowsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Seq[ApproxHopRow]]()
+
+  def approxHopPlotRowsCached(spark: SparkSession, edges: => DataFrame,
+      cacheKey: String): Seq[ApproxHopRow] =
+    rowsCache.computeIfAbsent(
+      (System.identityHashCode(spark), cacheKey),
+      _ => approxHopPlotRows(spark, edges))
+
   /** @param lgK  HLL register count = 2^lgK (12 → ~1.6% rsd, 4 KiB/vertex).
     * @param maxD hard cap on supersteps, like the exact BFS. */
   def approxHopPlotRows(

@@ -25,4 +25,22 @@ object Salted {
       .agg(sum(col(s"__p_${aggs.head._1}")).as(aggs.head._1),
         aggs.tail.map { case (n, _) => sum(col(s"__p_$n")).as(n) }: _*)
   }
+
+  /** Skew-resistant equi-join: `big`'s rows of a hot key are spread over
+    * `salts` sub-keys (deterministically, by hashing the full row so the
+    * result is stable run to run), and the dimension side is replicated
+    * once per salt — the join shuffles on (key, salt), bounding any
+    * single reducer's share of a hot key to 1/salts. Exactly the plain
+    * equi-join's rows (which is what the oracle checks); the manual
+    * counterpart to AQE's runtime skew-join splitting, for when skew is
+    * known ahead of time or AQE is unavailable (e.g. inside a cached
+    * subplan). */
+  def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)))
+    val expandedDim = dim.withColumn("__salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    saltedBig.join(expandedDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

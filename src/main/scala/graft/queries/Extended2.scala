@@ -274,7 +274,59 @@ object Extended2 {
         .orderBy(col("o_orderkey"))
     })
 
+  /** Salted skew-resistant equi-join — exact same rows as the plain
+    * join (the oracle), shuffled on (key, salt). */
+  val saltedJoinQ: Q = Q(
+    "x_salted_join",
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    (s, d) => {
+      val o = Tables.orders(s, d).withColumnRenamed("o_custkey", "k")
+      val c = Tables.customer(s, d).withColumnRenamed("c_custkey", "k")
+      graft.operators.Salted.saltedJoin(o, c, "k", 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    })
+
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM as a join key). */
+  val nullSafeJoin: Q = Q(
+    "x_null_safe_join",
+    Some("""SELECT s_suppkey, coalesce(n_nationkey, -1) AS nk
+           |FROM supplier s JOIN nation n
+           |  ON nullif(s_nationkey, 7) IS NOT DISTINCT FROM nullif(n_nationkey, 7)
+           |ORDER BY s_suppkey, nk""".stripMargin),
+    (s, d) =>
+      Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          nullif(col("s_nationkey"), lit(7)) <=> nullif(col("n_nationkey"), lit(7)))
+        .select(col("s_suppkey"), coalesce(col("n_nationkey"), lit(-1)).as("nk"))
+        .orderBy(col("s_suppkey"), col("nk")))
+
+  /** nth_value window navigation over a full frame. */
+  val nthValue: Q = Q(
+    "w_nth_value",
+    Some("""SELECT s_suppkey,
+           |  coalesce(nth_value(s_suppkey, 2) OVER w, -1) AS nation_second
+           |FROM supplier
+           |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |ORDER BY s_suppkey""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          coalesce(nth_value(col("s_suppkey"), 2).over(w), lit(-1L)).as("nation_second"))
+        .orderBy(col("s_suppkey"))
+    })
+
   val all: Seq[Q] = Seq(statsAgg, ntileDist, arrayFuncs2, filteredAgg,
     widthBucketHist, unpivot, intervalJoin, sequenceExplode,
-    regexpExtractAll, tryArith, lateralJoin, ignoreNullsWindow)
+    regexpExtractAll, tryArith, lateralJoin, ignoreNullsWindow,
+    saltedJoinQ, nullSafeJoin, nthValue)
 }
