@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** As-of join as a WHOLE-OPERATOR Catalyst extension (engine policy
   * SURVEY.md §2.10 preference (c): custom LogicalPlan + Strategy +
@@ -82,6 +83,13 @@ case class AsOfJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ payload
 
+  /** Standard custom-exec observability: row counts surface in the SQL
+    * UI / metrics listeners like any built-in join. */
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numDroppedProbeRows" -> SQLMetrics.createMetric(sparkContext,
+      "probe rows without an as-of match"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
 
@@ -105,6 +113,8 @@ case class AsOfJoinExec(
     val lTsB = BindReferences.bindReference(leftTs: org.apache.spark.sql.catalyst.expressions.Expression, lOut)
     val rKeyB = BindReferences.bindReference(rightKey: org.apache.spark.sql.catalyst.expressions.Expression, rOut)
     val rTsB = BindReferences.bindReference(rightTs: org.apache.spark.sql.catalyst.expressions.Expression, rOut)
+    val numOutputRows = longMetric("numOutputRows")
+    val numDropped = longMetric("numDroppedProbeRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
@@ -154,9 +164,11 @@ case class AsOfJoinExec(
               val k = kAny.asInstanceOf[Long]
               val t = tAny.asInstanceOf[Long]
               advanceBuild(k, t)
-              if (curBuild != null && curBuildKey == k)
+              if (curBuild != null && curBuildKey == k) {
+                numOutputRows += 1
                 return proj(joined(p, curBuild))
-            }
+              } else numDropped += 1
+            } else numDropped += 1
           }
           null
         }

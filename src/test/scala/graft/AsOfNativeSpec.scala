@@ -75,6 +75,24 @@ class AsOfNativeSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSet === after)
   }
 
+  test("exec reports SQL metrics (output + dropped probe rows)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = Seq((1L, 1L, 10L), (2L, 1L, 3L), (3L, 2L, 10L))
+        .toDF("pid", "k", "t") // pid 2 is before any build row; pid 3 has no key match
+      val build = Seq((1L, 5L, 99L)).toDF("k", "t", "v")
+      val df = AsOfJoinPlan.asofNative(probe, build, "k", "t", Seq("v"))
+      // collect() executes THIS queryExecution (count() would replan)
+      assert(df.collect().length === 1)
+      val exec = df.queryExecution.executedPlan
+        .collectFirst { case e: graft.plans.AsOfJoinExec => e }
+      assert(exec.isDefined, df.queryExecution.executedPlan.toString)
+      assert(exec.get.metrics("numOutputRows").value === 1L)
+      assert(exec.get.metrics("numDroppedProbeRows").value === 2L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("null keys and empty build side handled") {
     import spark.implicits._
     val probe = Seq((1L, Option(1L), 10L), (2L, None, 20L))

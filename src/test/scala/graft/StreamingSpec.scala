@@ -101,6 +101,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 13:00:00.0") === 1L)
   }
 
+  test("stream-static join == batch join") {
+    val static = Tables.events(spark, sf())
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val joined = Streams.readEventsStream(spark, sf())
+      .select(col("event_id"), col("user_id"))
+      .join(static, "user_id")
+    val q = joined.writeStream.format("memory").queryName("ssx_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ssx_out").count()
+    val want = Tables.events(spark, sf()).count() // every event's user exists
+    assert(got === want)
+  }
+
+  test("checkpointed file sink: restart reprocesses nothing (exactly-once)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ss_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ss_out").toString
+
+    def run(): Unit = {
+      val q = Streams.readEventsStream(spark, sf())
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    run()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 === Tables.events(spark, sf()).count())
+    // second run from the SAME checkpoint: offsets committed, no new rows
+    run()
+    assert(spark.read.parquet(out).count() === n1)
+  }
+
   test("stream-stream interval join == batch interval join (inner part)") {
     val ev = Streams.readEventsStream(spark, sf())
     val a = ev.filter(col("event_type") === "signup")
