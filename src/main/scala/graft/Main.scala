@@ -57,9 +57,18 @@ object Main {
           if (yearArgs.nonEmpty) yearArgs
           else published.select("year").distinct()
             .collect().map(_.getInt(0)).sorted.toSeq
+        // optional precomputed denominators (the reference's nodepairs.csv,
+        // Application.scala:26-32) — with them the BFS short-circuits at
+        // 90% coverage without first running connected components
+        val pairsByYear: Map[Int, Long] =
+          if (new java.io.File(s"$inDir/nodepairs.csv").exists())
+            CitationLoaders.loadNodePairs(spark, s"$inDir/nodepairs.csv")
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          else Map.empty
         years.foreach { y =>
           Sinks.saveSortedAsCsv(
-            CitationAnalytics.diameter(spark, citations, published, y),
+            CitationAnalytics.diameter(spark, citations, published, y,
+              totalPairs = pairsByYear.get(y)),
             outDir, s"diameter_$y", "d")
         }
       case other =>

@@ -88,6 +88,24 @@ class CitationScaleSpec extends SparkSpec {
       .count() === 347414L)
   }
 
+  test("CLI diameter honors a precomputed nodepairs.csv denominator") {
+    // toy fixture + a nodepairs file with the known 1998 total (55 pairs):
+    // output must equal the computed-denominator run
+    val fixtures = "/root/reference/data/testing"
+    val in = java.nio.file.Files.createTempDirectory("np_in")
+    for (f <- Seq("citations.txt", "published-dates.txt"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$fixtures/$f"), in.resolve(f))
+    java.nio.file.Files.writeString(in.resolve("nodepairs.csv"), "1998,55\n")
+    val outA = java.nio.file.Files.createTempDirectory("np_a").toString
+    val outB = java.nio.file.Files.createTempDirectory("np_b").toString
+    Main.runTask(spark, "diameter", in.toString, outA, Seq(1998))
+    Main.runTask(spark, "diameter", fixtures, outB, Seq(1998))
+    def lines(dir: String) = new java.io.File(s"$dir/diameter_1998").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    assert(java.nio.file.Files.readAllLines(lines(outA).toPath)
+      === java.nio.file.Files.readAllLines(lines(outB).toPath))
+  }
+
   test("CLI diameter on the 1992 snapshot: reference shape + 90% early stop") {
     val outDir = java.nio.file.Files.createTempDirectory("citescale_d").toString
     Main.runTask(spark, "diameter", inDir, outDir, Seq(1992))
