@@ -325,8 +325,27 @@ object Extended2 {
         .orderBy(col("s_suppkey"))
     })
 
+  /** IN / NOT IN subqueries (Catalyst plans them as semi / anti joins;
+    * the NOT IN key is guaranteed non-null so the three-valued-logic
+    * trap does not bite). */
+  val inSubquery: Q = Q(
+    "x_in_subquery",
+    Some("""SELECT c_custkey FROM customer
+           |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+           |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+           |ORDER BY c_custkey""".stripMargin),
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_insq")
+      Tables.nation(s, d).createOrReplaceTempView("nation_insq")
+      Tables.orders(s, d).createOrReplaceTempView("orders_insq")
+      s.sql("""SELECT c_custkey FROM customer_insq
+              |WHERE c_nationkey IN (SELECT n_nationkey FROM nation_insq WHERE n_regionkey = 1)
+              |  AND c_custkey NOT IN (SELECT o_custkey FROM orders_insq WHERE o_totalprice > 400000.0)
+              |ORDER BY c_custkey""".stripMargin)
+    })
+
   val all: Seq[Q] = Seq(statsAgg, ntileDist, arrayFuncs2, filteredAgg,
     widthBucketHist, unpivot, intervalJoin, sequenceExplode,
     regexpExtractAll, tryArith, lateralJoin, ignoreNullsWindow,
-    saltedJoinQ, nullSafeJoin, nthValue)
+    saltedJoinQ, nullSafeJoin, nthValue, inSubquery)
 }
