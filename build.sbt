@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses `sbt "runMain graft.Bench"` stdout and expects the
+// bench JSON as the final line: suppress sbt's trailing "[success] Total
+// time" line and pipe the forked JVM's stdout through unmediated (the
+// logged default can interleave/truncate under sbt's logger).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,25 +16,38 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
     // deterministic name order: stable per-query numbers across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = names.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      // ok=false must be visible in the output — a silently swallowed
+      // failure would otherwise read as a fast query (VERDICT r2 #4)
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // the dedup family (name-sorted: all d_*) shares persisted
+      // intermediates; free them the moment the family completes so the
+      // remaining ~80 queries don't compete with dead cached partitions
+      // (VERDICT r2 #2: the 9-query mid-tier regression cluster)
+      val next = if (i + 1 < names.size) names(i + 1)._1 else ""
+      if (name.startsWith("d_") && !next.startsWith("d_"))
+        graft.pipeline.PipelineQueries.releaseShared(spark)
+      (name, sec, ok)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Round-1 postmortem: a single println into sbt's stdout got truncated/
-    // interleaved with Spark log lines and the driver recorded parsed:null.
-    // Belt and braces: (1) persist to a file, (2) print once while the
-    // session is up, (3) print again AFTER spark.stop() when no log lines
-    // can interleave, with explicit flushes.
+    val oks = results.map { case (k, _, ok) => s"\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"sf":"$sfDir"}"""
+    // The driver parses sbt stdout (BENCH_r01/r02 both recorded
+    // parsed:null because sbt's trailing "[success] Total time" line came
+    // after the JSON). Contract now: build.sbt suppresses [success] and
+    // pipes forked stdout straight through, and this JSON is printed
+    // exactly once, AFTER spark.stop(), as the final stdout line. A file
+    // copy is kept as belt and braces.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case _: Throwable => () }
-    println(json)
-    System.out.flush()
     spark.stop()
     println(json)
     System.out.flush()

@@ -16,12 +16,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // sorted order mirrors Bench: the dedup family (d_*) runs as one
+    // block and its shared persisted intermediates are released the
+    // moment it completes, so later queries don't inherit the memory
+    // pressure (VERDICT r2 #2)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    names.zipWithIndex.foreach { case ((name, fn), i) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      val next = if (i + 1 < names.size) names(i + 1)._1 else ""
+      if (name.startsWith("d_") && !next.startsWith("d_"))
+        graft.pipeline.PipelineQueries.releaseShared(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -108,13 +108,16 @@ object HopPlot {
     * the duplicate recompute was ~30s of the visible bench). The cached
     * value is a plain Seq of (d, count, pct) — tiny (O(diameter)). */
   private val rowsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Seq[HopRow]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[HopRow]]()
 
+  /** maxD/coverage are folded into the cache key and passed through, so a
+    * caller asking for a different cut can never be served the default
+    * curve (ADVICE r2). */
   def hopPlotRowsCached(spark: SparkSession, edges: => DataFrame,
-      cacheKey: String): Seq[HopRow] =
+      cacheKey: String, maxD: Int = 20, coverage: Double = 1.0): Seq[HopRow] =
     rowsCache.computeIfAbsent(
-      (System.identityHashCode(spark), cacheKey),
-      _ => hopPlotRows(spark, edges))
+      (graft.SessionKey(spark), s"$cacheKey|maxD=$maxD|cov=$coverage"),
+      _ => hopPlotRows(spark, edges, maxD, coverage))
 
   def rowsToDf(spark: SparkSession, rows: Seq[HopRow]): DataFrame = {
     import spark.implicits._

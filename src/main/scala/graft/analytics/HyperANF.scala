@@ -28,13 +28,16 @@ object HyperANF {
     * g_eff_diameter_approx share one superstep run, mirroring
     * HopPlot.hopPlotRowsCached for the exact pair. */
   private val rowsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Seq[ApproxHopRow]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[ApproxHopRow]]()
 
+  /** maxD/lgK are folded into the cache key and passed through (ADVICE
+    * r2: a default-keyed cache would serve the wrong curve to a caller
+    * asking for different parameters). */
   def approxHopPlotRowsCached(spark: SparkSession, edges: => DataFrame,
-      cacheKey: String): Seq[ApproxHopRow] =
+      cacheKey: String, maxD: Int = 20, lgK: Int = 12): Seq[ApproxHopRow] =
     rowsCache.computeIfAbsent(
-      (System.identityHashCode(spark), cacheKey),
-      _ => approxHopPlotRows(spark, edges))
+      (graft.SessionKey(spark), s"$cacheKey|maxD=$maxD|lgK=$lgK"),
+      _ => approxHopPlotRows(spark, edges, maxD, lgK))
 
   /** @param lgK  HLL register count = 2^lgK (12 → ~1.6% rsd, 4 KiB/vertex).
     * @param maxD hard cap on supersteps, like the exact BFS. */

@@ -43,10 +43,10 @@ object CitationGraph {
     * 1-row crossJoin planned as a BroadcastNestedLoopJoin inside every
     * graph query and defeated the no-nested-loop plan guards. */
   private val modCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 
   private def custModulus(spark: SparkSession, dir: String): Long =
-    modCache.computeIfAbsent((System.identityHashCode(spark), dir),
+    modCache.computeIfAbsent((graft.SessionKey(spark), dir),
       _ => Tables.customer(spark, dir).agg(max(col("c_custkey")))
         .head.getLong(0) + 1L)
 

@@ -57,17 +57,34 @@ object PipelineQueries {
     * own inputs. At cluster scale these would be cached/bucketed tables.
     */
   private val shared =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
   private def cachedDf(s: SparkSession, d: String, key: String)
       (mk: => DataFrame): DataFrame = {
-    val k = (System.identityHashCode(s), d, key)
+    val k = (graft.SessionKey(s), d, key)
     val hit = shared.get(k)
     if (hit != null) hit
     else {
       val v = mk.persist(StorageLevel.MEMORY_AND_DISK)
       val prev = shared.putIfAbsent(k, v)
       if (prev != null) { v.unpersist(false); prev } else v
+    }
+  }
+
+  /** Unpersist and drop every shared intermediate belonging to `s`.
+    * Bench/Verify call this the moment the dedup family completes:
+    * persisted-and-never-released intermediates pressured executor memory
+    * for every query that ran after the d_* group (VERDICT r2 #2 — a
+    * nine-query 2.8-6.5x regression cluster with unchanged plans). */
+  def releaseShared(s: SparkSession): Unit = {
+    val sid = graft.SessionKey(s)
+    val it = shared.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == sid) {
+        try e.getValue.unpersist(false) catch { case _: Throwable => () }
+        it.remove()
+      }
     }
   }
 

@@ -20,4 +20,9 @@ object GraftColumnBridge {
     val qe = df.asInstanceOf[classic.Dataset[_]].queryExecution
     qe.analyzed
   }
+
+  /** private[sql] sessionUUID — unique per session for the JVM lifetime,
+    * the safe cache-identity key (a recycled identityHashCode is not). */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
 }
