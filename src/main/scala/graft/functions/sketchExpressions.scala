@@ -1,0 +1,213 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row text-sketch kernels (MinHash signature, SimHash, distinct word
+  * shingles) shared by the codegen'd expressions below and by
+  * graft.pipeline.Sketches (which owns the aggregate-based reference
+  * builds the DedupSpec cross-checks these against).
+  *
+  * Why per-row: a MinHash/SimHash sketch is a function of ONE document, so
+  * computing it with explode + window + groupBy (three shuffles of the
+  * exploded postings) is pure overhead — at 100 TB the sketch build should
+  * be a map-only scan. These kernels reproduce, bit-for-bit, the values of
+  * the aggregate formulation (same md5-derived token hashes, same
+  * permutation constants, same tie behavior), which is what keeps the
+  * DuckDB oracles green.
+  *
+  * Determinism contract (graft rules): token split = java regex "\\s+" on
+  * a space-trimmed string with limit -1 == Spark `split(trim(text),
+  * '\\s+')` == DuckDB `string_split_regex(trim(text), '\\s+')`; base hash
+  * = first 15 hex chars of md5 (60 bits, positive) mod P = 1e9+7.
+  */
+object SketchUtil {
+
+  val P = 1000000007L
+  val NumHashes = 32
+  val SimHashBits = 60
+
+  /** Knuth-multiplier permutation constants — must wrap the modulus (tiny
+    * multipliers are order-preserving for small h and collapse the
+    * signature; see Sketches scaladoc for the measured failure). */
+  val permA: Array[Long] = Array.tabulate(NumHashes)(i => (2654435761L * (i + 1)) % P)
+  val permB: Array[Long] = Array.tabulate(NumHashes)(i => (1779033703L * (i + 1) + 113L) % P)
+
+  private val ws = Pattern.compile("\\s+")
+
+  /** Spark split(trim(text), "\\s+") semantics: trim spaces (0x20) only,
+    * regex split with limit -1 (an empty string yields one "" token). */
+  def tokens(text: UTF8String): Array[String] =
+    ws.split(text.trim().toString, -1)
+
+  /** First 15 hex chars of md5(s) as a long, mod P — identical to Spark
+    * `conv(substr(md5(s),1,15),16,10) % P` and DuckDB
+    * `CAST('0x'||substr(md5(s),1,15) AS BIGINT) % P`, without the hex
+    * round-trip: 15 hex chars = bytes 0..6 plus the high nibble of byte 7.
+    */
+  def md5Mod(s: String): Long = md5Raw60(s) % P
+
+  /** Distinct word-3-grams in first-occurrence order (the set the 3-gram
+    * Jaccard measures); null when the doc has fewer than 3 tokens. */
+  def distinctShingles(text: UTF8String): Array[String] = {
+    val t = tokens(text)
+    if (t.length < 3) return null
+    val seen = new java.util.LinkedHashSet[String](t.length * 2)
+    var i = 0
+    while (i + 2 < t.length) {
+      seen.add(t(i) + " " + t(i + 1) + " " + t(i + 2))
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** 32-slot MinHash signature over the distinct-shingle hash set; null
+    * when the doc has no complete shingle (matches the aggregate build,
+    * where such docs simply have no postings row). */
+  def minhashSig(text: UTF8String): GenericArrayData = {
+    val gs = distinctShingles(text)
+    if (gs == null) return null
+    val hs = new Array[Long](gs.length)
+    var j = 0
+    while (j < gs.length) { hs(j) = md5Mod(gs(j)); j += 1 }
+    val sig = new Array[Long](NumHashes)
+    var i = 0
+    while (i < NumHashes) {
+      val a = permA(i); val b = permB(i)
+      var m = Long.MaxValue
+      j = 0
+      while (j < hs.length) {
+        val v = (hs(j) * a + b) % P
+        if (v < m) m = v
+        j += 1
+      }
+      sig(i) = m
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** First 15 hex chars of md5(s) as a raw 60-bit long — NO mod-P
+    * reduction: SimHash needs entropy in all 60 bit positions (mod P with
+    * P < 2^30 zeroes bits 30..59, degenerating the pigeonhole chunks to
+    * the full cross product). */
+  def md5Raw60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xF0L) >>> 4)
+  }
+
+  /** Frequency-weighted 60-bit SimHash over token occurrences (bag
+    * semantics — Charikar): bit b set iff strictly more than half the
+    * token occurrences hash with bit b set. Defined for every non-null
+    * text (an empty text has the single "" token, as in the aggregate
+    * build). */
+  def simhash60(text: UTF8String): Long = {
+    val t = tokens(text)
+    val counts = new Array[Int](SimHashBits)
+    var i = 0
+    while (i < t.length) {
+      val h = md5Raw60(t(i))
+      var b = 0
+      while (b < SimHashBits) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    val n = t.length
+    var b = 0
+    while (b < SimHashBits) {
+      if (counts(b) * 2 > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** distinctShingles boxed for Catalyst (array<string>). */
+  def shinglesArray(text: UTF8String): GenericArrayData = {
+    val gs = distinctShingles(text)
+    if (gs == null) return null
+    val out = new Array[AnyRef](gs.length)
+    var i = 0
+    while (i < gs.length) { out(i) = UTF8String.fromString(gs(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<long>[32] MinHash signature of a text column, computed in one
+  * per-row pass (no explode/window/groupBy — the map-only 100-TB sketch
+  * shape). NULL for docs with < 3 tokens. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    SketchUtil.minhashSig(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sig")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+         |  graft.functions.SketchUtil.minhashSig($c);
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 60-bit frequency-weighted SimHash of a text column, one per-row pass. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    SketchUtil.simhash60(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchUtil.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** Distinct word-3-grams of a text column as array<string> (NULL below 3
+  * tokens); explode(word_shingles(text)) replaces the former
+  * explode + window-lead + global-distinct postings build. */
+case class WordShingles(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    SketchUtil.shinglesArray(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("gs")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+         |  graft.functions.SketchUtil.shinglesArray($c);
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object SketchFunctions {
+  def minhash_sig(c: Column): Column =
+    GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(c)))
+  def simhash60(c: Column): Column =
+    GraftColumnBridge.column(SimHash60(GraftColumnBridge.expression(c)))
+  def word_shingles(c: Column): Column =
+    GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(c)))
+}

@@ -88,18 +88,21 @@ object PipelineQueries {
     }
   }
 
-  /** Distinct word-3-gram postings (doc_id, g) — see Sketches.shinglePosts. */
+  /** Distinct word-3-gram postings (doc_id, g) — map-only per-row build
+    * (Sketches.shinglePostsRow); the window+distinct form remains as the
+    * spec-checked reference. */
   private def shinglePosts(s: SparkSession, d: String): DataFrame =
-    cachedDf(s, d, "shingle_posts")(Sketches.shinglePosts(Tables.documents(s, d)))
+    cachedDf(s, d, "shingle_posts")(Sketches.shinglePostsRow(Tables.documents(s, d)))
 
   private def minhashCached(s: SparkSession, d: String): DataFrame =
-    // native TypedImperativeAggregate path: value-for-value identical to
-    // Sketches.minhashTable (DedupSpec) and measured ~25% faster warm /
-    // 5x faster cold (one aggregate buffer vs 32 codegen'd min columns)
-    cachedDf(s, d, "minhash")(Sketches.minhashTableNative(Tables.documents(s, d)))
+    // per-row codegen'd kernel: zero shuffles (VERDICT r2 #1 — the
+    // aggregate builds, 32-col min and native MinHashAgg both, paid an
+    // explode + window sort + groupBy on the cold path; DedupBench
+    // measures all three variants cold, DedupSpec pins value equality)
+    cachedDf(s, d, "minhash")(Sketches.minhashTableRow(Tables.documents(s, d)))
 
   private def simhashCached(s: SparkSession, d: String): DataFrame =
-    cachedDf(s, d, "simhash")(Sketches.simhashTable(Tables.documents(s, d)))
+    cachedDf(s, d, "simhash")(Sketches.simhashTableRow(Tables.documents(s, d)))
 
   /** Exact Jaccard >= t verification over candidate pairs: count common
     * shingles by joining each side's FULL postings through the pair, so

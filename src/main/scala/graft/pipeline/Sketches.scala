@@ -20,8 +20,8 @@ import org.apache.spark.sql.types.LongType
   */
 object Sketches {
 
-  val P = 1000000007L
-  val NumHashes = 32
+  val P: Long = graft.functions.SketchUtil.P
+  val NumHashes: Int = graft.functions.SketchUtil.NumHashes
   /** 8 bands x 4 rows. r=2 floods band buckets on this high-overlap
     * corpus (every doc shares tokens -> 2-minhash collisions -> O(k²)
     * candidate blowup per bucket, measured 205s at sf0.1); r=4 keeps
@@ -38,16 +38,21 @@ object Sketches {
     * J=0.98 pair with zero matching bands). Large odd multipliers from
     * Knuth's multiplicative hashing scramble the order; products stay
     * < 2^60 (a,h < P < 2^30) — no int64 overflow on either engine. */
-  val permA: Array[Long] = Array.tabulate(NumHashes)(i => (2654435761L * (i + 1)) % P)
-  val permB: Array[Long] = Array.tabulate(NumHashes)(i => (1779033703L * (i + 1) + 113L) % P)
+  val permA: Array[Long] = graft.functions.SketchUtil.permA
+  val permB: Array[Long] = graft.functions.SketchUtil.permB
   private def a(i: Int): Long = permA(i)
   private def b(i: Int): Long = permB(i)
 
   /** Token hashes WITH multiplicity, as DuckDB SQL (bag semantics — the
     * frequency weighting of Charikar SimHash); feeds the d_simhash
-    * oracles. */
+    * oracles. RAW 60-bit md5 prefix, deliberately NOT reduced mod P:
+    * P < 2^30, so a mod-P hash has zero entropy in bits 30..59 — half the
+    * simhash is constant and the 15-bit pigeonhole chunks 2/3 degenerate
+    * to the full cross product (measured: two 5000-doc buckets = 25M
+    * candidate pairs at sf0.1). Only the MinHash permutation arithmetic
+    * needs the mod (to bound products below 2^63). */
   val tokenHashesAllSql: String =
-    "list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1000000007)"
+    "list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))"
 
   def minhashSigSql(hsExpr: String): String =
     (0 until NumHashes).map { i =>
@@ -74,6 +79,10 @@ object Sketches {
   /** Single-string base hash (scalar form, codegen'd). */
   def tokenHash(t: Column): Column =
     conv(md5(t).substr(1, 15), 16, 10).cast(LongType) % P
+
+  /** Raw 60-bit base hash (no mod — full entropy for SimHash bits). */
+  def tokenHash60(t: Column): Column =
+    conv(md5(t).substr(1, 15), 16, 10).cast(LongType)
 
   /** Distinct word-3-gram postings (doc_id, g) via posexplode + window
     * lead — codegen'd, one doc_id shuffle, no array lambdas. */
@@ -117,7 +126,7 @@ object Sketches {
   def simhashTable(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       .select(col("doc_id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .withColumn("h", tokenHash(col("tok")))
+      .withColumn("h", tokenHash60(col("tok")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("ntok"),
         (0 until SimHashBits).map(bb =>
@@ -140,4 +149,33 @@ object Sketches {
   /** Combined sketch table (docs with >= 3 tokens): (doc_id, sig, simhash). */
   def sketchTable(docs: DataFrame, textCol: String = "text"): DataFrame =
     minhashTable(docs, textCol).join(simhashTable(docs, textCol), "doc_id")
+
+  // ---- per-row (map-only) builds ----------------------------------------
+  // A sketch is a function of ONE document, so the aggregate formulations
+  // above (explode + window + groupBy — three shuffles over the exploded
+  // postings) are pure overhead: at 100 TB the sketch build should be a
+  // narrow scan. These compute identical values in a single codegen'd
+  // per-row pass (DedupSpec cross-checks value-for-value) and are the
+  // main-path builds; the aggregate forms remain as reference oracles.
+
+  import graft.functions.SketchFunctions
+
+  /** shinglePosts, map-only: explode of the per-row distinct-shingle
+    * array (explode skips the NULL array of <3-token docs — same row set
+    * as the window+distinct build, zero shuffles). */
+  def shinglePostsRow(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      explode(SketchFunctions.word_shingles(col(textCol))).as("g"))
+
+  /** minhashTable, map-only: one per-row kernel call instead of
+    * explode + shuffle + 32 min() aggregates. */
+  def minhashTableRow(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        SketchFunctions.minhash_sig(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** simhashTable, map-only. */
+  def simhashTableRow(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      SketchFunctions.simhash60(col(textCol)).as("simhash"))
 }

@@ -109,6 +109,50 @@ class DedupSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("per-row sketch kernels == aggregate builds, value for value") {
+    val docs = Tables.documents(spark, sf())
+    val aggSig = Sketches.minhashTable(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rowSig = Sketches.minhashTableRow(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rowSig === aggSig)
+    val aggSim = Sketches.simhashTable(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rowSim = Sketches.simhashTableRow(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rowSim === aggSim)
+    val aggPosts = Sketches.shinglePosts(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val rowPosts = Sketches.shinglePostsRow(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rowPosts === aggPosts)
+    assert(aggSig.nonEmpty && aggSim.nonEmpty && aggPosts.nonEmpty)
+  }
+
+  test("per-row kernels handle whitespace/empty edge cases like Spark split") {
+    import spark.implicits._
+    // leading/trailing spaces, interior runs, tabs/newlines (NOT trimmed
+    // by space-only trim but consumed by \s+), exactly-3 tokens, 2 tokens,
+    // empty and all-space text
+    val docs = Seq(
+      (1L, "  a b c  "), (2L, "a\tb\nc"), (3L, "a  b   c"),
+      (4L, "a b"), (5L, ""), (6L, "   "), (7L, "x y z w"),
+      (8L, "a b c\t") // trailing tab survives space-only trim => "" token
+    ).toDF("doc_id", "text")
+    val agg = Sketches.minhashTable(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val row = Sketches.minhashTableRow(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(row === agg)
+    assert(row.keySet === Set(1L, 2L, 3L, 7L, 8L)) // <3-token docs dropped
+    val aggSim = Sketches.simhashTable(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rowSim = Sketches.simhashTableRow(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rowSim === aggSim)
+    assert(rowSim.keySet === (1L to 8L).toSet)
+  }
+
   test("exact all-pairs baselines fail fast above the input cap") {
     import spark.implicits._
     val big = spark.range(201).toDF("vec_id")
