@@ -152,6 +152,55 @@ object GraphQueries {
       HyperANF.approxHopPlotRowsCached(s, hopEdges(s, d), d)
         .map(r => HopPlot.HopRow(r.d, r.g_d, r.pct))))
 
+  /** HLL error tolerance for the driver-checkable approx companions: the
+    * HyperANFSpec bound (5% at lgK=12; sketches run sparse at these sizes
+    * so estimates are near-exact — determinism makes the check stable). */
+  private val ApproxTol = 0.05
+
+  /** Driver-checkable twin of g_hopplot_approx (VERDICT r2 #4): per
+    * distance d, does the HyperANF estimate sit within ApproxTol of the
+    * exact BFS count? Oracle = (d, true) rows from the exact recursive
+    * CTE, so row-set equality forces the approx curve to cover exactly
+    * the exact curve's distances AND pass the bound at each one. Both
+    * curves come from the session caches — no extra BFS or supersteps. */
+  val hopplotApproxTol: Q = Q(
+    "g_hopplot_approx_tol",
+    Some(s"""$hopsSql
+            |SELECT CAST(d AS BIGINT) AS d, true AS ok FROM curve ORDER BY d""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val exact = HopPlot.hopPlotRowsCached(s, hopEdges(s, d), d)
+        .map(r => r.d -> r.g_d).toMap
+      val approx = HyperANF.approxHopPlotRowsCached(s, hopEdges(s, d), d)
+        .map(r => r.d -> r.g_d).toMap
+      (exact.keySet ++ approx.keySet).toSeq.sorted.map { dd =>
+        val ok = (exact.get(dd), approx.get(dd)) match {
+          case (Some(e), Some(a)) =>
+            math.abs(a - e).toDouble <= math.max(1.0, e * ApproxTol)
+          case _ => false
+        }
+        (dd.toLong, ok)
+      }.toDF("d", "ok").orderBy(col("d"))
+    })
+
+  /** Driver-checkable twin of g_eff_diameter_approx: the interpolated
+    * effective diameter from the sketch curve must sit within ApproxTol
+    * (relative) of the exact one. */
+  val effDiameterApproxTol: Q = Q(
+    "g_eff_diameter_approx_tol",
+    Some("SELECT true AS ok"),
+    (s, d) => {
+      import s.implicits._
+      def ed(rows: Seq[HopPlot.HopRow]): Double =
+        HopPlot.effectiveDiameterFromRows(s, rows)
+          .head.getDouble(0)
+      val exact = ed(HopPlot.hopPlotRowsCached(s, hopEdges(s, d), d))
+      val approx = ed(HyperANF.approxHopPlotRowsCached(s, hopEdges(s, d), d)
+        .map(r => HopPlot.HopRow(r.d, r.g_d, r.pct)))
+      Seq(math.abs(approx - exact) <= math.max(1e-6, exact * ApproxTol))
+        .toDF("ok")
+    })
+
   /** Connected components → sizes + pair counts (computes the reference's
     * nodepairs.csv denominator, Application.scala:26-32). */
   val components: Q = Q(
@@ -223,5 +272,6 @@ object GraphQueries {
   val all: Seq[Q] = Seq(
     density, snapshot, pairsLen1, bidirectDegree, wedges,
     hopplot, effDiameter, hopplotApprox, effDiameterApprox,
+    hopplotApproxTol, effDiameterApproxTol,
     components, packPair, triangles)
 }
