@@ -344,8 +344,54 @@ object Extended2 {
               |ORDER BY c_custkey""".stripMargin)
     })
 
+  /** MERGE/upsert over customer (graft.operators.Merge): source = update
+    * rows (key%5=1: bumped nation, upper-cased name) plus insert rows
+    * (key%5=2, shifted above the key range), matched deletes at key%20=1.
+    * The oracle spells the identical classification as a FULL OUTER CTE
+    * (DuckDB MERGE INTO needs a writable table; the join form is the
+    * same semantics on read-only parquet). */
+  val mergeUpsert: Q = Q(
+    "x_merge_upsert",
+    Some("""WITH tgt AS (
+           |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_name FROM customer),
+           |upd AS (
+           |  SELECT c_custkey, CAST((c_nationkey + 1) % 25 AS BIGINT) AS c_nationkey,
+           |    upper(c_name) AS c_name
+           |  FROM customer WHERE c_custkey % 5 = 1),
+           |ins AS (
+           |  SELECT c_custkey + 1000000 AS c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           |    'new_' || c_custkey AS c_name
+           |  FROM customer WHERE c_custkey % 5 = 2),
+           |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+           |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+           |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+           |  CASE WHEN s.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL THEN 'update'
+           |       WHEN s.c_custkey IS NOT NULL THEN 'insert' ELSE 'keep' END AS action
+           |FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+           |WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+           |           AND s.c_custkey % 20 = 1)
+           |ORDER BY c_custkey""".stripMargin),
+    (s, d) => {
+      val base = Tables.customer(s, d)
+      val tgt = base.select(col("c_custkey"),
+        col("c_nationkey").cast(LongType).as("c_nationkey"), col("c_name"))
+      val upd = base.filter(col("c_custkey") % 5 === 1)
+        .select(col("c_custkey"),
+          ((col("c_nationkey") + 1) % 25).cast(LongType).as("c_nationkey"),
+          upper(col("c_name")).as("c_name"))
+      val ins = base.filter(col("c_custkey") % 5 === 2)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_nationkey").cast(LongType).as("c_nationkey"),
+          concat(lit("new_"), col("c_custkey")).as("c_name"))
+      graft.operators.Merge.merge(
+          tgt, upd.unionByName(ins), Seq("c_custkey"),
+          deleteWhen = Some(col("c_custkey") % 20 === 1))
+        .orderBy(col("c_custkey"))
+    })
+
   val all: Seq[Q] = Seq(statsAgg, ntileDist, arrayFuncs2, filteredAgg,
     widthBucketHist, unpivot, intervalJoin, sequenceExplode,
     regexpExtractAll, tryArith, lateralJoin, ignoreNullsWindow,
-    saltedJoinQ, nullSafeJoin, nthValue, inSubquery)
+    saltedJoinQ, nullSafeJoin, nthValue, inSubquery, mergeUpsert)
 }
