@@ -344,6 +344,50 @@ object Extended2 {
               |ORDER BY c_custkey""".stripMargin)
     })
 
+  /** Keyed twin of the global running window (VERDICT r2 #5), at RAW
+    * order grain (15k rows here; unbounded at scale): month-partitioned
+    * running count/revenue + per-month offset stitch
+    * (operators.KeyedWindows) — the serial sort shrinks to O(months).
+    * Oracle: the plain global window, so equality IS the check. */
+  val runningTotalKeyed: Q = Q(
+    "w_running_total_keyed",
+    Some("""SELECT o_orderkey,
+           |  CAST(sum(1) OVER w AS BIGINT) AS cum_orders,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS cum_revenue
+           |FROM orders
+           |WINDOW w AS (ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |ORDER BY o_orderkey""".stripMargin),
+    (s, d) =>
+      graft.operators.KeyedWindows.runningSum(
+          Tables.orders(s, d),
+          date_trunc("month", col("o_orderdate")),
+          Seq(col("o_orderdate"), col("o_orderkey")),
+          Seq("cum_orders" -> lit(1L), "cum_revenue" -> dec(col("o_totalprice"))))
+        .select(col("o_orderkey"),
+          col("cum_orders").cast(LongType).as("cum_orders"),
+          col("cum_revenue").cast("double").as("cum_revenue"))
+        .orderBy(col("o_orderkey")))
+
+  /** Keyed twin of w_ignore_nulls: o_orderkey range-buckets are the
+    * prefix-consistent partition for a key-ordered window (month is NOT —
+    * dates aren't monotone in the key). Same oracle as the global query. */
+  val ignoreNullsKeyed: Q = Q(
+    "w_ignore_nulls_keyed",
+    Some("""SELECT o_orderkey,
+           |  coalesce(last_value(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END IGNORE NULLS)
+           |    OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS last_f_key
+           |FROM orders ORDER BY o_orderkey""".stripMargin),
+    (s, d) =>
+      graft.operators.KeyedWindows.runningLastIgnoreNulls(
+          Tables.orders(s, d),
+          floor(col("o_orderkey") / 2048).cast(LongType),
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "F", col("o_orderkey")),
+          "last_f_raw")
+        .select(col("o_orderkey"),
+          coalesce(col("last_f_raw"), lit(-1L)).as("last_f_key"))
+        .orderBy(col("o_orderkey")))
+
   /** MERGE/upsert over customer (graft.operators.Merge): source = update
     * rows (key%5=1: bumped nation, upper-cased name) plus insert rows
     * (key%5=2, shifted above the key range), matched deletes at key%20=1.
@@ -393,5 +437,6 @@ object Extended2 {
   val all: Seq[Q] = Seq(statsAgg, ntileDist, arrayFuncs2, filteredAgg,
     widthBucketHist, unpivot, intervalJoin, sequenceExplode,
     regexpExtractAll, tryArith, lateralJoin, ignoreNullsWindow,
-    saltedJoinQ, nullSafeJoin, nthValue, inSubquery, mergeUpsert)
+    saltedJoinQ, nullSafeJoin, nthValue, inSubquery, mergeUpsert,
+    runningTotalKeyed, ignoreNullsKeyed)
 }

@@ -105,6 +105,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("keyed running windows: the row-grain window is partitioned") {
+    for (name <- Seq("w_running_total_keyed", "w_ignore_nulls_keyed")) {
+      val p = plan(name)
+      // the window over raw rows runs partitioned by the stitch key; the
+      // only unpartitioned window sorts the tiny per-partition aggregate
+      assert(p.contains("windowspecdefinition(__part"), s"$name:\n$p")
+      // offsets rejoin via broadcast, not another row-grain shuffle
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+    }
+  }
+
   test("AQE coalesces post-shuffle partitions at runtime") {
     import org.apache.spark.sql.functions.count
     val df = Tables.orders(spark, sf("0.01"))
