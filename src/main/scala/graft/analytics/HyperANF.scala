@@ -39,6 +39,12 @@ object HyperANF {
       (graft.SessionKey(spark), s"$cacheKey|maxD=$maxD|lgK=$lgK"),
       _ => approxHopPlotRows(spark, edges, maxD, lgK))
 
+  /** Exchange count of the latest superstep's merged-state plan —
+    * test hook for the co-partitioning contract below (exactly one
+    * shuffle per superstep: the message aggregation; the two state
+    * joins reuse existing hash partitionings). */
+  @volatile private[graft] var lastSuperstepExchanges: Int = -1
+
   /** @param lgK  HLL register count = 2^lgK (12 → ~1.6% rsd, 4 KiB/vertex).
     * @param maxD hard cap on supersteps, like the exact BFS. */
   def approxHopPlotRows(
@@ -46,42 +52,97 @@ object HyperANF {
       edges: DataFrame,
       maxD: Int = 20,
       lgK: Int = 12): Seq[ApproxHopRow] = {
+    // Iterative co-partitioning contract (below) requires partitionings
+    // that survive across supersteps; AQE re-plans per stage, which (a)
+    // makes localCheckpoint capture UnknownPartitioning (the adaptive
+    // plan's partitioning isn't known pre-execution), forcing a state
+    // re-shuffle EVERY round, and (b) could coalesce one round's message
+    // shuffle to a different partition count than the state's. Pin the
+    // loop's layout by disabling AQE for the duration; its skew/coalesce
+    // wins don't apply to a loop of identical small stages.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try approxHopPlotRowsPinned(spark, edges, maxD, lgK)
+    finally aqePrev match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
+    }
+  }
+
+  private def approxHopPlotRowsPinned(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxD: Int,
+      lgK: Int): Seq[ApproxHopRow] = {
+    import org.apache.spark.sql.GraftColumnBridge
     import graft.graph.CitationGraph.bidirectional
 
-    val bidir = bidirectional(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // Edges-by-dst layout, shuffled ONCE and reused every superstep
+    // (VERDICT r2 #9): state is hash-partitioned on `id` (groupBy /
+    // join outputs, preserved through localCheckpoint via LogicalRDD's
+    // outputPartitioning), so the per-round state⋈edges and
+    // state⋈messages joins are co-partitioned and EnsureRequirements
+    // inserts no exchange — the only per-round shuffle is the message
+    // aggregation by `m`, the Pregel minimum. Merge hints pin sort-merge
+    // so the planner never "optimizes" into broadcasting the per-vertex
+    // state (a driver collect of O(V) sketches — wrong at 100 TB).
+    val bidir = bidirectional(edges)
     val nbr = bidir.select(col("src").as("m"), col("dst").as("nb"))
+      .repartition(col("nb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ball(v, 0) = {v}: a 1-element sketch per vertex
     var st = bidir.select(col("src").as("id")).distinct()
       .groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk"))
       .localCheckpoint(true)
     val n = st.count()
-    if (n == 0) { bidir.unpersist(false); return Seq.empty }
+    if (n == 0) { nbr.unpersist(false); return Seq.empty }
 
     val rows = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
     var last = n // N(0): every ball is exactly its own vertex
     var d = 0
-    var grown = true
-    while (grown && d < maxD) {
+    var stale = 0 // consecutive supersteps with no estimated growth
+    val plateau = scala.collection.mutable.ArrayBuffer[Int]()
+    while (stale < 2 && d < maxD) {
       d += 1
-      val nbrAgg = nbr.join(st, col("nb") === col("id"))
+      val nbrAgg = nbr.hint("merge").join(st, col("nb") === col("id"))
         .groupBy(col("m"))
         .agg(hll_union_agg(col("sk"), lit(false)).as("nsk"))
-      val merged = st.join(nbrAgg, col("id") === col("m"), "left")
+      val mergedDs = st.hint("merge").join(nbrAgg, col("id") === col("m"), "left")
         .select(col("id"),
           when(col("nsk").isNull, col("sk"))
             .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
-        .localCheckpoint(true)
+      // tree-collect, not string matching: a cached relation's STORED
+      // plan (materialized once, not per round) prints exchanges too
+      lastSuperstepExchanges = mergedDs.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      val merged = mergedDs.localCheckpoint(true)
       val tot = merged.agg(sum(hll_sketch_estimate(col("sk"))))
         .head.getLong(0)
-      grown = tot > last
-      if (grown) {
-        st = merged
+      // superseded frame is fully materialized into `merged`; free its
+      // blocks now instead of waiting on the ContextCleaner (ADVICE r2)
+      GraftColumnBridge.checkpointRdd(st).foreach(_.unpersist(false))
+      st = merged
+      if (tot > last) {
+        // a plateaued estimate followed by growth means the sketch was
+        // noisy, not that the balls stopped growing — backfill the
+        // skipped hop(s) with the carried estimate to keep d consecutive
+        plateau.foreach(pd => rows += pd -> ((last - n) / 2))
+        plateau.clear()
         last = tot
         rows += d -> ((tot - n) / 2) // unordered pair estimate
+        stale = 0
+      } else {
+        // don't stop on one flat estimate (ADVICE r2): advance state and
+        // peek one more superstep; trailing plateau rows are dropped
+        plateau += d
+        stale += 1
       }
     }
-    bidir.unpersist(false)
+    GraftColumnBridge.checkpointRdd(st).foreach(_.unpersist(false))
+    nbr.unpersist(false)
 
     val total = if (rows.isEmpty) 1L else math.max(rows.last._2, 1L)
     rows.map { case (dd, g) =>

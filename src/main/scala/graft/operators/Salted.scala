@@ -27,18 +27,21 @@ object Salted {
   }
 
   /** Skew-resistant equi-join: `big`'s rows of a hot key are spread over
-    * `salts` sub-keys (deterministically, by hashing the full row so the
-    * result is stable run to run), and the dimension side is replicated
-    * once per salt — the join shuffles on (key, salt), bounding any
-    * single reducer's share of a hot key to 1/salts. Exactly the plain
-    * equi-join's rows (which is what the oracle checks); the manual
-    * counterpart to AQE's runtime skew-join splitting, for when skew is
-    * known ahead of time or AQE is unavailable (e.g. inside a cached
-    * subplan). */
+    * `salts` sub-keys by row position (same scheme as saltedAgg — a
+    * content hash would pile exact-duplicate rows of a hot key into one
+    * salt bucket, exactly the mass-duplicate case salting exists for,
+    * and errors on unhashable types like MapType; ADVICE r2), and the
+    * dimension side is replicated once per salt — the join shuffles on
+    * (key, salt), bounding any single reducer's share of a hot key to
+    * 1/salts. The salt never reaches the output, so the result is the
+    * plain equi-join's rows (which is what the oracle checks) regardless
+    * of how rows were spread; the manual counterpart to AQE's runtime
+    * skew-join splitting, for when skew is known ahead of time or AQE is
+    * unavailable (e.g. inside a cached subplan). */
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val expandedDim = dim.withColumn("__salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedBig.join(expandedDim, Seq(key, "__salt")).drop("__salt")

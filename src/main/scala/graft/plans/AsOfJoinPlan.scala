@@ -49,10 +49,18 @@ case class AsOfJoinPlan(
     tsName: String,
     payloadNames: Seq[String]) extends BinaryNode {
 
+  /** Resolution honors the session's case-sensitivity setting (ADVICE
+    * r2: a bare `==` silently diverged from Spark's default
+    * case-insensitive resolution) and rejects ambiguity instead of
+    * silently taking the first match. */
   private def byName(plan: LogicalPlan, n: String): Attribute =
-    plan.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $n not found in ${plan.output.map(_.name)}"))
+    plan.output.filter(a => conf.resolver(a.name, n)) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"column $n not found in ${plan.output.map(_.name)}")
+      case many => throw new IllegalArgumentException(
+        s"column $n is ambiguous in ${many.map(_.name)}")
+    }
 
   def leftKey: Attribute = byName(left, keyName)
   def leftTs: Attribute = byName(left, tsName)
@@ -238,6 +246,17 @@ object AsOfJoinPlan {
   def asofNative(probe: DataFrame, build: DataFrame, key: String, ts: String,
       payload: Seq[String]): DataFrame = {
     val spark: SparkSession = probe.sparkSession
+    // v1 contract enforced at ANALYSIS time, not as an executor
+    // ClassCastException (ADVICE r2): the merge evals key/ts as Long, so
+    // only BIGINT and TIMESTAMP (Long micros internally) are accepted.
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    for ((df, side) <- Seq((probe, "probe"), (build, "build"));
+         (n, what) <- Seq((key, "key"), (ts, "ts"))) {
+      val dt = df.select(n).schema.head.dataType // session-resolver lookup
+      if (dt != LongType && dt != TimestampType)
+        throw new IllegalArgumentException(
+          s"asofNative $side $what column $n must be BIGINT or TIMESTAMP, got $dt")
+    }
     if (!spark.experimental.extraStrategies.contains(GraftStrategies))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GraftStrategies

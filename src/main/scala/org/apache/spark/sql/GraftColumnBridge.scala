@@ -25,4 +25,14 @@ object GraftColumnBridge {
     * the safe cache-identity key (a recycled identityHashCode is not). */
   def sessionUUID(spark: SparkSession): String =
     spark.asInstanceOf[classic.SparkSession].sessionUUID
+
+  /** The materialized RDD behind a localCheckpoint'ed Dataset (its plan
+    * is a LogicalRDD), so iterative algorithms can explicitly unpersist
+    * superseded iteration frames instead of leaking them until the
+    * ContextCleaner catches up (ADVICE r2, HyperANF superstep frames). */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    analyzed(df) match {
+      case lr: execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 }

@@ -56,6 +56,17 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaExpr === viaTyped)
   }
 
+  test("vectorized batch decode equals the expression decode across batch boundaries") {
+    val assets = Multimodal.withAssets(Tables.documents(spark, sf()))
+    val viaExpr = Multimodal.decodeFeatures(assets)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3)).toMap
+    // batchSize 7 << partition row count: most partitions span many
+    // batches, including a final partial one
+    val viaBatch = Multimodal.decodeFeaturesBatch(assets, batchSize = 7)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr === viaBatch)
+  }
+
   test("multimodal pipeline: assets carry metadata, features are 16-wide") {
     val feats = Multimodal.decodeFeatures(
       Multimodal.withAssets(Tables.documents(spark, sf())))

@@ -45,4 +45,15 @@ class HyperANFSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(HyperANF.approxHopPlotRows(spark, empty) === Seq.empty)
   }
+
+  test("superstep plan has exactly one exchange: the message aggregation") {
+    // the co-partitioning contract (VERDICT r2 #9): edges are shuffled
+    // by dst ONCE before the loop; state keeps its id-hash partitioning
+    // through localCheckpoint, so the two per-round state joins insert
+    // no exchange — only the groupBy(m) message shuffle remains
+    val edges = CitationGraph.hopEdges(spark, sf())
+    HyperANF.approxHopPlotRows(spark, edges, maxD = 2)
+    assert(HyperANF.lastSuperstepExchanges === 1,
+      s"expected 1 exchange per superstep, saw ${HyperANF.lastSuperstepExchanges}")
+  }
 }
