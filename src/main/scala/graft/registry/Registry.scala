@@ -25,6 +25,7 @@ object Registry {
       graft.analytics.GraphQueries.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.pipeline.Multimodal.all ++
+      graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 
   lazy val byName: Map[String, Q] = {
