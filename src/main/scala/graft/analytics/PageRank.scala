@@ -1,0 +1,131 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.registry.Q
+
+/** PageRank over the citation-style graph — the canonical "which papers
+  * matter" analytic for a citation engine (the reference computes
+  * degree-based importance; PageRank is its fixpoint generalization,
+  * same superstep shape as the reference's BFS loop).
+  *
+  * EXACT integer fixed-point arithmetic: ranks live in BIGINT units of
+  * 1e-12, every step is integer multiply/divide (`div`), and BIGINT sums
+  * are order-independent — so results are bit-identical across runs,
+  * partitionings, AND engines (float PageRank can't be oracle-checked:
+  * shuffle-order float addition diverges in the last ulps). DuckDB
+  * reproduces the identical recurrence with `//`; truncation loss and
+  * the dangling-vertex leak (no out-edges → mass not redistributed) are
+  * part of the defined recurrence, identical on both engines.
+  *
+  * Scale shape mirrors HyperANF's pinned superstep layout: edges are
+  * shuffled by src ONCE, state keeps id-partitioning through
+  * localCheckpoint, AQE is disabled for the loop's duration, so each
+  * iteration carries exactly one exchange — the contribution aggregation
+  * by dst (asserted in PageRankSpec).
+  */
+object PageRank {
+
+  /** 1.0 of rank mass, in fixed-point units. */
+  val Scale = 1000000000000L
+
+  /** Damping factor 0.85 as an integer percent. */
+  val DampPct = 85L
+
+  @volatile private[graft] var lastIterationExchanges: Int = -1
+
+  def pageRank(spark: SparkSession, edgesRaw: DataFrame,
+      iters: Int = 10): DataFrame = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try pageRankPinned(spark, edgesRaw, iters)
+    finally aqePrev match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
+    }
+  }
+
+  private def pageRankPinned(spark: SparkSession, edgesRaw: DataFrame,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+
+    val e = edgesRaw.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val v = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val n = v.count()
+    if (n == 0) {
+      e.unpersist(false); v.unpersist(false); deg.unpersist(false)
+      return v.select(col("id"), lit(0L).as("r"))
+    }
+    // driver-side Long division == Spark `div` == DuckDB `//` on positives
+    val r0 = Scale / n
+    val base = ((100L - DampPct) * Scale) / (100L * n)
+
+    var r = v.select(col("id"), lit(r0).as("r"))
+    var prevCkpt: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val contrib = r.join(deg, "id").join(e, col("id") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div d")).as("contrib"))
+      val nextDs = v.hint("merge").join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($DampPct * coalesce(contrib, 0L)) div 100")).as("r"))
+      lastIterationExchanges = nextDs.queryExecution.executedPlan.collect {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+      }.size
+      val next = nextDs.localCheckpoint(true)
+      prevCkpt.foreach(p =>
+        GraftColumnBridge.checkpointRdd(p).foreach(_.unpersist(false)))
+      prevCkpt = Some(next)
+      r = next
+    }
+    e.unpersist(false); v.unpersist(false); deg.unpersist(false)
+    r
+  }
+
+  // ---- registry entry ---------------------------------------------------
+
+  /** Unrolled K-level DuckDB twin of the identical integer recurrence. */
+  private def oracleSql(iters: Int): String = {
+    import graft.graph.CitationGraph.edgesSql
+    val head =
+      s"""WITH $edgesSql,
+         |e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+         |pr0 AS (SELECT id, $Scale // (SELECT n FROM cnt) AS r FROM v)""".stripMargin
+    val levels = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT v.id,
+         |    ((100 - $DampPct) * $Scale) // (100 * (SELECT n FROM cnt))
+         |      + ($DampPct * COALESCE(c.contrib, 0)) // 100 AS r
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM(p.r // dg.d) AS BIGINT) AS contrib
+         |    FROM pr${k - 1} p JOIN deg dg ON dg.id = p.id JOIN e ON e.src = p.id
+         |    GROUP BY e.dst
+         |  ) c ON c.id = v.id)""".stripMargin
+    }
+    (head +: levels).mkString(",\n") +
+      s"\nSELECT id, r FROM pr$iters ORDER BY id"
+  }
+
+  val pageRankQ: Q = Q(
+    "g_pagerank",
+    Some(oracleSql(10)),
+    (s, d) =>
+      pageRank(s, graft.graph.CitationGraph.edges(s, d), iters = 10)
+        .orderBy(col("id")))
+
+  val all: Seq[Q] = Seq(pageRankQ)
+}

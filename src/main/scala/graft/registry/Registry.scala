@@ -23,6 +23,7 @@ object Registry {
       graft.queries.Extended2.all ++
       graft.queries.Typed.all ++
       graft.analytics.GraphQueries.all ++
+      graft.analytics.PageRank.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Splits.all ++
