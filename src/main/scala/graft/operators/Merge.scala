@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   *   - key in both            → UPDATE (source values win), unless the
   *     row's `deleteWhen` flag (evaluated over source columns) holds →
   *     DELETE (dropped from the output)
-  *   - key only in source     → INSERT
+  *   - key only in source     → INSERT, unless delete-flagged — a delete
+  *     for an absent key is a no-op (CDC-apply semantics: a tombstone
+  *     must never resurrect as an insert)
   *   - key only in target     → keep
   *
   * The output carries an `action` column ('update'/'insert'/'keep') so
@@ -49,7 +51,7 @@ object Merge {
     // come back NULL on the missing side
     val j = t.join(s, keys, "full_outer")
     val matched = col("__t_present").isNotNull && col("__s_present").isNotNull
-    val action = when(matched && col("__s_delete"), lit("delete"))
+    val action = when(col("__s_present").isNotNull && col("__s_delete"), lit("delete"))
       .when(matched, lit("update"))
       .when(col("__s_present").isNotNull, lit("insert"))
       .otherwise(lit("keep"))

@@ -24,6 +24,7 @@ object Registry {
       graft.queries.Typed.all ++
       graft.analytics.GraphQueries.all ++
       graft.analytics.PageRank.all ++
+      graft.operators.Cdc.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Splits.all ++

@@ -64,6 +64,33 @@ object Streams {
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
 
+  // ---- upsert sink ------------------------------------------------------
+
+  /** Lakehouse-style streaming upsert sink: each micro-batch is applied
+    * to the accumulated table state through Cdc.applyLog (latest-per-key
+    * reduce, then MERGE with tombstones) inside `foreachBatch` — the
+    * standard CDC-apply pattern for engines whose file sinks are
+    * append-only. State is localCheckpoint'ed per batch so it stays
+    * valid after the micro-batch's source frame is gone and its lineage
+    * doesn't grow with the stream. StreamingSpec proves the folded
+    * stream state equals the one-pass batch latest-per-key result.
+    */
+  final class UpsertSink(keys: Seq[String], seq: String,
+      deleteWhen: org.apache.spark.sql.Column) {
+    @volatile private var state: Option[DataFrame] = None
+
+    /** Post-merge table state after the last completed batch. */
+    def current: Option[DataFrame] = state
+
+    /** The foreachBatch hook. */
+    def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val tgt = state.getOrElse(batch.limit(0))
+      state = Some(graft.operators.Cdc
+        .applyLog(tgt, batch, keys, seq, deleteWhen)
+        .localCheckpoint(true))
+    }
+  }
+
   // ---- stateful sessionization -----------------------------------------
 
   final case class Ev(user_id: Long, ts: Timestamp)

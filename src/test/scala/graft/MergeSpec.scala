@@ -38,12 +38,14 @@ class MergeSpec extends SparkSpec {
       4L -> "keep", 9L -> "insert"))
   }
 
-  test("deleteWhen only fires on MATCHED rows (SQL MERGE semantics)") {
-    // source-only row satisfying the predicate must still insert
+  test("delete-flagged source rows never land, matched or not (CDC-apply)") {
+    // a tombstone for an absent key is a no-op, never an insert — the
+    // resurrect bug that breaks chained CDC merges (Cdc.applyLog)
     val out = Merge.merge(tgt, src, Seq("k"),
         deleteWhen = Some(col("n") === 90L))
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
-    assert(out(9L) === "insert")
+    assert(!out.contains(9L))
+    assert(out.values.forall(_ != "delete"))
   }
 
   test("composite keys and column order independence") {

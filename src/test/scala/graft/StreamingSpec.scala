@@ -65,6 +65,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("foreachBatch upsert sink: folded stream state == direct CDC state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val sink = new Streams.UpsertSink(Seq("user_id"), "event_id",
+      col("event_type") === "error")
+    val q = input.toDS().toDF("user_id", "event_id", "event_type", "value")
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+      .start()
+    try {
+      input.addData((1L, 1L, "view", 1.0), (2L, 2L, "click", 2.0),
+        (3L, 3L, "view", 3.0))
+      q.processAllAvailable()
+      // update key 1, tombstone key 2
+      input.addData((1L, 4L, "purchase", 4.0), (2L, 5L, "error", 0.0))
+      q.processAllAvailable()
+      // resurrect key 2, tombstone absent key 4 (no-op), tombstone key 3,
+      // and key 5 inserted+tombstoned WITHIN one batch (latest wins)
+      input.addData((2L, 6L, "signup", 6.0), (4L, 7L, "error", 0.0),
+        (3L, 8L, "error", 0.0), (5L, 9L, "view", 9.0), (5L, 10L, "error", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = sink.current.get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got === Set((1L, 4L, "purchase", 4.0), (2L, 6L, "signup", 6.0)))
+  }
+
   test("watermark drops late data in append-mode window aggregation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
