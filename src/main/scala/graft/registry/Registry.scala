@@ -25,6 +25,7 @@ object Registry {
       graft.analytics.GraphQueries.all ++
       graft.analytics.PageRank.all ++
       graft.operators.Cdc.all ++
+      graft.operators.BloomPrune.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Splits.all ++
