@@ -26,6 +26,7 @@ object Registry {
       graft.analytics.PageRank.all ++
       graft.operators.Cdc.all ++
       graft.operators.BloomPrune.all ++
+      graft.sources.ZOrderStore.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Splits.all ++
