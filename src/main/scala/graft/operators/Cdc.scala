@@ -59,8 +59,11 @@ object Cdc {
       val state = (1 to 4).foldLeft(empty) { (tgt, i) =>
         val lo = (i - 1).toLong * maxSeq / 4
         val hi = i.toLong * maxSeq / 4
-        val chunk = log.filter(col("event_id") > lo &&
-          (if (i == 4) lit(true) else col("event_id") <= hi))
+        // first chunk unbounded below (seqs can start at 0), last
+        // unbounded above — the chunks must cover the whole log
+        val chunk = log.filter(
+          (if (i == 1) lit(true) else col("event_id") > lo) &&
+            (if (i == 4) lit(true) else col("event_id") <= hi))
         applyLog(tgt, chunk, Seq("user_id"), "event_id",
           col("event_type") === "error")
       }

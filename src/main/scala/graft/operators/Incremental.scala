@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.Tables
+import graft.registry.Q
+
+/** Incremental aggregate maintenance — the materialized-view pattern: a
+  * 100-TB aggregate is never recomputed from scratch; each arriving
+  * chunk is reduced to per-group PARTIAL state (count/sum/min/max — the
+  * decomposable aggregates), and states fold associatively:
+  *
+  *   state ⊕ chunk_state = agg(state ∪ chunk_state)
+  *
+  * so the standing cost per refresh is O(|chunk| + |groups|), not
+  * O(|history|). Exactness needs exact types: sums are held as DECIMAL
+  * in state (order-independent) and only cast to DOUBLE on read-out.
+  * x_incr_agg folds four chunk states and must hash-equal DuckDB's
+  * single-pass aggregate over everything.
+  */
+object Incremental {
+
+  /** Per-group partial state of a chunk (or of a fold of chunks). */
+  def partialState(chunk: DataFrame, key: String, value: String): DataFrame =
+    chunk.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(col(value).cast(DecimalType(18, 2))).as("s"),
+        min(col(value)).as("mn"),
+        max(col(value)).as("mx"))
+
+  /** Fold two states: re-aggregate the union with the merge functions
+    * (sum of counts/sums, min of mins, max of maxes). */
+  def mergeStates(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    a.unionByName(b).groupBy(col(key))
+      .agg(sum(col("n")).cast(LongType).as("n"),
+        sum(col("s")).cast(DecimalType(18, 2)).as("s"),
+        min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+
+  /** Read-out: exact state → presentation types. */
+  def readout(state: DataFrame, key: String): DataFrame =
+    state.select(col(key), col("n"),
+      col("s").cast("double").as("s"), col("mn"), col("mx"))
+
+  // ---- registry entry ---------------------------------------------------
+
+  /** orders revenue by priority, maintained over four o_orderkey-range
+    * chunks, vs DuckDB's one-pass aggregate over the whole table. */
+  val incrAggQ: Q = Q(
+    "x_incr_agg",
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+           |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+           |FROM orders GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin),
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val maxKey = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val states = (1 to 4).map { i =>
+        val lo = (i - 1).toLong * maxKey / 4
+        val hi = i.toLong * maxKey / 4
+        // first chunk has NO lower bound (keys can start at 0), last has
+        // no upper bound — the four ranges must cover the whole domain
+        partialState(
+          orders.filter(
+            (if (i == 1) lit(true) else col("o_orderkey") > lo) &&
+              (if (i == 4) lit(true) else col("o_orderkey") <= hi)),
+          "o_orderpriority", "o_totalprice")
+      }
+      val folded = states.reduce(mergeStates(_, _, "o_orderpriority"))
+      readout(folded, "o_orderpriority").orderBy(col("o_orderpriority"))
+    })
+
+  val all: Seq[Q] = Seq(incrAggQ)
+}

@@ -27,6 +27,8 @@ object Registry {
       graft.operators.Cdc.all ++
       graft.operators.BloomPrune.all ++
       graft.sources.ZOrderStore.all ++
+      graft.operators.Incremental.all ++
+      graft.operators.Resample.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Splits.all ++
