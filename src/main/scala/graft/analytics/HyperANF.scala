@@ -53,20 +53,10 @@ object HyperANF {
       maxD: Int = 20,
       lgK: Int = 12): Seq[ApproxHopRow] = {
     // Iterative co-partitioning contract (below) requires partitionings
-    // that survive across supersteps; AQE re-plans per stage, which (a)
-    // makes localCheckpoint capture UnknownPartitioning (the adaptive
-    // plan's partitioning isn't known pre-execution), forcing a state
-    // re-shuffle EVERY round, and (b) could coalesce one round's message
-    // shuffle to a different partition count than the state's. Pin the
-    // loop's layout by disabling AQE for the duration; its skew/coalesce
-    // wins don't apply to a loop of identical small stages.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try approxHopPlotRowsPinned(spark, edges, maxD, lgK)
-    finally aqePrev match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None => spark.conf.unset(aqeKey)
+    // that survive across supersteps — AQE off, shuffle partitions sized
+    // once from the edge count (LoopConf scaladoc has the full why).
+    LoopConf.pinned(spark, edges.count() * 2) {
+      approxHopPlotRowsPinned(spark, edges, maxD, lgK)
     }
   }
 

@@ -37,16 +37,10 @@ object PageRank {
   @volatile private[graft] var lastIterationExchanges: Int = -1
 
   def pageRank(spark: SparkSession, edgesRaw: DataFrame,
-      iters: Int = 10): DataFrame = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try pageRankPinned(spark, edgesRaw, iters)
-    finally aqePrev match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None => spark.conf.unset(aqeKey)
+      iters: Int = 10): DataFrame =
+    LoopConf.pinned(spark, edgesRaw.count()) {
+      pageRankPinned(spark, edgesRaw, iters)
     }
-  }
 
   private def pageRankPinned(spark: SparkSession, edgesRaw: DataFrame,
       iters: Int): DataFrame = {
@@ -71,23 +65,38 @@ object PageRank {
     val r0 = Scale / n
     val base = ((100L - DampPct) * Scale) / (100L * n)
 
+    // Checkpoint every few rounds, not every round: co-partitioning flows
+    // through the nested join plans (their output partitioning is known
+    // without materializing), so batching rounds into one job removes
+    // per-round materialization overhead; the checkpoint only exists to
+    // keep lineage depth bounded.
+    val ckptEvery = 3
     var r = v.select(col("id"), lit(r0).as("r"))
     var prevCkpt: Option[DataFrame] = None
-    for (_ <- 1 to iters) {
+    var sinceCkpt = 0
+    for (k <- 1 to iters) {
       val contrib = r.join(deg, "id").join(e, col("id") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div d")).as("contrib"))
       val nextDs = v.hint("merge").join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(base) + expr(s"($DampPct * coalesce(contrib, 0L)) div 100")).as("r"))
-      lastIterationExchanges = nextDs.queryExecution.executedPlan.collect {
-        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
-      }.size
-      val next = nextDs.localCheckpoint(true)
-      prevCkpt.foreach(p =>
-        GraftColumnBridge.checkpointRdd(p).foreach(_.unpersist(false)))
-      prevCkpt = Some(next)
-      r = next
+      // capture the per-superstep exchange count on rounds that start
+      // from materialized state (a nested round's plan embeds the prior
+      // rounds' exchanges, so its count is the batch's, not one round's)
+      if (sinceCkpt == 0)
+        lastIterationExchanges = nextDs.queryExecution.executedPlan.collect {
+          case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+        }.size
+      sinceCkpt += 1
+      if (sinceCkpt == ckptEvery || k == iters) {
+        val next = nextDs.localCheckpoint(true)
+        prevCkpt.foreach(p =>
+          GraftColumnBridge.checkpointRdd(p).foreach(_.unpersist(false)))
+        prevCkpt = Some(next)
+        r = next
+        sinceCkpt = 0
+      } else r = nextDs
     }
     e.unpersist(false); v.unpersist(false); deg.unpersist(false)
     r
