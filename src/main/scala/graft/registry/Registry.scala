@@ -24,6 +24,7 @@ object Registry {
       graft.queries.Typed.all ++
       graft.analytics.GraphQueries.all ++
       graft.analytics.PageRank.all ++
+      graft.analytics.ShortestPaths.all ++
       graft.operators.Cdc.all ++
       graft.operators.BloomPrune.all ++
       graft.sources.ZOrderStore.all ++
