@@ -24,13 +24,11 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
-      // the dedup family (name-sorted: all d_*) shares persisted
-      // intermediates; free them the moment the family completes so the
-      // remaining ~80 queries don't compete with dead cached partitions
-      // (VERDICT r2 #2: the 9-query mid-tier regression cluster)
+      // free the dedup family's shared persisted intermediates the
+      // moment the family completes (VERDICT r2 #2: the 9-query
+      // mid-tier regression cluster)
       val next = if (i + 1 < names.size) names(i + 1)._1 else ""
-      if (name.startsWith("d_") && !next.startsWith("d_"))
-        graft.pipeline.PipelineQueries.releaseShared(spark)
+      graft.pipeline.PipelineQueries.releaseSharedAfterFamily(spark, name, next)
       (name, sec, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
@@ -48,7 +46,10 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case _: Throwable => () }
-    spark.stop()
+    // stop() must not be able to take the JSON down with it — the
+    // contract is "JSON is the final stdout line", not "JSON if shutdown
+    // was clean"
+    try spark.stop() catch { case _: Throwable => () }
     println(json)
     System.out.flush()
   }

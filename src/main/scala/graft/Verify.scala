@@ -28,8 +28,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       val next = if (i + 1 < names.size) names(i + 1)._1 else ""
-      if (name.startsWith("d_") && !next.startsWith("d_"))
-        graft.pipeline.PipelineQueries.releaseShared(spark)
+      graft.pipeline.PipelineQueries.releaseSharedAfterFamily(spark, name, next)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -21,8 +21,20 @@ import org.apache.spark.sql.SparkSession
   */
 private[analytics] object LoopConf {
 
+  /** Sessions currently inside a pinned block. Conf changes are
+    * session-global, so two overlapping pinned loops on one session
+    * would restore each other's values (and anything else planned on
+    * the session meanwhile silently compiles with the loop's conf —
+    * callers run loops serially, which this makes a checked contract
+    * instead of an assumption). */
+  private val active = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def pinned[T](spark: SparkSession, approxRows: => Long,
       rowsPerPartition: Long = 100000L)(body: => T): T = {
+    val sid = graft.SessionKey(spark)
+    require(active.add(sid),
+      "LoopConf.pinned is not reentrant: another superstep loop is " +
+        "already pinning this session's conf (run loops serially)")
     val aqeKey = "spark.sql.adaptive.enabled"
     val spKey = "spark.sql.shuffle.partitions"
     val aqePrev = spark.conf.getOption(aqeKey)
@@ -40,6 +52,7 @@ private[analytics] object LoopConf {
       }
       restore(aqeKey, aqePrev)
       restore(spKey, spPrev)
+      active.remove(sid)
     }
   }
 }

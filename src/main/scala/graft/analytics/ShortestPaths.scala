@@ -108,9 +108,12 @@ object ShortestPaths {
     Some(oracleSql("SELECT min(src) FROM ew", 10)),
     (s, d) => {
       val edges = graft.graph.CitationGraph.edges(s, d)
-      val src = edges.filter(col("src") =!= col("dst"))
-        .agg(min(col("src"))).head.getLong(0)
-      sssp(s, edges, src, rounds = 10).orderBy(col("id"))
+      val srcRow = edges.filter(col("src") =!= col("dst"))
+        .agg(min(col("src"))).head
+      if (srcRow.isNullAt(0)) // no edges → no reachable vertices
+        edges.limit(0).select(col("src").as("id"), col("dst").as("dist"))
+      else
+        sssp(s, edges, srcRow.getLong(0), rounds = 10).orderBy(col("id"))
     })
 
   val all: Seq[Q] = Seq(ssspQ)

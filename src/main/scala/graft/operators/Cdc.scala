@@ -54,22 +54,28 @@ object Cdc {
     (s, d) => {
       val log = Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
-      val maxSeq = log.agg(max(col("event_id"))).head.getLong(0)
       val empty = log.limit(0)
-      val state = (1 to 4).foldLeft(empty) { (tgt, i) =>
-        val lo = (i - 1).toLong * maxSeq / 4
-        val hi = i.toLong * maxSeq / 4
-        // first chunk unbounded below (seqs can start at 0), last
-        // unbounded above — the chunks must cover the whole log
-        val chunk = log.filter(
-          (if (i == 1) lit(true) else col("event_id") > lo) &&
-            (if (i == 4) lit(true) else col("event_id") <= hi))
-        applyLog(tgt, chunk, Seq("user_id"), "event_id",
-          col("event_type") === "error")
+      val maxRow = log.agg(max(col("event_id"))).head
+      def shape(df: DataFrame) =
+        df.select(col("user_id"), col("event_id").as("last_seq"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+          .orderBy(col("user_id"))
+      if (maxRow.isNullAt(0)) shape(empty) // empty log → empty state
+      else {
+        val maxSeq = maxRow.getLong(0)
+        val state = (1 to 4).foldLeft(empty) { (tgt, i) =>
+          val lo = (i - 1).toLong * maxSeq / 4
+          val hi = i.toLong * maxSeq / 4
+          // first chunk unbounded below (seqs can start at 0), last
+          // unbounded above — the chunks must cover the whole log
+          val chunk = log.filter(
+            (if (i == 1) lit(true) else col("event_id") > lo) &&
+              (if (i == 4) lit(true) else col("event_id") <= hi))
+          applyLog(tgt, chunk, Seq("user_id"), "event_id",
+            col("event_type") === "error")
+        }
+        shape(state)
       }
-      state.select(col("user_id"), col("event_id").as("last_seq"),
-        col("event_type").as("last_type"), col("value").as("last_value"))
-        .orderBy(col("user_id"))
     })
 
   val all: Seq[Q] = Seq(cdcApplyQ)

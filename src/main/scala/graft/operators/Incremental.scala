@@ -22,11 +22,17 @@ import graft.registry.Q
   */
 object Incremental {
 
+  /** State sum type: maximally wide so folding can NEVER overflow-null
+    * the running sum (a cast back to (18,2) would silently yield NULL
+    * once a group's cumulative sum passed 10^16 — state must stay exact
+    * at any history length; presentation narrowing happens in readout). */
+  private val StateDec = DecimalType(38, 2)
+
   /** Per-group partial state of a chunk (or of a fold of chunks). */
   def partialState(chunk: DataFrame, key: String, value: String): DataFrame =
     chunk.groupBy(col(key))
       .agg(count(lit(1)).as("n"),
-        sum(col(value).cast(DecimalType(18, 2))).as("s"),
+        sum(col(value).cast(DecimalType(18, 2))).cast(StateDec).as("s"),
         min(col(value)).as("mn"),
         max(col(value)).as("mx"))
 
@@ -35,7 +41,7 @@ object Incremental {
   def mergeStates(a: DataFrame, b: DataFrame, key: String): DataFrame =
     a.unionByName(b).groupBy(col(key))
       .agg(sum(col("n")).cast(LongType).as("n"),
-        sum(col("s")).cast(DecimalType(18, 2)).as("s"),
+        sum(col("s")).cast(StateDec).as("s"),
         min(col("mn")).as("mn"),
         max(col("mx")).as("mx"))
 
@@ -58,7 +64,9 @@ object Incremental {
     (s, d) => {
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      val maxKey = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val maxRow = orders.agg(max(col("o_orderkey"))).head
+      // empty table → empty state, not an NPE on the null max
+      val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val states = (1 to 4).map { i =>
         val lo = (i - 1).toLong * maxKey / 4
         val hi = i.toLong * maxKey / 4

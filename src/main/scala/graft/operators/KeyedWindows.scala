@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *
   * REQUIREMENT: `part` must be monotone non-decreasing in the window
   * order (month over a date order, a key range-bucket over a key order),
-  * so every partition is a contiguous slice of the global order.
+  * so every partition is a contiguous slice of the global order — and
+  * must be NON-NULL on every row: the offset stitch joins on `part`, so
+  * a NULL partition value would silently drop the row (derive `part`
+  * from a non-null key, or coalesce a sentinel bucket first).
   */
 object KeyedWindows {
 

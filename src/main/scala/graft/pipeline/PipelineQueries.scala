@@ -88,6 +88,15 @@ object PipelineQueries {
     }
   }
 
+  /** The family-boundary trigger Bench and Verify share: in name-sorted
+    * execution the dedup family is the contiguous d_* block, so the
+    * caches die the moment the last d_* query finishes. One definition,
+    * so the two runners can't drift (and a rename of the family prefix
+    * is a one-line change). */
+  def releaseSharedAfterFamily(s: SparkSession, name: String,
+      next: String): Unit =
+    if (name.startsWith("d_") && !next.startsWith("d_")) releaseShared(s)
+
   /** Distinct word-3-gram postings (doc_id, g) — map-only per-row build
     * (Sketches.shinglePostsRow); the window+distinct form remains as the
     * spec-checked reference. */

@@ -174,8 +174,12 @@ object Sketches {
         SketchFunctions.minhash_sig(col(textCol)).as("sig"))
       .filter(col("sig").isNotNull)
 
-  /** simhashTable, map-only. */
+  /** simhashTable, map-only. The null filter matches the aggregate
+    * build, which dropped NULL-text docs at the explode — without it a
+    * null text would surface as a (doc_id, NULL) row the oracle never
+    * produces. */
   def simhashTableRow(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
-      SketchFunctions.simhash60(col(textCol)).as("simhash"))
+        SketchFunctions.simhash60(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 }

@@ -85,9 +85,14 @@ object Streams {
     /** The foreachBatch hook. */
     def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
       val tgt = state.getOrElse(batch.limit(0))
-      state = Some(graft.operators.Cdc
+      val next = graft.operators.Cdc
         .applyLog(tgt, batch, keys, seq, deleteWhen)
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+      // the superseded state is fully folded into `next` — free its
+      // blocks now, or a long stream accumulates one table copy per batch
+      state.foreach(p => org.apache.spark.sql.GraftColumnBridge
+        .checkpointRdd(p).foreach(_.unpersist(false)))
+      state = Some(next)
     }
   }
 
