@@ -116,6 +116,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x_hash_split: split assignment is a narrow map (one sort exchange only)") {
+    val p = plan("x_hash_split")
+    // the md5-bucket assignment itself must add no shuffle; the single
+    // allowed exchange is the final presentation sort
+    assert(p.split("Exchange").length - 1 <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x_bloom_prune: bloom filter evaluates at the scan side, before the join") {
+    val p = plan("x_bloom_prune")
+    assert(p.contains("might_contain"), p)
+    // the bloom predicate must sit below the semi-join: in the tree
+    // string the Filter(might_contain) line appears after the join line
+    val joinAt = p.indexOf("Join")
+    val bloomAt = p.indexOf("might_contain")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      s"bloom filter not under the join (join@$joinAt bloom@$bloomAt)")
+  }
+
+  test("x_incr_agg: chunk states partially aggregate before their exchanges") {
+    val p = plan("x_incr_agg")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x_resample_locf: all windows are partitioned (no single-partition sort)") {
+    val p = plan("x_resample_locf")
+    // every Window/Sort in this plan must carry a partition spec — a
+    // global window would show 'Window [...]' with an empty partitionBy
+    // and a SinglePartition exchange
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("AQE coalesces post-shuffle partitions at runtime") {
     import org.apache.spark.sql.functions.count
     val df = Tables.orders(spark, sf("0.01"))
