@@ -19,10 +19,13 @@ import graft.registry.Q
   */
 object ShortestPaths {
 
-  /** Deterministic BIGINT edge weight both engines derive identically. */
+  /** Deterministic BIGINT edge weight both engines derive identically.
+    * `%` (not pmod): Spark's % and DuckDB's % both take the dividend's
+    * sign, so the derivation matches even on negative vertex ids; the
+    * citation tables' ids are non-negative, where the two agree anyway. */
   private def weighted(e: DataFrame): DataFrame =
     e.select(col("src"), col("dst"),
-      (lit(1L) + pmod(col("src") + col("dst"), lit(10L))).as("w"))
+      (lit(1L) + (col("src") + col("dst")) % lit(10L)).as("w"))
 
   def sssp(spark: SparkSession, edgesRaw: DataFrame, source: Long,
       rounds: Int = 10): DataFrame =
@@ -77,16 +80,21 @@ object ShortestPaths {
 
   // ---- registry entry ---------------------------------------------------
 
+  // Every dK CTE is referenced twice by dK+1 (outer FROM + the relaxation
+  // subquery). DuckDB inlines plain CTEs, so an un-materialized unroll
+  // re-evaluates the whole prefix 2^rounds times — at sf0.01 that ran
+  // >220s and timed out the driver's whole correctness pass (round 3's
+  // empty CORRECTNESS_r03.json). AS MATERIALIZED makes it linear: 0.1s.
   private def oracleSql(source: String, rounds: Int): String = {
     import graft.graph.CitationGraph.edgesSql
     val head =
       s"""WITH $edgesSql,
-         |ew AS (SELECT src, dst, 1 + (src + dst) % 10 AS w
+         |ew AS MATERIALIZED (SELECT src, dst, 1 + (src + dst) % 10 AS w
          |  FROM (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)),
          |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ew UNION ALL SELECT dst FROM ew)),
          |d0 AS (SELECT id, CASE WHEN id = ($source) THEN CAST(0 AS BIGINT) END AS dist FROM v)""".stripMargin
     val levels = (1 to rounds).map { k =>
-      s"""d$k AS (
+      s"""d$k AS MATERIALIZED (
          |  SELECT dp.id,
          |    CASE WHEN dp.dist IS NULL THEN c.cand
          |         WHEN c.cand IS NULL THEN dp.dist

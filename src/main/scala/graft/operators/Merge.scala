@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * The output carries an `action` column ('update'/'insert'/'keep') so
   * results are auditable (deleted keys simply vanish).
   *
+  * NULL keys are compared null-safe (`<=>`): a NULL-key source row
+  * matches a NULL-key target row, so it updates/deletes rather than
+  * silently duplicating as an insert. "Output keys unique when input
+  * keys are unique" therefore holds with NULL treated as a value.
+  *
   * Scale shape: ONE shuffle on the merge key (full-outer is sort-merge —
   * Spark cannot broadcast a full-outer side, which is the right call
   * anyway when both sides are table-sized); AQE handles skewed keys, and
@@ -44,12 +49,14 @@ object Merge {
     val s = source
       .withColumn("__s_delete", deleteWhen.getOrElse(lit(false)))
       .select(
-        keys.map(col) ++ dataCols.map(c => col(c).as(s"__s_$c"))
+        keys.map(c => col(c).as(s"__sk_$c")) ++ dataCols.map(c => col(c).as(s"__s_$c"))
           ++ Seq(col("__s_delete"), lit(true).as("__s_present")): _*)
 
-    // full-outer using-columns join coalesces the keys; presence flags
-    // come back NULL on the missing side
-    val j = t.join(s, keys, "full_outer")
+    // null-safe equi-join (<=> is a supported SMJ/hash join key), then
+    // coalesce the key columns manually — USING-column joins would treat
+    // NULL keys as never-matching
+    val cond = keys.map(k => col(k) <=> col(s"__sk_$k")).reduce(_ && _)
+    val j = t.join(s, cond, "full_outer")
     val matched = col("__t_present").isNotNull && col("__s_present").isNotNull
     val action = when(col("__s_present").isNotNull && col("__s_delete"), lit("delete"))
       .when(matched, lit("update"))
@@ -59,7 +66,10 @@ object Merge {
     j.withColumn("__action", action)
       .filter(col("__action") =!= "delete")
       .select(
-        keys.map(col) ++ dataCols.map(c =>
+        keys.map(k =>
+          when(col("__t_present").isNotNull, col(k))
+            .otherwise(col(s"__sk_$k")).as(k))
+        ++ dataCols.map(c =>
           when(col("__s_present").isNotNull, col(s"__s_$c"))
             .otherwise(col(s"__t_$c")).as(c))
           :+ col("__action").as("action"): _*)
