@@ -42,7 +42,7 @@ object Bench {
     val total = results.map(_._2).sum
     val nOk = results.count(_._3)
     // Full per-query detail (all timings + ok flags) goes to the file.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"ok":$oks,"n_queries":${results.size},"n_ok":$nOk,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":${qmap(results)},"ok":$oks,"n_queries":${results.size},"n_ok":$nOk,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     catch { case _: Throwable => () }
@@ -60,7 +60,10 @@ object Bench {
       "d_dedup_simhash", "d_pipeline_e2e", "sim_ann_topk", "sim_ann_lsh",
       "st_tumbling_window", "x_asof_join_native", "x_merge_upsert").toSet
     val head = results.filter(r => headline(r._1))
-    val json = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":${qmap(head)},"n_queries":${results.size},"n_ok":$nOk,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    // a renamed/removed headline query must not just vanish silently
+    // (ADVICE r4 #2) — surface the count of names that found no result
+    val headlineMissing = headline.size - head.size
+    val json = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":${qmap(head)},"n_queries":${results.size},"n_ok":$nOk,"headline_missing":$headlineMissing,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     // stop() must not be able to take the JSON down with it — the
     // contract is "JSON is the final stdout line", not "JSON if shutdown
     // was clean"

@@ -434,9 +434,65 @@ object Extended2 {
         .orderBy(col("c_custkey"))
     })
 
+  /** Null-safe MERGE semantics pinned by the oracle (ADVICE r4 #1): the
+    * x_merge_upsert gate never exercises NULL keys, so a regression in the
+    * <=> key match would pass undetected. Here the target has one NULL-key
+    * row (nationkey 0 nulled out), the source updates it through a NULL
+    * key, plus a matched delete (k=6), an unmatched tombstone (k=200,
+    * must NOT resurrect as an insert) and a plain insert (k=100). The
+    * oracle spells the join with IS NOT DISTINCT FROM and explicit
+    * presence flags. Output key is coalesced to a -999 sentinel with a
+    * k_was_null witness column (NULL numeric outputs are a known
+    * hash-gate hazard). */
+  val mergeNullSafe: Q = Q(
+    "x_merge_nullsafe",
+    Some("""WITH tgt AS (
+           |  SELECT CASE WHEN n_nationkey = 0 THEN NULL
+           |              ELSE CAST(n_nationkey AS BIGINT) END AS k,
+           |         n_name AS v, true AS t_p
+           |  FROM nation),
+           |upd AS (
+           |  SELECT CASE WHEN n_nationkey = 0 THEN NULL
+           |              ELSE CAST(n_nationkey AS BIGINT) END AS k,
+           |         lower(n_name) AS v
+           |  FROM nation WHERE n_nationkey % 3 = 0),
+           |src0 AS (
+           |  SELECT * FROM upd
+           |  UNION ALL SELECT CAST(100 AS BIGINT), 'inserted'
+           |  UNION ALL SELECT CAST(200 AS BIGINT), 'tombstone'),
+           |src AS (
+           |  SELECT k, v, (v = 'tombstone' OR k IS NOT DISTINCT FROM 6) AS del,
+           |         true AS s_p
+           |  FROM src0)
+           |SELECT coalesce(CASE WHEN t.t_p IS NOT NULL THEN t.k ELSE s.k END, -999) AS k,
+           |  (CASE WHEN t.t_p IS NOT NULL THEN t.k ELSE s.k END) IS NULL AS k_was_null,
+           |  CASE WHEN s.s_p IS NOT NULL THEN s.v ELSE t.v END AS v,
+           |  CASE WHEN t.t_p IS NOT NULL AND s.s_p IS NOT NULL THEN 'update'
+           |       WHEN s.s_p IS NOT NULL THEN 'insert' ELSE 'keep' END AS action
+           |FROM tgt t FULL OUTER JOIN src s ON t.k IS NOT DISTINCT FROM s.k
+           |WHERE NOT (s.s_p IS NOT NULL AND s.del)
+           |ORDER BY k""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.nation(s, d)
+      def nullKey = when(col("n_nationkey") === 0, lit(null))
+        .otherwise(col("n_nationkey")).cast(LongType).as("k")
+      val tgt = base.select(nullKey, col("n_name").as("v"))
+      val upd = base.filter(col("n_nationkey") % 3 === 0)
+        .select(nullKey, lower(col("n_name")).as("v"))
+      val extra = Seq[(Option[Long], String)](
+        (Some(100L), "inserted"), (Some(200L), "tombstone")).toDF("k", "v")
+      val src = upd.unionByName(extra)
+      graft.operators.Merge.merge(tgt, src, Seq("k"),
+          deleteWhen = Some(col("v") === "tombstone" || col("k") <=> 6))
+        .select(coalesce(col("k"), lit(-999L)).as("k"),
+          col("k").isNull.as("k_was_null"), col("v"), col("action"))
+        .orderBy(col("k"))
+    })
+
   val all: Seq[Q] = Seq(statsAgg, ntileDist, arrayFuncs2, filteredAgg,
     widthBucketHist, unpivot, intervalJoin, sequenceExplode,
     regexpExtractAll, tryArith, lateralJoin, ignoreNullsWindow,
     saltedJoinQ, nullSafeJoin, nthValue, inSubquery, mergeUpsert,
-    runningTotalKeyed, ignoreNullsKeyed)
+    mergeNullSafe, runningTotalKeyed, ignoreNullsKeyed)
 }

@@ -67,6 +67,44 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Merge.merge(tgt, src, Seq("nope")) }
   }
 
+  test("NULL keys match null-safe: update through NULL, never duplicate") {
+    val t = Seq[(Option[Long], String)](
+      (None, "nullrow"), (Some(1L), "a")).toDF("k", "v")
+    val s = Seq[(Option[Long], String)](
+      (None, "NULLROW2"), (Some(2L), "b")).toDF("k", "v")
+    val out = Merge.merge(t, s, Seq("k")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1), r.getString(2))).sortBy(_._1)
+    // the NULL-key source row must UPDATE the NULL-key target row, not
+    // insert a second NULL-key row (ADVICE r4 #1)
+    assert(out === Seq((-1L, "NULLROW2", "update"),
+      (1L, "a", "keep"), (2L, "b", "insert")))
+  }
+
+  test("NULL-key delete removes the NULL-key target row") {
+    val t = Seq[(Option[Long], String)]((None, "nullrow"), (Some(1L), "a"))
+      .toDF("k", "v")
+    val s = Seq[(Option[Long], String)]((None, "gone")).toDF("k", "v")
+    val out = Merge.merge(t, s, Seq("k"),
+        deleteWhen = Some(col("v") === "gone"))
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq === Seq((1L, "keep")))
+  }
+
+  test("x_merge_nullsafe registry entry matches in-memory classification") {
+    val out = SparkEntry.queries("x_merge_nullsafe")(spark, sf()).cache()
+    val byK = out.collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(3))).toMap
+    assert(byK(-999L) === ((true, "update")))   // NULL key updated null-safe
+    assert(byK(100L) === ((false, "insert")))
+    assert(!byK.contains(200L))                 // tombstone never resurrects
+    assert(!byK.contains(6L))                   // matched delete vanished
+    assert(byK(3L) === ((false, "update")))
+    assert(byK(1L) === ((false, "keep")))
+    assert(out.count() === out.select("k").distinct().count())
+    out.unpersist(false)
+  }
+
   test("x_merge_upsert registry entry: actions present, keys unique") {
     val out = SparkEntry.queries("x_merge_upsert")(spark, sf()).cache()
     val acts = out.groupBy("action").count().collect()
