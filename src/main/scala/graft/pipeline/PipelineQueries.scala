@@ -440,12 +440,12 @@ object PipelineQueries {
     * from an LCG over integers, so Spark (Scala-computed literals) and
     * DuckDB (in-SQL integer arithmetic) produce bit-identical doubles
     * (k/2^31 - 0.5 is exact in binary). */
-  private def lcgPlane(j: Int): Seq[Double] =
+  private[pipeline] def lcgPlane(j: Int): Seq[Double] =
     (0 until 64).map { i =>
       ((1103515245L * (j * 64 + i) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
     }
 
-  private def planeSql(j: Int): String =
+  private[pipeline] def planeSql(j: Int): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> vd[i] * " +
       s"(((1103515245 * ($j * 64 + i - 1) + 12345) % 2147483648) / 2147483648.0 - 0.5)))"
 

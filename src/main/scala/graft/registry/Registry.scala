@@ -31,6 +31,7 @@ object Registry {
       graft.operators.Incremental.all ++
       graft.operators.Resample.all ++
       graft.pipeline.PipelineQueries.all ++
+      graft.pipeline.VectorIndex.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
