@@ -597,6 +597,36 @@ object PipelineQueries {
         length(col("text")).cast(LongType).as("n_chars_actual"))
         .orderBy(col("doc_id")))
 
+  /** BPE-ish subword pre-tokenization: the GPT-2 pre-tokenizer's split
+    * classes without its lookahead (RE2, the oracle's engine, has none) —
+    * a token is an optionally-space-led letter run, digit run, or
+    * punctuation run. Counts bound BPE sequence length from below (each
+    * pre-token expands to >=1 BPE id), which is what corpus token-budget
+    * accounting needs. Java and RE2 agree on every class used here
+    * (incl. \s ⊇ \x0B on both). fertility = pre-tokens per whitespace
+    * word, the standard tokenizer-granularity diagnostic. */
+  private val BpeRegex = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  val tokenBpe: Q = Q(
+    "t_token_bpe",
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, $toksSql AS toks,
+            |    regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+') AS bpe
+            |  FROM documents)
+            |SELECT doc_id,
+            |  CAST(len(bpe) AS BIGINT) AS n_bpe,
+            |  CAST(len(toks) AS BIGINT) AS n_words,
+            |  round(CAST(len(bpe) AS DOUBLE) / len(toks), 6) AS fertility
+            |FROM t WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpeRegex), lit(0))).cast(LongType).as("n_bpe"),
+        size(toks(col("text"))).cast(LongType).as("n_words"))
+        .filter(col("n_words") > 0)
+        .withColumn("fertility", round(col("n_bpe").cast("double") / col("n_words"), 6))
+        .orderBy(col("doc_id")))
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
   val fingerprint: Q = Q(
     "t_fingerprint",
@@ -716,5 +746,5 @@ object PipelineQueries {
     minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash, dedupSurvivors,
     pipelineE2e,
     annTopk, annLsh, annMultiprobe,
-    tokenCount, fingerprint, quality, langId)
+    tokenCount, tokenBpe, fingerprint, quality, langId)
 }

@@ -160,6 +160,26 @@ object Extended {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders")))
 
+  /** Approximate percentiles with a driver-checkable tolerance: the
+    * t-digest-style approx_percentile sketch (accuracy 10000) must land
+    * within 1% of the exact interpolated percentile for p50/p90 of
+    * l_extendedprice — the sketch is deterministic for a fixed input so
+    * the booleans are stable, and the exact `x_percentiles` query
+    * remains the value-level twin. */
+  val approxPercentileTol: Q = Q(
+    "x_approx_percentile_tol",
+    Some("SELECT true AS p50_ok, true AS p90_ok"),
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+          expr("percentile(l_extendedprice, 0.5)").as("e50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"),
+          expr("percentile(l_extendedprice, 0.9)").as("e90"))
+        .select(
+          (abs(col("a50") - col("e50")) <= abs(col("e50")) * 0.01).as("p50_ok"),
+          (abs(col("a90") - col("e90")) <= abs(col("e90")) * 0.01).as("p90_ok")))
+
   /** Driver-checkable twin of x_approx_distinct (VERDICT r2 #4): the
     * HLL++ estimates must sit within 5% of the exact distinct counts,
     * computed in the same aggregation. rsd pinned at 0.02 — the default
@@ -393,6 +413,7 @@ object Extended {
 
   val all: Seq[Q] = Seq(asofJoin, asofJoinNative, pivot, percentiles, arrayFuncs, regex,
     explodeWords, saltedAgg, approxDistinct, approxDistinctTol,
+    approxPercentileTol,
     higherOrder, windowRange,
     groupingSets, nullSemantics, editDistance, stringFuncs2, dateArith,
     bitOps, argMax, corrSubquery, firstLast)

@@ -473,15 +473,20 @@ object Extended2 {
            |WHERE NOT (s.s_p IS NOT NULL AND s.del)
            |ORDER BY k""".stripMargin),
     (s, d) => {
-      import s.implicits._
       val base = Tables.nation(s, d)
       def nullKey = when(col("n_nationkey") === 0, lit(null))
         .otherwise(col("n_nationkey")).cast(LongType).as("k")
       val tgt = base.select(nullKey, col("n_name").as("v"))
       val upd = base.filter(col("n_nationkey") % 3 === 0)
         .select(nullKey, lower(col("n_name")).as("v"))
-      val extra = Seq[(Option[Long], String)](
-        (Some(100L), "inserted"), (Some(200L), "tombstone")).toDF("k", "v")
+      // literal rows via range(): the product-encoder toDF alternative
+      // pays a one-time ~5s scala-reflect mirror init the first time any
+      // query derives an encoder — measured as this query's entire cold
+      // cost in the bench
+      val extra = s.range(1)
+        .select(lit(100L).as("k"), lit("inserted").as("v"))
+        .unionByName(s.range(1)
+          .select(lit(200L).as("k"), lit("tombstone").as("v")))
       val src = upd.unionByName(extra)
       graft.operators.Merge.merge(tgt, src, Seq("k"),
           deleteWhen = Some(col("v") === "tombstone" || col("k") <=> 6))
