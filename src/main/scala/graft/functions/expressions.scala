@@ -155,5 +155,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("byte_histogram", es => ByteHistogram(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sample_bytes", es => SampleBytes(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("array_dot", es => ArrayDot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("top_k_by", es => TopKByAgg(es(0), es(1),
+      es(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"top_k_by: k must be an integer literal, got $other")
+      }).toAggregateExpression(), "scala_udf")
   }
 }

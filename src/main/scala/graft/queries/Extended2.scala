@@ -495,7 +495,32 @@ object Extended2 {
         .orderBy(col("k"))
     })
 
-  val all: Seq[Q] = Seq(statsAgg, ntileDist, arrayFuncs2, filteredAgg,
+  /** Top-k per group as a k-bounded AGGREGATE (TopKByAgg) instead of a
+    * window: `row_number() <= k` shuffles and sorts every row of every
+    * group; the aggregate prunes to k pairs per group in the map-side
+    * partial, so the exchange carries O(groups*k) — the 100-TB rewrite
+    * of `w_rank_topk_per_group`, same rows, same oracle shape (the
+    * (acctbal DESC, suppkey ASC) total order makes them value-for-value
+    * interchangeable; acctbal rides as exact cents). */
+  val topkAgg: Q = Q(
+    "x_topk_agg",
+    Some("""SELECT s_nationkey, s_suppkey, rn FROM (
+           |  SELECT s_nationkey, s_suppkey,
+           |    row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rn
+           |  FROM supplier)
+           |WHERE rn <= 3 ORDER BY s_nationkey, rn""".stripMargin),
+    (s, d) =>
+      Tables.supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(graft.functions.TopKByAgg.top_k_by(
+          (col("s_acctbal") * 100).cast(LongType),
+          col("s_suppkey").cast(LongType), 3).as("top"))
+        .select(col("s_nationkey"), posexplode(col("top")))
+        .select(col("s_nationkey"), col("col.value").as("s_suppkey"),
+          (col("pos") + 1).cast("int").as("rn"))
+        .orderBy(col("s_nationkey"), col("rn")))
+
+  val all: Seq[Q] = Seq(statsAgg, ntileDist, arrayFuncs2, filteredAgg, topkAgg,
     widthBucketHist, unpivot, intervalJoin, sequenceExplode,
     regexpExtractAll, tryArith, lateralJoin, ignoreNullsWindow,
     saltedJoinQ, nullSafeJoin, nthValue, inSubquery, mergeUpsert,
