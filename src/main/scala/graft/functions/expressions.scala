@@ -148,6 +148,11 @@ object GraftFunctions {
     GraftColumnBridge.column(SampleBytes(
       GraftColumnBridge.expression(c), GraftColumnBridge.expression(k)))
 
+  def cms_sketch(hashedKey: Column): Column = CmsSketch.cms_sketch(hashedKey)
+
+  def cms_estimate(sketch: Column, hashedKey: Column): Column =
+    CmsSketch.cms_estimate(sketch, hashedKey)
+
   /** Make the functions usable from SQL text too. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -155,6 +160,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("byte_histogram", es => ByteHistogram(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sample_bytes", es => SampleBytes(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("array_dot", es => ArrayDot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cms_sketch",
+      es => CmsSketchAgg(es.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("cms_estimate",
+      es => CmsEstimate(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("top_k_by", es => TopKByAgg(es(0), es(1),
       es(2) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -597,6 +597,55 @@ object PipelineQueries {
         length(col("text")).cast(LongType).as("n_chars_actual"))
         .orderBy(col("doc_id")))
 
+  /** Heavy hitters by Count-Min screening: the top-20 words of the
+    * corpus with EXACT counts, plus booleans certifying the CMS point
+    * estimates around them. The sketch discipline mirrors the LSH
+    * family: the approximate structure narrows/validates, exact values
+    * are what's emitted — so the oracle is plain SQL over word counts
+    * and the output is bit-deterministic (CMS counters are associative
+    * integer sums, independent of partitioning).
+    *
+    * At 100 TB the CMS pass is ONE partial-aggregated reduce with a
+    * constant 64 KiB buffer (vs the exact groupBy's O(distinct-words)
+    * shuffle); here the exact top-20 doubles as both the candidate list
+    * and the certificate that `est >= exact` (CMS can never undercount)
+    * and `est <= exact + coll_bound` hold — coll_bound = 4*N/Width, 4x
+    * the expected per-counter collision mass, deterministic for fixed
+    * data (CmsSketchSpec pins the tighter distributional behavior). */
+  val heavyHitters: Q = Q(
+    "t_heavy_hitters",
+    Some(s"""WITH w AS (
+            |  SELECT unnest($toksSql) AS w FROM documents),
+            |c AS (
+            |  SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM w GROUP BY w),
+            |top AS (
+            |  SELECT w, n_exact, row_number() OVER (ORDER BY n_exact DESC, w) AS rnk
+            |  FROM c)
+            |SELECT w, n_exact, CAST(rnk AS BIGINT) AS rnk,
+            |  true AS cms_lower_ok, true AS cms_upper_ok
+            |FROM top WHERE rnk <= 20 ORDER BY rnk""".stripMargin),
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("w"))
+      val total = words.agg(
+        count(lit(1)).as("n"),
+        GraftFunctions.cms_sketch(xxhash64(col("w"))).as("sk"))
+      // TakeOrderedAndProject (orderBy+limit), NOT a global window over
+      // all distinct words — the rank window then runs on 20 rows only
+      val w = Window.orderBy(col("n_exact").desc, col("w"))
+      val top = words.groupBy(col("w"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("w")).limit(20)
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+      top.crossJoin(broadcast(total))
+        .withColumn("est", GraftFunctions.cms_estimate(col("sk"), xxhash64(col("w"))))
+        .select(col("w"), col("n_exact"), col("rnk"),
+          (col("est") >= col("n_exact")).as("cms_lower_ok"),
+          (col("est") <= col("n_exact")
+            + lit(4L) * col("n") / lit(graft.functions.CmsParams.Width)).as("cms_upper_ok"))
+        .orderBy(col("rnk"))
+    })
+
   /** BPE-ish subword pre-tokenization: the GPT-2 pre-tokenizer's split
     * classes without its lookahead (RE2, the oracle's engine, has none) —
     * a token is an optionally-space-led letter run, digit run, or
@@ -746,5 +795,5 @@ object PipelineQueries {
     minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash, dedupSurvivors,
     pipelineE2e,
     annTopk, annLsh, annMultiprobe,
-    tokenCount, tokenBpe, fingerprint, quality, langId)
+    tokenCount, tokenBpe, heavyHitters, fingerprint, quality, langId)
 }
