@@ -30,6 +30,7 @@ object Registry {
       graft.sources.ZOrderStore.all ++
       graft.operators.Incremental.all ++
       graft.operators.Resample.all ++
+      graft.operators.RangeJoin.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.pipeline.VectorIndex.all ++
       graft.pipeline.Multimodal.all ++
