@@ -25,6 +25,7 @@ object Registry {
       graft.analytics.GraphQueries.all ++
       graft.analytics.PageRank.all ++
       graft.analytics.ShortestPaths.all ++
+      graft.analytics.KCore.all ++
       graft.operators.Cdc.all ++
       graft.operators.BloomPrune.all ++
       graft.sources.ZOrderStore.all ++
