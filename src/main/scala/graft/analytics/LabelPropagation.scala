@@ -1,0 +1,89 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.registry.Q
+
+/** Synchronous label propagation (community detection): every vertex
+  * starts labeled with its own id; each round it adopts the most
+  * frequent label among its neighbors, ties to the SMALLEST label — a
+  * deterministic total order, so a fixed round count R is bit-identical
+  * across engines/layouts and an unrolled DuckDB CTE oracles it exactly
+  * (the PageRank/SSSP/KCore discipline; classic async LPA is
+  * order-dependent by design and cannot be oracled).
+  *
+  * Round shape: one co-partitioned histogram aggregation
+  * (neighbor-label counts, map-side combinable) + one argmax
+  * aggregation via max(struct(count, -label)) — no window over the
+  * vertex set. Edges are shuffled onto src once before the loop
+  * (LoopConf-pinned).
+  */
+object LabelPropagation {
+
+  val Rounds = 3
+
+  def labelProp(spark: SparkSession, edgesRaw: DataFrame,
+      rounds: Int = Rounds): DataFrame =
+    LoopConf.pinned(spark, edgesRaw.count()) {
+      labelPropPinned(spark, edgesRaw, rounds)
+    }
+
+  private def labelPropPinned(spark: SparkSession, edgesRaw: DataFrame,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import graft.graph.CitationGraph.bidirectional
+
+    val e = bidirectional(edgesRaw)
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var lab = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    var prevCkpt: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val hist = lab.join(e, col("id") === col("src"))
+        .groupBy(col("dst"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val nextDs = hist
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c").as("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("dst").as("id"), (-col("m.nl")).as("lab"))
+      val next = nextDs.localCheckpoint(true)
+      prevCkpt.foreach(p =>
+        GraftColumnBridge.checkpointRdd(p).foreach(_.unpersist(false)))
+      prevCkpt = Some(next)
+      lab = next
+    }
+    GraftColumnBridge.checkpointRdd(e).foreach(_.unpersist(false))
+    lab
+  }
+
+  // ---- registry entry ---------------------------------------------------
+
+  private def oracleSql(rounds: Int): String = {
+    import graft.graph.CitationGraph.edgesSql
+    val head =
+      s"""WITH $edgesSql,
+         |e AS (SELECT src, dst FROM edges WHERE src <> dst
+         |  UNION SELECT dst, src FROM edges WHERE src <> dst),
+         |lab0 AS (SELECT DISTINCT src AS id, src AS lab FROM e)""".stripMargin
+    val levels = (1 to rounds).map { r =>
+      s"""h$r AS (SELECT e.dst AS id, p.lab AS lab, count(*) AS c
+         |  FROM e JOIN lab${r - 1} p ON p.id = e.src GROUP BY 1, 2),
+         |lab$r AS (SELECT id, lab FROM (
+         |  SELECT id, lab, row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rk
+         |  FROM h$r) WHERE rk = 1)""".stripMargin
+    }
+    (head +: levels).mkString(",\n") +
+      s"\nSELECT id, lab FROM lab$rounds ORDER BY id"
+  }
+
+  val labelPropQ: Q = Q(
+    "g_labelprop",
+    Some(oracleSql(Rounds)),
+    (s, d) =>
+      labelProp(s, graft.graph.CitationGraph.edges(s, d))
+        .orderBy(col("id")))
+
+  def all: Seq[Q] = Seq(labelPropQ)
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.registry.Q
+
+/** Declarative data-quality auditing — the constraint-validation pass a
+  * training-data pipeline runs before trusting an ingest batch. Row
+  * rules compile to ONE aggregation over a single scan (each rule a
+  * conditional count — map-side combinable, no shuffle beyond the final
+  * 1-row reduce); referential integrity is a left-anti count against
+  * the parent's keys. Everything is an exact BIGINT count, so the audit
+  * is bit-deterministic and plain-SQL oracled.
+  */
+object DataQuality {
+
+  /** A named row-level constraint; `violation` evaluates true on BAD rows. */
+  final case class Rule(name: String, violation: Column)
+
+  /** One row, one violation-count column per rule, single scan. */
+  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "audit needs at least one rule")
+    df.agg(
+      sum(when(rules.head.violation, 1L).otherwise(0L)).as(rules.head.name),
+      rules.tail.map(r => sum(when(r.violation, 1L).otherwise(0L)).as(r.name)): _*)
+  }
+
+  /** Count of child rows whose key has no match in parent (FK orphans). */
+  def orphanCount(child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column): DataFrame =
+    child.select(childKey.as("__k"))
+      .join(parent.select(parentKey.as("__k")), Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+
+  /** Count of duplicated primary-key values. */
+  def duplicateKeyCount(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("__k")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+
+  /** The registered audit: lineitem row rules (date ordering, value
+    * ranges, nulls) in one scan, plus lineitem→orders referential
+    * integrity and an orders PK uniqueness check. The testdata is clean
+    * by construction, so the expected counts are zero — the point is
+    * the single-pass plan shape and that any future corruption shows up
+    * as a nonzero cell in a hash-checked result. */
+  val dqChecks: Q = Q(
+    "x_dq_checks",
+    Some("""SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           |     WHERE l_shipdate < DATE '1992-01-01' OR l_shipdate > DATE '2002-12-31') AS bad_shipdate,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           |     WHERE l_quantity <= 0 OR l_extendedprice < 0) AS bad_values,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           |     WHERE l_returnflag IS NULL OR l_linestatus IS NULL) AS null_flags,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           |     WHERE l_discount < 0 OR l_discount > 1) AS bad_discount,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+           |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+           |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM (
+           |     SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS dup_orderkeys""".stripMargin),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val rowAudit = audit(li, Seq(
+        Rule("bad_shipdate", col("l_shipdate") < lit("1992-01-01").cast("date")
+          || col("l_shipdate") > lit("2002-12-31").cast("date")),
+        Rule("bad_values", col("l_quantity") <= 0 || col("l_extendedprice") < 0),
+        Rule("null_flags", col("l_returnflag").isNull || col("l_linestatus").isNull),
+        Rule("bad_discount", col("l_discount") < 0 || col("l_discount") > 1)))
+      val orphans = orphanCount(li, col("l_orderkey"),
+        Tables.orders(s, d), col("o_orderkey"))
+        .select(col("n").as("orphan_lineitems"))
+      val dups = duplicateKeyCount(Tables.orders(s, d), col("o_orderkey"))
+        .select(col("n").as("dup_orderkeys"))
+      rowAudit.crossJoin(orphans).crossJoin(dups)
+    })
+
+  def all: Seq[Q] = Seq(dqChecks)
+}

@@ -305,6 +305,46 @@ object PipelineQueries {
       jaccardVerify(cand, shinglePosts(s, d), 0.5)
     })
 
+  /** Incremental near-dup: a NEW INGEST BATCH (docs with doc_id % 10 =
+    * 7, ~10% of the corpus) deduplicated against the full corpus — the
+    * production shape where the corpus's band index is precomputed
+    * (here: the session-shared minhash table standing in for the stored
+    * index) and only the batch's band keys probe it. Cost is
+    * O(|batch| x band collisions), NOT a full-corpus re-dedup; results
+    * are exactly the full run's pairs restricted to those touching the
+    * batch (pairs within the batch included), which is what the oracle
+    * states. Canonicalized a<b via least/greatest since the probe side
+    * may hold either endpoint. */
+  val dedupIncremental: Q = Q(
+    "d_dedup_incremental",
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, $toksSql AS toks FROM documents),
+            |sh AS (
+            |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+            |  FROM t WHERE len(toks) >= 3)
+            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            |  round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jac
+            |FROM sh a JOIN sh b
+            |  ON a.doc_id < b.doc_id
+            |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5
+            |  AND (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)
+            |ORDER BY a_id, b_id""".stripMargin),
+    (s, d) => {
+      val sk = minhashCached(s, d)
+        .select(col("doc_id"), Sketches.bandKeys(col("sig")).as("bands"))
+      val banded = sk.select(col("doc_id"), explode(col("bands")).as("band"))
+      val probe = banded.filter(col("doc_id") % 10 === 7)
+      val cand = probe.as("x").join(banded.as("y"), Seq("band"))
+        .where(col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+        .distinct()
+      jaccardVerify(cand, shinglePosts(s, d), 0.5)
+    })
+
   /** SimHash values (60-bit, md5-derived, frequency-weighted) —
     * oracle-checked per value. */
   val simhashQ: Q = Q(
@@ -791,7 +831,7 @@ object PipelineQueries {
     })
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupNgram, dedupEmbedding,
+    dedupExact, dedupNgram, dedupEmbedding, dedupIncremental,
     minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash, dedupSurvivors,
     pipelineE2e,
     annTopk, annLsh, annMultiprobe,

@@ -26,12 +26,14 @@ object Registry {
       graft.analytics.PageRank.all ++
       graft.analytics.ShortestPaths.all ++
       graft.analytics.KCore.all ++
+      graft.analytics.LabelPropagation.all ++
       graft.operators.Cdc.all ++
       graft.operators.BloomPrune.all ++
       graft.sources.ZOrderStore.all ++
       graft.operators.Incremental.all ++
       graft.operators.Resample.all ++
       graft.operators.RangeJoin.all ++
+      graft.operators.DataQuality.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.pipeline.VectorIndex.all ++
       graft.pipeline.Multimodal.all ++

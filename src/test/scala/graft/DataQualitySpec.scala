@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DataQuality
+import graft.operators.DataQuality.Rule
+
+/** DataQuality contracts: violations are actually counted (on planted
+  * corruption, not just the clean testdata), the row audit is one scan
+  * with no shuffle before the final reduce, and orphan/dup helpers
+  * count what they claim. */
+class DataQualitySpec extends SparkSpec {
+
+  private def corrupt = {
+    val rows = Seq(
+      (1L, 10L, "ok"),
+      (2L, -5L, "ok"),   // bad value
+      (3L, 7L, null),    // null flag
+      (3L, 8L, "ok"))    // dup key
+    spark.createDataFrame(rows).toDF("k", "v", "flag")
+  }
+
+  test("planted corruption is counted exactly") {
+    val out = DataQuality.audit(corrupt, Seq(
+      Rule("neg_v", col("v") < 0),
+      Rule("null_flag", col("flag").isNull))).collect().head
+    assert(out.getLong(0) == 1L && out.getLong(1) == 1L)
+
+    val dups = DataQuality.duplicateKeyCount(corrupt, col("k")).collect().head.getLong(0)
+    assert(dups == 2L) // both rows of the duplicated key count
+
+    val parent = spark.range(3).select((col("id") + 1).as("pk")) // 1,2,3
+    val orphans = DataQuality.orphanCount(
+      corrupt, col("k") + 10, parent, col("pk")).collect().head.getLong(0)
+    assert(orphans == 4L) // all child keys shifted out of range
+  }
+
+  test("row audit is a single-scan aggregate (one partial/final pair, no join)") {
+    val plan = DataQuality.audit(Tables.lineitem(spark, sf()), Seq(
+      Rule("a", col("l_quantity") <= 0),
+      Rule("b", col("l_discount") < 0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"row audit must not join:\n$plan")
+    assert(plan.contains("partial"), s"expected map-side partial aggregation:\n$plan")
+  }
+
+  test("registered audit is all-zeros on the clean testdata") {
+    val row = DataQuality.dqChecks.run(spark, sf()).collect().head
+    (0 until row.length).foreach(i => assert(row.getLong(i) == 0L,
+      s"clean testdata flagged at column $i"))
+  }
+}

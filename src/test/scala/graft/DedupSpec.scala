@@ -153,6 +153,16 @@ class DedupSpec extends SparkSpec {
     assert(rowSim.keySet === (1L to 8L).toSet)
   }
 
+  test("incremental dedup equals the full run restricted to batch-touching pairs") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(PipelineQueries.dedupMinhashLsh.run(spark, sf()))
+    val incr = pairs(PipelineQueries.dedupIncremental.run(spark, sf()))
+    val expected = full.filter { case (a, b) => a % 10 == 7 || b % 10 == 7 }
+    assert(incr == expected)
+  }
+
   test("exact all-pairs baselines fail fast above the input cap") {
     import spark.implicits._
     val big = spark.range(201).toDF("vec_id")
