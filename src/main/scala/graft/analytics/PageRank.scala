@@ -70,7 +70,7 @@ object PageRank {
     // without materializing), so batching rounds into one job removes
     // per-round materialization overhead; the checkpoint only exists to
     // keep lineage depth bounded.
-    val ckptEvery = 3
+    val ckptEvery = 5
     var r = v.select(col("id"), lit(r0).as("r"))
     var prevCkpt: Option[DataFrame] = None
     var sinceCkpt = 0

@@ -180,6 +180,26 @@ object Extended {
           (abs(col("a50") - col("e50")) <= abs(col("e50")) * 0.01).as("p50_ok"),
           (abs(col("a90") - col("e90")) <= abs(col("e90")) * 0.01).as("p90_ok")))
 
+  /** PER-GROUP HLL++ distinct counts with driver-checkable tolerance —
+    * the grouped companion to the global x_approx_distinct_tol: each
+    * order priority's approx customer count must land within 5% of its
+    * exact count, computed in ONE aggregation pass (both sketch and
+    * exact per group). The sketch is deterministic for fixed input, so
+    * the per-group booleans are stable. */
+  val hllGroupTol: Q = Q(
+    "x_hll_group_tol",
+    Some("""SELECT o_orderpriority, true AS ok
+           |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.02).as("a"),
+          countDistinct(col("o_custkey")).as("e"))
+        .select(col("o_orderpriority"),
+          (abs(col("a") - col("e")) <= greatest(lit(1L), col("e") * 0.05)).as("ok"))
+        .orderBy(col("o_orderpriority")))
+
   /** Driver-checkable twin of x_approx_distinct (VERDICT r2 #4): the
     * HLL++ estimates must sit within 5% of the exact distinct counts,
     * computed in the same aggregation. rsd pinned at 0.02 — the default
@@ -413,7 +433,7 @@ object Extended {
 
   val all: Seq[Q] = Seq(asofJoin, asofJoinNative, pivot, percentiles, arrayFuncs, regex,
     explodeWords, saltedAgg, approxDistinct, approxDistinctTol,
-    approxPercentileTol,
+    approxPercentileTol, hllGroupTol,
     higherOrder, windowRange,
     groupingSets, nullSemantics, editDistance, stringFuncs2, dateArith,
     bitOps, argMax, corrSubquery, firstLast)

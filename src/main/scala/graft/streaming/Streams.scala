@@ -64,6 +64,22 @@ object Streams {
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
 
+  /** Top-3 events by value per hourly window via the custom k-bounded
+    * TopKByAgg — proof the TypedImperativeAggregate family runs under
+    * the STREAMING runtime's partial/merge protocol, not just batch
+    * (state per window is the k-bounded buffer, not the window's rows).
+    * Values ride as exact cents; ties break on event_id ascending, so
+    * stream == batch bit-for-bit (StreamingSpec). */
+  def topEventsPerHour(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.TopKByAgg.top_k_by(
+        (col("value") * 100).cast(LongType), col("event_id"), 3).as("top"))
+      .select(col("w.start").as("hstart"), posexplode(col("top")))
+      .select(col("hstart"), col("col.value").as("event_id"),
+        col("col.ord").as("cents"), (col("pos") + 1).cast(LongType).as("rnk"))
+
   // ---- upsert sink ------------------------------------------------------
 
   /** Lakehouse-style streaming upsert sink: each micro-batch is applied

@@ -65,6 +65,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("custom TopKByAgg under the streaming runtime == batch") {
+    val stream = Streams.topEventsPerHour(Streams.readEventsStream(spark, sf()))
+    val q = stream.writeStream
+      .format("memory").queryName("topk_out")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(java.sql.Timestamp, Long, Long, Long)] =
+      df.select("hstart", "event_id", "cents", "rnk")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val got = rows(spark.table("topk_out"))
+    val want = rows(Streams.topEventsPerHour(Tables.events(spark, sf())))
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("foreachBatch upsert sink: folded stream state == direct CDC state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
