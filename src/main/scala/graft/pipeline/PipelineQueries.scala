@@ -716,6 +716,74 @@ object PipelineQueries {
         .withColumn("fertility", round(col("n_bpe").cast("double") / col("n_words"), 6))
         .orderBy(col("doc_id")))
 
+  /** Fixed-size token chunking with overlap — the standard training-data
+    * prep step (context-window-sized pieces, stride < size so chunk
+    * boundaries don't lose cross-boundary context). Chunk size 32
+    * tokens, stride 24 (8-token overlap); chunks are emitted as md5
+    * fingerprints + exact token counts (compact, hash-stable rows). A
+    * narrow per-row explode — no shuffle at all until the output sort. */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  val chunking: Q = Q(
+    "t_chunking",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |c AS (
+            |  SELECT doc_id, s.i AS start,
+            |    list_slice(toks, s.i, least(s.i + ${ChunkSize - 1}, len(toks))) AS chunk
+            |  FROM t, unnest(generate_series(1, len(toks), $ChunkStride)) AS s(i)
+            |  WHERE len(toks) > 0)
+            |SELECT doc_id, CAST(start AS BIGINT) AS start,
+            |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+            |  md5(array_to_string(chunk, ' ')) AS fp
+            |FROM c ORDER BY doc_id, start""".stripMargin),
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")), lit(ChunkStride))).as("start"))
+        .withColumn("chunk", slice(col("toks"), col("start"), lit(ChunkSize)))
+        .select(col("doc_id"), col("start").cast(LongType).as("start"),
+          size(col("chunk")).cast(LongType).as("n_tokens"),
+          md5(array_join(col("chunk"), " ")).as("fp"))
+        .orderBy(col("doc_id"), col("start")))
+
+  /** Sequence packing: fill fixed-capacity training bins (2048 tokens)
+    * with documents in doc_id order WITHIN A SHARD (doc_id div 100) —
+    * the distributed packing shape: shards pack independently (keyed
+    * window, no global sort; the single-partition global window is the
+    * known anti-pattern), each bin's token total overshoots capacity by
+    * at most one document. Emits per-bin stats. */
+  private val PackCapacity = 2048
+
+  val packSequences: Q = Q(
+    "t_pack_sequences",
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, doc_id // 100 AS shard, CAST(len($toksSql) AS BIGINT) AS n
+            |  FROM documents),
+            |c AS (
+            |  SELECT shard, doc_id, n,
+            |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            |  FROM t),
+            |b AS (SELECT shard, doc_id, n, (cum - 1) // $PackCapacity AS bin FROM c)
+            |SELECT shard, CAST(bin AS BIGINT) AS bin,
+            |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+            |FROM b GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("doc_id div 100").as("shard"),
+          size(toks(col("text"))).cast(LongType).as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("bin", expr(s"(cum - 1) div $PackCapacity"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+        .orderBy(col("shard"), col("bin"))
+    })
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
   val fingerprint: Q = Q(
     "t_fingerprint",
@@ -835,5 +903,6 @@ object PipelineQueries {
     minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash, dedupSurvivors,
     pipelineE2e,
     annTopk, annLsh, annMultiprobe,
-    tokenCount, tokenBpe, heavyHitters, fingerprint, quality, langId)
+    tokenCount, tokenBpe, heavyHitters, chunking, packSequences,
+    fingerprint, quality, langId)
 }

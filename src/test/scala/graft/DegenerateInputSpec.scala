@@ -38,6 +38,40 @@ class DegenerateInputSpec extends SparkSpec {
     assert(got.toSeq === Seq((1995L, 1L, 1L)))
   }
 
+  test("k-core of an empty graph is empty; k-core with k=1 keeps everything") {
+    import spark.implicits._
+    assert(graft.analytics.KCore.kcore(spark, emptyEdges).count() === 0)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(graft.analytics.KCore.kcore(spark, tri, k = 1,
+      rounds = Int.MaxValue).count() === 3)
+  }
+
+  test("label propagation of an empty graph is empty") {
+    assert(graft.analytics.LabelPropagation.labelProp(spark, emptyEdges).count() === 0)
+  }
+
+  test("range join with empty points keeps all intervals at count 0") {
+    import spark.implicits._
+    val intervals = Seq((1L, 0L, 100L), (2L, 50L, 150L)).toDF("iid", "lo", "hi")
+    val points = Seq.empty[(Long, Long)].toDF("pid", "p")
+    val out = graft.operators.RangeJoin.pointsInIntervals(points, intervals, 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("top_k_by over an empty relation yields no groups; cms of empty never undercounts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("g", "o", "v")
+    assert(empty.groupBy(col("g"))
+      .agg(graft.functions.TopKByAgg.top_k_by(col("o"), col("v"), 3)).count() === 0)
+    val sk = Seq.empty[(Long, Long)].toDF("k", "x")
+      .agg(graft.functions.GraftFunctions.cms_sketch(col("k")).as("s"))
+    val est = sk.select(
+      graft.functions.GraftFunctions.cms_estimate(col("s"), lit(42L))).head.getLong(0)
+    assert(est === 0L) // empty sketch estimates 0 for any key: exact, not under
+  }
+
   test("sketches of an empty corpus are empty; single-token docs survive") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
