@@ -898,8 +898,76 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     })
 
+  /** Capstone curation pipeline: near-dup survivors → quality gate →
+    * fixed-token chunking → sharded sequence packing, emitting per-bin
+    * training-batch stats — the composition d_pipeline_e2e's gates feed
+    * in a real corpus build, now through to packed batches. Every stage
+    * is an already-oracled operator; the composed oracle chains their
+    * CTE fragments. */
+  val curateE2e: Q = Q(
+    "d_curate_e2e",
+    Some(s"""WITH RECURSIVE t AS (
+            |  SELECT doc_id, $toksSql AS toks FROM documents),
+            |sh AS (
+            |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+            |  FROM t WHERE len(toks) >= 3),
+            |pr AS (
+            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5),
+            |bidir AS (SELECT a_id AS src, b_id AS dst FROM pr UNION SELECT b_id, a_id FROM pr),
+            |vertices AS (SELECT DISTINCT src AS id FROM bidir),
+            |reach AS (
+            |  SELECT id, id AS r FROM vertices
+            |  UNION
+            |  SELECT re.id, b.dst FROM reach re JOIN bidir b ON re.r = b.src),
+            |merged AS (SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY 1) WHERE id <> comp),
+            |clean AS (
+            |  SELECT doc_id, toks FROM t
+            |  WHERE len(toks) > 0
+            |    AND doc_id NOT IN (SELECT id FROM merged)
+            |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3),
+            |ch AS (
+            |  SELECT doc_id, s.i AS start,
+            |    CAST(len(list_slice(toks, s.i, least(s.i + ${ChunkSize - 1}, len(toks)))) AS BIGINT) AS n
+            |  FROM clean, unnest(generate_series(1, len(toks), $ChunkStride)) AS s(i)),
+            |cum AS (
+            |  SELECT doc_id // 100 AS shard, n,
+            |    sum(n) OVER (PARTITION BY doc_id // 100 ORDER BY doc_id, start
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+            |  FROM ch),
+            |b AS (SELECT shard, n, (c - 1) // $PackCapacity AS bin FROM cum)
+            |SELECT shard, CAST(bin AS BIGINT) AS bin,
+            |  CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(n) AS BIGINT) AS total_tokens
+            |FROM b GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin),
+    (s, d) => {
+      val merged = dedupSurvivors.run(s, d).select(col("doc_id"))
+      val clean = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .join(merged, Seq("doc_id"), "left_anti")
+        .filter(size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")) >= 0.3)
+      val chunks = clean
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")), lit(ChunkStride))).as("start"))
+        .select(col("doc_id"), col("start"),
+          size(slice(col("toks"), col("start"), lit(ChunkSize))).cast(LongType).as("n"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"), col("start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("shard", expr("doc_id div 100"))
+        .withColumn("c", sum(col("n")).over(w))
+        .withColumn("bin", expr(s"(c - 1) div $PackCapacity"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n")).as("total_tokens"))
+        .orderBy(col("shard"), col("bin"))
+    })
+
   val all: Seq[Q] = Seq(
-    dedupExact, dedupNgram, dedupEmbedding, dedupIncremental,
+    dedupExact, dedupNgram, dedupEmbedding, dedupIncremental, curateE2e,
     minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash, dedupSurvivors,
     pipelineE2e,
     annTopk, annLsh, annMultiprobe,
