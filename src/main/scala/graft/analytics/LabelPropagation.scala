@@ -24,10 +24,14 @@ object LabelPropagation {
   val Rounds = 3
 
   def labelProp(spark: SparkSession, edgesRaw: DataFrame,
-      rounds: Int = Rounds): DataFrame =
+      rounds: Int = Rounds): DataFrame = {
+    // rounds=0 would return a lazy frame over the edge checkpoint that
+    // the loop epilogue has already unpersisted — reject it up front
+    require(rounds >= 1, s"labelProp needs at least 1 round, got $rounds")
     LoopConf.pinned(spark, edgesRaw.count()) {
       labelPropPinned(spark, edgesRaw, rounds)
     }
+  }
 
   private def labelPropPinned(spark: SparkSession, edgesRaw: DataFrame,
       rounds: Int): DataFrame = {

@@ -294,9 +294,7 @@ object PipelineQueries {
     "d_dedup_minhash_lsh",
     dedupNgramOracle(0.5),
     (s, d) => {
-      val sk = minhashCached(s, d)
-        .select(col("doc_id"), Sketches.bandKeys(col("sig")).as("bands"))
-      val banded = sk.select(col("doc_id"), explode(col("bands")).as("band"))
+      val banded = bandedMinhash(s, d)
       val cand = banded.as("x").join(banded.as("y"), Seq("band"))
         .where(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
@@ -304,6 +302,13 @@ object PipelineQueries {
       // exact verification scoped to candidates — never all-pairs
       jaccardVerify(cand, shinglePosts(s, d), 0.5)
     })
+
+  /** Exploded (doc_id, band) rows of the corpus minhash index — ONE
+    * definition shared by the full-corpus LSH dedup and the incremental
+    * probe so band-key derivation cannot drift between them. */
+  private def bandedMinhash(s: SparkSession, d: String): DataFrame =
+    minhashCached(s, d)
+      .select(col("doc_id"), explode(Sketches.bandKeys(col("sig"))).as("band"))
 
   /** Incremental near-dup: a NEW INGEST BATCH (docs with doc_id % 10 =
     * 7, ~10% of the corpus) deduplicated against the full corpus — the
@@ -333,9 +338,7 @@ object PipelineQueries {
             |  AND (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)
             |ORDER BY a_id, b_id""".stripMargin),
     (s, d) => {
-      val sk = minhashCached(s, d)
-        .select(col("doc_id"), Sketches.bandKeys(col("sig")).as("bands"))
-      val banded = sk.select(col("doc_id"), explode(col("bands")).as("band"))
+      val banded = bandedMinhash(s, d)
       val probe = banded.filter(col("doc_id") % 10 === 7)
       val cand = probe.as("x").join(banded.as("y"), Seq("band"))
         .where(col("x.doc_id") =!= col("y.doc_id"))

@@ -75,10 +75,13 @@ object VectorIndex {
   private val CellPlane0 = 16
   private val CellBits = 4
 
-  /** Centroid table: cell id, centroid vector + norm. <=16 rows —
-    * broadcast-joined everywhere it is used. */
-  private def centroids(n: DataFrame): DataFrame = {
-    val cells = n.withColumn("cell", bucketCol(CellPlane0, CellBits))
+  /** Centroid table for a given plane range: cell id, centroid vector +
+    * norm. <=2^bits rows — broadcast-joined everywhere it is used. One
+    * definition serves the ANN path and the dedup path so the medoid-
+    * seed construction cannot drift between them. */
+  private def centroids(n: DataFrame, plane0: Int = CellPlane0,
+      bits: Int = CellBits): DataFrame = {
+    val cells = n.withColumn("cell", bucketCol(plane0, bits))
     val seeds = cells.groupBy(col("cell")).agg(min(col("vec_id")).as("cid"))
     seeds.join(n, col("cid") === col("vec_id"))
       .select(col("cell"), col("vd").as("cv"), col("nrm").as("cn"))
@@ -256,10 +259,7 @@ object VectorIndex {
 
   def embeddingIvfCandidates(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
-    val cells = n.withColumn("cell", bucketCol(DedupCellPlane0, DedupCellBits))
-    val seeds = cells.groupBy(col("cell")).agg(min(col("vec_id")).as("cid"))
-    val cents = seeds.join(n, col("cid") === col("vec_id"))
-      .select(col("cell"), col("vd").as("cv"), col("nrm").as("cn"))
+    val cents = centroids(n, DedupCellPlane0, DedupCellBits)
     val sims = centroidSims(n, cents)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
     val asg = sims.withColumn("rk", row_number().over(w))

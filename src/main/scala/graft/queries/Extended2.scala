@@ -513,7 +513,10 @@ object Extended2 {
       Tables.supplier(s, d)
         .groupBy(col("s_nationkey"))
         .agg(graft.functions.TopKByAgg.top_k_by(
-          (col("s_acctbal") * 100).cast(LongType),
+          // exact cents via DECIMAL(18,2): (double * 100).cast(long)
+          // TRUNCATES (0.57*100 = 56.999...) and collapses adjacent
+          // cent values into false ties the oracle doesn't have
+          (col("s_acctbal").cast("decimal(18,2)") * 100).cast(LongType),
           col("s_suppkey").cast(LongType), 3).as("top"))
         .select(col("s_nationkey"), posexplode(col("top")))
         .select(col("s_nationkey"), col("col.value").as("s_suppkey"),

@@ -75,7 +75,9 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(graft.functions.TopKByAgg.top_k_by(
-        (col("value") * 100).cast(LongType), col("event_id"), 3).as("top"))
+        // DECIMAL(18,2) route: double*100 truncates (19.99 -> 1998)
+        (col("value").cast("decimal(18,2)") * 100).cast("long"),
+        col("event_id"), 3).as("top"))
       .select(col("w.start").as("hstart"), posexplode(col("top")))
       .select(col("hstart"), col("col.value").as("event_id"),
         col("col.ord").as("cents"), (col("pos") + 1).cast(LongType).as("rnk"))

@@ -26,7 +26,8 @@ class TopKAggSpec extends SparkSpec {
     Tables.supplier(spark, sf())
       .groupBy(col("s_nationkey"))
       .agg(TopKByAgg.top_k_by(
-        (col("s_acctbal") * 100).cast("long"), col("s_suppkey").cast("long"), k).as("top"))
+        (col("s_acctbal").cast("decimal(18,2)") * 100).cast("long"),
+        col("s_suppkey").cast("long"), k).as("top"))
       .select(col("s_nationkey").cast("long"), posexplode(col("top")))
       .select(col("s_nationkey"), col("col.value"), (col("pos") + 1).cast("int"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
