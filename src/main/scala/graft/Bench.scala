@@ -29,6 +29,10 @@ object Bench {
       // mid-tier regression cluster)
       val next = if (i + 1 < names.size) names(i + 1)._1 else ""
       graft.pipeline.PipelineQueries.releaseSharedAfterFamily(spark, name, next)
+      // the result is materialized (count above), so the superstep
+      // queries' final checkpoints can drop — without this they pin
+      // blocks for the session and slow every later query (VERDICT r5 #2)
+      graft.analytics.CheckpointRegistry.releaseAll(spark)
       (name, sec, ok)
     }
     // Locale.ROOT: a comma-decimal locale would break the JSON

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off cold-JVM probe for the PageRank checkpoint cadence (VERDICT
+  * r5 next-round #1): `runMain graft.CadenceProbe <sfDir> <ckptEvery>`
+  * runs g_pagerank's exact shape once, cold, and prints the seconds.
+  * Run once per JVM so numbers are comparable to Bench's cold cost.
+  */
+object CadenceProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val ck = args(1).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same warmup as Bench so codegen/JIT cost doesn't land on the probe
+    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    val t0 = System.nanoTime()
+    graft.analytics.PageRank
+      .pageRank(spark, graft.graph.CitationGraph.edges(spark, sfDir),
+        iters = 10, ckptEvery = ck)
+      .orderBy("id").count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    graft.analytics.CheckpointRegistry.releaseAll(spark)
+    println(f"CADENCE ckptEvery=$ck cold=$sec%.2fs")
+    spark.stop()
+  }
+}

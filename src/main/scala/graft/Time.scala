@@ -30,8 +30,12 @@ object Time {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      // mirror Bench's post-materialization hygiene so a profiled number
+      // reflects what the harness will see
       val cold = once()
+      graft.analytics.CheckpointRegistry.releaseAll(spark)
       val warm = once()
+      graft.analytics.CheckpointRegistry.releaseAll(spark)
       println(f"TIME $name%-28s cold=$cold%7.2fs warm=$warm%7.2fs")
       if (explain) fn(spark, sfDir).explain("formatted")
     }

