@@ -16,7 +16,18 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
     // deterministic name order: stable per-query numbers across rounds
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val base = SparkEntry.queries.toSeq.sortBy(_._1)
+    // The dedup family's shared cache build is timed as its own entry
+    // right before the first d_* query, so every d_* number is MARGINAL
+    // cost (VERDICT r5 #3: the build previously hid inside whichever
+    // family member sorted first). Bench-only: not a registry query, no
+    // oracle — it produces no result, only cache state.
+    val setup: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => { graft.pipeline.PipelineQueries.warmSharedFamily(s, dir); s.range(1).toDF("ok") }
+    val firstD = base.indexWhere(_._1.startsWith("d_"))
+    val names =
+      if (firstD < 0) base
+      else base.patch(firstD, Seq("_setup_dedup_family" -> setup), 0)
     val results = names.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       // ok=false must be visible in the output — a silently swallowed
@@ -56,13 +67,17 @@ object Bench {
     // SHORT: total + a fixed headline subset of per-query timings, with
     // the full 110+-query detail in BENCH_LOCAL.json. Keep this line
     // under ~1.5 KB.
+    // Refreshed round 6 (VERDICT r5 #4): the heavy movers (supersteps,
+    // curation, embedding dedup, the explicit family setup) are in; the
+    // dropped entries were stable sub-second for 3+ rounds — full detail
+    // is always in BENCH_LOCAL.json.
     val headline = Seq(
-      "q1_agg", "a1_degree_dist", "j1_join_inner", "j2_join_double",
-      "w1_running_total", "o_sort_topk", "g_hopplot", "g_eff_diameter",
-      "g_components", "g_triangles", "g_pagerank", "g_sssp",
-      "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_ngram_jaccard",
-      "d_dedup_simhash", "d_pipeline_e2e", "sim_ann_topk", "sim_ann_lsh",
-      "st_tumbling_window", "x_asof_join_native", "x_merge_upsert").toSet
+      "q1_agg", "w1_running_total", "g_hopplot", "g_components",
+      "g_pagerank", "g_sssp", "g_kcore", "g_labelprop",
+      "_setup_dedup_family", "d_curate_e2e", "d_dedup_embedding_ivf",
+      "d_dedup_minhash_lsh", "d_dedup_ngram_jaccard", "d_dedup_simhash",
+      "d_pipeline_e2e", "sim_ann_topk", "st_tumbling_window",
+      "x_asof_join_native", "x_merge_upsert").toSet
     val head = results.filter(r => headline(r._1))
     // a renamed/removed headline query must not just vanish silently
     // (ADVICE r4 #2) — surface the count of names that found no result
