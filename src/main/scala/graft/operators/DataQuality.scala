@@ -19,12 +19,15 @@ object DataQuality {
   /** A named row-level constraint; `violation` evaluates true on BAD rows. */
   final case class Rule(name: String, violation: Column)
 
-  /** One row, one violation-count column per rule, single scan. */
+  /** One row, one violation-count column per rule, single scan. The
+    * coalesce matters: sum() over an EMPTY frame is NULL, and an empty
+    * ingest batch is a plausible input for a pre-trust audit (ADVICE
+    * r5 #2) — every rule must report 0, not NULL. */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "audit needs at least one rule")
-    df.agg(
-      sum(when(rules.head.violation, 1L).otherwise(0L)).as(rules.head.name),
-      rules.tail.map(r => sum(when(r.violation, 1L).otherwise(0L)).as(r.name)): _*)
+    def cnt(r: Rule): Column =
+      coalesce(sum(when(r.violation, 1L).otherwise(0L)), lit(0L)).as(r.name)
+    df.agg(cnt(rules.head), rules.tail.map(cnt): _*)
   }
 
   /** Count of child rows whose key has no match in parent (FK orphans). */

@@ -21,17 +21,22 @@ import graft.registry.Q
   */
 object RangeJoin {
 
+  /** Exact integer floor-division bin: `div` alone truncates toward
+    * zero (mis-bins negatives); subtracting pmod first realigns. Stays
+    * in BIGINT end to end — double floor() rounds past 2^53 and can
+    * silently drop matching pairs at the bin edge (ADVICE r5 #1). */
+  private def binCol(c: String, w: Long): Column =
+    expr(s"($c - pmod($c, ${w}L)) div ${w}L")
+
   /** Count points in (lo, hi] per interval. `points` = (pid, p),
     * `intervals` = (iid, lo, hi); all BIGINT. Intervals with no points
     * are kept with count 0 (left-join semantics). */
   def pointsInIntervals(points: DataFrame, intervals: DataFrame,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val binnedPts = points.withColumn("__bin", floor(col("p") / binWidth).cast(LongType))
+    val binnedPts = points.withColumn("__bin", binCol("p", binWidth))
     val binnedIv = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(col("lo") / binWidth).cast(LongType),
-        floor(col("hi") / binWidth).cast(LongType))))
+      explode(sequence(binCol("lo", binWidth), binCol("hi", binWidth))))
     val counts = binnedIv.join(binnedPts, "__bin")
       .filter(col("p") > col("lo") && col("p") <= col("hi"))
       .groupBy(col("iid")).agg(count(lit(1)).as("n"))

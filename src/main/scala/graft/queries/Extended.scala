@@ -163,9 +163,13 @@ object Extended {
   /** Approximate percentiles with a driver-checkable tolerance: the
     * t-digest-style approx_percentile sketch (accuracy 10000) must land
     * within 1% of the exact interpolated percentile for p50/p90 of
-    * l_extendedprice — the sketch is deterministic for a fixed input so
-    * the booleans are stable, and the exact `x_percentiles` query
-    * remains the value-level twin. */
+    * l_extendedprice — the sketch is deterministic for a fixed input
+    * AND partitioning (QuantileSummaries merge order is layout-
+    * dependent, unlike HLL's layout-independent merge in
+    * x_hll_group_tol), so the booleans are stable under the harness's
+    * fixed partitioning and the 1% margin at accuracy 10000 keeps a
+    * layout change from flipping them in practice; the exact
+    * `x_percentiles` query remains the value-level twin. */
   val approxPercentileTol: Q = Q(
     "x_approx_percentile_tol",
     Some("SELECT true AS p50_ok, true AS p90_ok"),

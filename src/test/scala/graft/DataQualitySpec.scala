@@ -35,6 +35,14 @@ class DataQualitySpec extends SparkSpec {
     assert(orphans == 4L) // all child keys shifted out of range
   }
 
+  test("empty input reports zero violations, not NULL (empty ingest batch)") {
+    val out = DataQuality.audit(corrupt.filter(lit(false)), Seq(
+      Rule("neg_v", col("v") < 0),
+      Rule("null_flag", col("flag").isNull))).collect().head
+    assert(!out.isNullAt(0) && out.getLong(0) == 0L)
+    assert(!out.isNullAt(1) && out.getLong(1) == 0L)
+  }
+
   test("row audit is a single-scan aggregate (one partial/final pair, no join)") {
     val plan = DataQuality.audit(Tables.lineitem(spark, sf()), Seq(
       Rule("a", col("l_quantity") <= 0),

@@ -45,6 +45,20 @@ class RangeJoinSpec extends SparkSpec {
       s"naive theta form unexpectedly avoided a nested loop:\n$naivePlan")
   }
 
+  test("negative values bin by floor division, matching the naive join") {
+    // p=-1 with W=7 must land in bin -1 (floor), not bin 0 (truncate):
+    // the interval (-5, 3] explodes to bins -1..0 and would miss it
+    // under truncation (ADVICE r5 #1)
+    val intervals = spark.range(1)
+      .select(lit(1L).as("iid"), lit(-5L).as("lo"), lit(3L).as("hi"))
+    val points = spark.range(1)
+      .select(lit(10L).as("pid"), lit(-1L).as("p"))
+    val out = RangeJoin.pointsInIntervals(points, intervals, 7L).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L)
+    val naive = RangeJoin.naivePointsInIntervals(points, intervals).collect()
+    assert(naive.head.getLong(1) == 1L)
+  }
+
   test("intervals spanning many bins still join correctly") {
     val intervals = spark.range(1)
       .select(lit(1L).as("iid"), lit(5L).as("lo"), lit(1000L).as("hi"))
