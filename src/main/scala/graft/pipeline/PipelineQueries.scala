@@ -990,8 +990,94 @@ object PipelineQueries {
         .orderBy(col("shard"), col("bin"))
     })
 
+  /** Capstone WRITER (VERDICT r5 missing #1): the curated corpus from
+    * d_curate_e2e's gates, written as packed per-chunk rows to a
+    * Hive-partitioned parquet store (partitionBy shard — each shard's
+    * training batches land in their own directory, the layout a trainer
+    * shards reads over) and RE-READ; the registered result IS the
+    * re-read rows, so the DuckDB oracle — which recomputes the corpus
+    * from `documents` — verifies the written deliverable survived the
+    * round trip row-for-row (reference sink analogue:
+    * DataFrameSaver.scala:8-25 writes its result CSVs the same way).
+    * The store lands under target/ (gitignored scratch). */
+  val curateWrite: Q = Q(
+    "d_curate_write",
+    Some(s"""WITH RECURSIVE t AS (
+            |  SELECT doc_id, $toksSql AS toks FROM documents),
+            |sh AS (
+            |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+            |  FROM t WHERE len(toks) >= 3),
+            |pr AS (
+            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5),
+            |bidir AS (SELECT a_id AS src, b_id AS dst FROM pr UNION SELECT b_id, a_id FROM pr),
+            |vertices AS (SELECT DISTINCT src AS id FROM bidir),
+            |reach AS (
+            |  SELECT id, id AS r FROM vertices
+            |  UNION
+            |  SELECT re.id, b.dst FROM reach re JOIN bidir b ON re.r = b.src),
+            |merged AS (SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY 1) WHERE id <> comp),
+            |clean AS (
+            |  SELECT doc_id, toks FROM t
+            |  WHERE len(toks) > 0
+            |    AND doc_id NOT IN (SELECT id FROM merged)
+            |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3),
+            |ch AS (
+            |  SELECT doc_id, s.i AS start,
+            |    list_slice(toks, s.i, least(s.i + ${ChunkSize - 1}, len(toks))) AS chunk
+            |  FROM clean, unnest(generate_series(1, len(toks), $ChunkStride)) AS s(i)),
+            |cum AS (
+            |  SELECT doc_id // 100 AS shard, doc_id, start,
+            |    CAST(len(chunk) AS BIGINT) AS n_tokens,
+            |    md5(array_to_string(chunk, ' ')) AS fp,
+            |    sum(len(chunk)) OVER (PARTITION BY doc_id // 100 ORDER BY doc_id, start
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+            |  FROM ch)
+            |SELECT CAST(shard AS BIGINT) AS shard,
+            |  CAST((c - 1) // $PackCapacity AS BIGINT) AS bin,
+            |  doc_id, CAST(start AS BIGINT) AS start, n_tokens, fp
+            |FROM cum ORDER BY doc_id, start""".stripMargin),
+    (s, d) => {
+      val merged = dedupSurvivors.run(s, d).select(col("doc_id"))
+      val clean = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .join(merged, Seq("doc_id"), "left_anti")
+        .filter(size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")) >= 0.3)
+      val chunks = clean
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")), lit(ChunkStride))).as("start"))
+        .withColumn("chunk", slice(col("toks"), col("start"), lit(ChunkSize)))
+        .select(col("doc_id"), col("start"),
+          size(col("chunk")).cast(LongType).as("n_tokens"),
+          md5(array_join(col("chunk"), " ")).as("fp"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"), col("start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = chunks
+        .withColumn("shard", expr("doc_id div 100"))
+        .withColumn("c", sum(col("n_tokens")).over(w))
+        .withColumn("bin", expr(s"(c - 1) div $PackCapacity"))
+        .select(col("shard"), col("bin"), col("doc_id"),
+          col("start").cast(LongType).as("start"), col("n_tokens"), col("fp"))
+      // scratch path keyed by the sf dir so sf0.01/sf0.1 runs don't
+      // clobber each other's store mid-read
+      val dir = "target/curate_write/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.sources.PartitionedStore.write(packed, dir, Seq("shard"))
+      // the re-read is the deliverable check: shard comes back as a
+      // directory-inferred partition column (int) — cast to BIGINT
+      graft.sources.PartitionedStore.read(s, dir)
+        .select(col("shard").cast(LongType).as("shard"), col("bin"),
+          col("doc_id"), col("start"), col("n_tokens"), col("fp"))
+        .orderBy(col("doc_id"), col("start"))
+    })
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupNgram, dedupEmbedding, dedupIncremental, curateE2e,
+    curateWrite,
     minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash, dedupSurvivors,
     pipelineE2e,
     annTopk, annLsh, annMultiprobe,

@@ -163,6 +163,24 @@ class DedupSpec extends SparkSpec {
     assert(incr == expected)
   }
 
+  test("curation writer round trip: re-read rows aggregate to d_curate_e2e's bins") {
+    import org.apache.spark.sql.functions._
+    // the written store's per-chunk rows, re-aggregated per (shard, bin),
+    // must reproduce the stats query exactly — writer and stats are two
+    // views of one corpus
+    val written = PipelineQueries.curateWrite.run(spark, sf())
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("total_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val stats = PipelineQueries.curateE2e.run(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(written == stats)
+    // and the store really is shard-partitioned on disk
+    val dirs = new java.io.File("target/curate_write").listFiles()
+      .flatMap(_.listFiles()).map(_.getName).filter(_.startsWith("shard="))
+    assert(dirs.nonEmpty)
+  }
+
   test("exact all-pairs baselines fail fast above the input cap") {
     import spark.implicits._
     val big = spark.range(201).toDF("vec_id")
