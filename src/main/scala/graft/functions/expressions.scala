@@ -95,6 +95,49 @@ case class SampleBytes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Build a GRFT1 length-prefixed frame container from a binary payload
+  * (FrameCodec.pack): the write side of the multimodal container pair.
+  * Codegen emits a static call — stays inside whole-stage codegen. */
+case class PackFrames(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(p: Any, fs: Any): Any =
+    FrameCodec.pack(p.asInstanceOf[Array[Byte]], fs.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, fs) => s"graft.functions.FrameCodec.pack($p, $fs)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PackFrames =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Parse a GRFT1 container (FrameCodec.parse): magic/version check,
+  * bounds-checked length-prefix walk, trailing-byte detection. Returns
+  * struct(version, n_frames, frame_lens, payload); NULL on any
+  * structural violation, so one corrupt blob filters out instead of
+  * failing a 100-TB scan. */
+case class ParseFrames(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ParseFrames.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    FrameCodec.parse(v.asInstanceOf[Array[Byte]]) // null on corrupt
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.FrameCodec.parse($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ParseFrames =
+    copy(child = newChild)
+}
+
+object ParseFrames {
+  val schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("frame_lens", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+}
+
 /** Dot product of two double arrays as a strict left-to-right fold —
   * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but
   * codegen'd: Spark's higher-order functions run interpreted per element
@@ -148,6 +191,13 @@ object GraftFunctions {
     GraftColumnBridge.column(SampleBytes(
       GraftColumnBridge.expression(c), GraftColumnBridge.expression(k)))
 
+  def pack_frames(payload: Column, frameSize: Column): Column =
+    GraftColumnBridge.column(PackFrames(
+      GraftColumnBridge.expression(payload), GraftColumnBridge.expression(frameSize)))
+
+  def parse_frames(container: Column): Column =
+    GraftColumnBridge.column(ParseFrames(GraftColumnBridge.expression(container)))
+
   def cms_sketch(hashedKey: Column): Column = CmsSketch.cms_sketch(hashedKey)
 
   def cms_estimate(sketch: Column, hashedKey: Column): Column =
@@ -160,6 +210,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("byte_histogram", es => ByteHistogram(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sample_bytes", es => SampleBytes(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("array_dot", es => ArrayDot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("pack_frames", es => PackFrames(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_frames", es => ParseFrames(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cms_sketch",
       es => CmsSketchAgg(es.head).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("cms_estimate",

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.FrameCodec
+import graft.functions.GraftFunctions.{pack_frames, parse_frames}
+import graft.pipeline.Multimodal
+
+/** GRFT1 container contracts: the parse is a real length-prefix walk
+  * (round trip, corrupt-input rejection), and the expression and
+  * batched decode paths agree across batch boundaries. */
+class ContainerCodecSpec extends SparkSpec {
+
+  test("round trip: parse(pack(payload)) recovers payload and frame structure") {
+    for (len <- Seq(0, 1, 6, 7, 8, 13, 14, 100)) {
+      val payload = Array.tabulate[Byte](len)(i => (i % 251).toByte)
+      val parsed = FrameCodec.parseRaw(FrameCodec.pack(payload, 7))
+      assert(parsed != null, s"len=$len")
+      val (lens, back) = parsed
+      assert(back.toSeq == payload.toSeq, s"len=$len payload mismatch")
+      assert(lens.sum == len)
+      assert(lens.length == (if (len == 0) 0 else (len + 6) / 7))
+      assert(lens.forall(l => l > 0 && l <= 7) || len == 0)
+      // every frame except the last is full
+      assert(lens.dropRight(1).forall(_ == 7L))
+    }
+  }
+
+  test("corrupt containers parse to null, not garbage") {
+    val good = FrameCodec.pack("hello world, frames".getBytes("UTF-8"), 7)
+    assert(FrameCodec.parseRaw(good) != null)
+    // bad magic
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(FrameCodec.parseRaw(badMagic) == null)
+    // bad version
+    val badVer = good.clone(); badVer(4) = 9.toByte
+    assert(FrameCodec.parseRaw(badVer) == null)
+    // truncated mid-frame (declared length runs past the buffer)
+    assert(FrameCodec.parseRaw(good.take(good.length - 3)) == null)
+    // truncated mid-prefix
+    assert(FrameCodec.parseRaw(good.take(FrameCodec.HeaderLen + 2)) == null)
+    // trailing garbage after the last frame
+    assert(FrameCodec.parseRaw(good :+ 0.toByte) == null)
+    // too short for a header
+    assert(FrameCodec.parseRaw(Array[Byte]('G', 'R', 'F')) == null)
+    // and through the expression: corrupt -> NULL row-level result
+    import spark.implicits._
+    val df = Seq(("ok", good), ("bad", badMagic)).toDF("tag", "c")
+      .select(col("tag"), parse_frames(col("c")).as("f"))
+    val rows = df.collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(rows == Map("ok" -> false, "bad" -> true))
+  }
+
+  test("expression and batched decode agree across batch boundaries") {
+    val containers = Multimodal.withContainers(Tables.documents(spark, sf()))
+    def key(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Seq[Long], String)] =
+      df.select(col("doc_id"), col("version"), col("n_frames"),
+        col("frame_lens"), md5(col("payload")).as("fp"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getSeq[Long](3), r.getString(4)))
+        .toMap
+    val viaExpr = key(Multimodal.parseContainers(containers))
+    // batchSize=7 forces many batches per partition — boundary handling
+    // is exactly what this asserts
+    val viaBatch = key(Multimodal.parseContainersBatch(containers, batchSize = 7))
+    assert(viaExpr.nonEmpty && viaExpr == viaBatch)
+  }
+
+  test("container parse stays inside whole-stage codegen") {
+    val plan = Multimodal.parseContainers(
+      Multimodal.withContainers(Tables.documents(spark, sf())))
+      .queryExecution.executedPlan
+    val codegenStages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.nonEmpty, s"expected codegen:\n$plan")
+  }
+}
