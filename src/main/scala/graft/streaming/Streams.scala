@@ -82,6 +82,26 @@ object Streams {
       .select(col("hstart"), col("col.value").as("event_id"),
         col("col.ord").as("cents"), (col("pos") + 1).cast(LongType).as("rnk"))
 
+  /** Stream-stream interval join: each signup joined to the same user's
+    * events in the following hour (60s finds almost nothing in the
+    * month-spread testdata). Both sides carry watermarks and the join
+    * condition bounds event time on BOTH ends, so the runtime can size
+    * and expire join state (an unbounded stream-stream join would
+    * buffer forever) — streaming twin of the registered
+    * `st_stream_stream_join` batch query (StreamingSpec proves equality
+    * of the emitted pair set). */
+  def intervalJoinPairs(events: DataFrame): DataFrame = {
+    val a = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("sid"), col("user_id"), col("ts").as("ats"))
+      .withWatermark("ats", "2 hours")
+    val b = events
+      .select(col("user_id").as("uid2"), col("ts").as("bts"), col("event_id").as("bid"))
+      .withWatermark("bts", "2 hours")
+    a.join(b,
+      expr("user_id = uid2 AND bts > ats AND bts <= ats + interval 1 hour"))
+      .select(col("sid"), col("bid"))
+  }
+
   // ---- upsert sink ------------------------------------------------------
 
   /** Lakehouse-style streaming upsert sink: each micro-batch is applied

@@ -187,27 +187,18 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === n1)
   }
 
-  test("stream-stream interval join == batch interval join (inner part)") {
-    val ev = Streams.readEventsStream(spark, sf())
-    val a = ev.filter(col("event_type") === "signup")
-      .select(col("event_id").as("sid"), col("user_id"), col("ts").as("ats"))
-      .withWatermark("ats", "1 hour")
-    val b = ev
-      .select(col("user_id").as("uid2"), col("ts").as("bts"), col("event_id").as("bid"))
-      .withWatermark("bts", "1 hour")
-    val joined = a.join(b,
-      expr("user_id = uid2 AND bts > ats AND bts <= ats + interval 60 seconds"))
-      .select(col("sid"), col("bid"))
+  test("stream-stream interval join == registered batch twin, pair for pair") {
+    val joined = Streams.intervalJoinPairs(Streams.readEventsStream(spark, sf()))
     val q = joined.writeStream.format("memory").queryName("ssjoin_out")
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
 
-    val got = spark.table("ssjoin_out").groupBy("sid").count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // batch twin: x_interval_join is a LEFT join carrying zero-counts
-    val want = graft.registry.Registry.byName("x_interval_join").run(spark, sf())
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      .filter(_._2 > 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("sid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(spark.table("ssjoin_out"))
+    val want = pairs(
+      graft.registry.Registry.byName("st_stream_stream_join").run(spark, sf()))
     assert(got === want)
     assert(got.nonEmpty)
   }
