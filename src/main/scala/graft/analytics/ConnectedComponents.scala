@@ -17,7 +17,16 @@ object ConnectedComponents {
 
   /** @param edges (src,dst) directed; treated as undirected.
     * @return (id, comp) where comp = min node id of the component. */
-  def components(edges: DataFrame): DataFrame = {
+  def components(edges: DataFrame): DataFrame =
+    // LoopConf like the other supersteps: partitions sized once from the
+    // graph (the dedup-survivor pair graphs are tiny — paying 32-task
+    // rounds there was most of d_dedup_survivors' cost), AQE pinned off
+    // so state partitioning survives the localCheckpoints
+    LoopConf.pinned(edges.sparkSession, edges.count()) {
+      componentsPinned(edges)
+    }
+
+  private def componentsPinned(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import graft.graph.CitationGraph.bidirectional
     val spark = edges.sparkSession
