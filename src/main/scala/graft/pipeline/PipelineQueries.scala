@@ -817,6 +817,70 @@ object PipelineQueries {
         .orderBy(col("shard"), col("bin"))
     })
 
+  /** Exact-integer TF-IDF-style term weighting, top-3 terms per doc:
+    * score = tf * 1e6 div df (document frequency damping in pure BIGINT
+    * — float idf's ln() differs in the last ulp across libms and can't
+    * be hash-oracled; integer division is bit-identical on both
+    * engines). Plan shape at scale: (doc,term) tf aggregation, term-df
+    * aggregation over it, equi-join on term, per-doc top-k via
+    * WindowGroupLimit (rank window bounded to k per partition — the
+    * w_rank_topk_per_group machinery on a text workload). Ties break on
+    * term ascending → fully deterministic. */
+  val tfidfTopTerms: Q = Q(
+    "t_tfidf_top_terms",
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+            |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+            |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            |sc AS (
+            |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+            |    CAST(tf.tf * 1000000 // dft.df AS BIGINT) AS score
+            |  FROM tf JOIN dft USING (term)),
+            |r AS (SELECT *, row_number() OVER (
+            |    PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM sc)
+            |SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+            |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(dft, "term")
+        .withColumn("score", expr("tf * 1000000 div df"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    })
+
+  /** Corpus vocabulary coverage in one pass over the (doc,term) table:
+    * distinct terms, hapax count (terms in exactly one doc — the
+    * long-tail share that dominates tokenizer vocab decisions), total
+    * token mass. All exact BIGINTs. */
+  val vocabStats: Q = Q(
+    "t_vocab_stats",
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+            |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1)
+            |SELECT
+            |  (SELECT CAST(count(*) AS BIGINT) FROM dft) AS n_terms,
+            |  (SELECT CAST(count(*) AS BIGINT) FROM dft WHERE df = 1) AS n_hapax,
+            |  (SELECT CAST(count(*) AS BIGINT) FROM t) AS total_tokens""".stripMargin),
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val dft = t.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val vocab = dft.agg(
+        count(lit(1)).as("n_terms"),
+        coalesce(sum(when(col("df") === 1, 1L).otherwise(0L)), lit(0L)).as("n_hapax"))
+      val toksTotal = t.agg(count(lit(1)).as("total_tokens"))
+      // 1-row x 1-row cross: both sides are aggregates, not data-sized
+      vocab.crossJoin(toksTotal)
+    })
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
   val fingerprint: Q = Q(
     "t_fingerprint",
@@ -1082,9 +1146,10 @@ object PipelineQueries {
       // clobber each other's store mid-read
       val dir = "target/curate_write/" + d.replaceAll("[^A-Za-z0-9.]", "_")
       graft.sources.PartitionedStore.write(packed, dir, Seq("shard"))
-      // the re-read is the deliverable check: shard comes back as a
-      // directory-inferred partition column (int) — cast to BIGINT
-      graft.sources.PartitionedStore.read(s, dir)
+      // schema-explicit re-read: an empty corpus writes no part files
+      // and a schema-inferred read would throw instead of returning the
+      // (correct) empty result
+      graft.sources.PartitionedStore.read(s, dir, packed.schema)
         .select(col("shard").cast(LongType).as("shard"), col("bin"),
           col("doc_id"), col("start"), col("n_tokens"), col("fp"))
         .orderBy(col("doc_id"), col("start"))
@@ -1097,5 +1162,5 @@ object PipelineQueries {
     pipelineE2e,
     annTopk, annLsh, annMultiprobe,
     tokenCount, tokenBpe, heavyHitters, chunking, packSequences,
-    fingerprint, quality, langId)
+    fingerprint, quality, langId, tfidfTopTerms, vocabStats)
 }

@@ -19,4 +19,12 @@ object PartitionedStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Schema-explicit read: an EMPTY store (a write of zero rows emits no
+    * part files, only _SUCCESS) has nothing to infer a schema from and
+    * the plain read throws — with the schema supplied, it returns an
+    * empty frame instead. `schema` must include the partition columns. */
+  def read(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
 }

@@ -82,6 +82,19 @@ class DegenerateInputSpec extends SparkSpec {
     assert(Sketches.simhashTable(tiny).count() === 1)
   }
 
+  test("empty partitioned store re-reads as empty with an explicit schema") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, String)].toDF("shard", "doc_id", "fp")
+    val dir = java.nio.file.Files.createTempDirectory("empty_store").toString
+    graft.sources.PartitionedStore.write(empty, dir, Seq("shard"))
+    // schema-inferred read of a zero-part-file store throws; the
+    // schema-explicit read (curate_write's path) returns empty
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      graft.sources.PartitionedStore.read(spark, dir).collect()
+    }
+    assert(graft.sources.PartitionedStore.read(spark, dir, empty.schema).count() === 0)
+  }
+
   test("as-of join with empty build side returns no rows (inner)") {
     import spark.implicits._
     val probe = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 100L))

@@ -72,6 +72,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Partial") && p.contains("Final"))
   }
 
+  test("tfidf top-terms: per-doc rank bounded by WindowGroupLimit") {
+    val p = plan("t_tfidf_top_terms")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("sim_ann_multiprobe: bucket equi-join, never a nested loop") {
     val p = plan("sim_ann_multiprobe")
     assert(!p.contains("CartesianProduct"), p)
