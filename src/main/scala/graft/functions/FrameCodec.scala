@@ -100,6 +100,19 @@ object FrameCodec {
     (lens, payload)
   }
 
+  /** Batched parse — the one-dispatch-per-batch seam a vectorized codec
+    * (JNI batch decoder) would replace: containers in, parallel arrays
+    * of results out, null entries for corrupt containers. */
+  def parseBatch(containers: Array[Array[Byte]]): Array[(Array[Long], Array[Byte])] = {
+    val out = new Array[(Array[Long], Array[Byte])](containers.length)
+    var i = 0
+    while (i < containers.length) {
+      out(i) = parseRaw(containers(i))
+      i += 1
+    }
+    out
+  }
+
   /** Expression adapter: struct(version, n_frames, frame_lens, payload)
     * as an InternalRow, or null on corrupt input. Called from generated
     * code (ParseFrames.doGenCode). */

@@ -153,11 +153,13 @@ object Multimodal {
     containers.select(col("doc_id"), col("container")).as[Container]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          batch.iterator.flatMap { c =>
-            Option(FrameCodec.parseRaw(c.container)).map { case (lens, payload) =>
-              Parsed(c.doc_id, FrameCodec.Version.toLong, lens.length.toLong,
-                lens, payload)
-            }
+          val parsed = FrameCodec.parseBatch(batch.map(_.container).toArray)
+          // null result = corrupt container → dropped, mirroring the
+          // expression path's NULL (guard BEFORE destructuring)
+          batch.iterator.zip(parsed.iterator).collect {
+            case (c, r) if r != null =>
+              Parsed(c.doc_id, FrameCodec.Version.toLong, r._1.length.toLong,
+                r._1, r._2)
           }
         }
       }

@@ -51,6 +51,16 @@ class ContainerCodecSpec extends SparkSpec {
     assert(rows == Map("ok" -> false, "bad" -> true))
   }
 
+  test("batched decode drops corrupt containers instead of crashing") {
+    import spark.implicits._
+    val good = FrameCodec.pack("payload bytes here".getBytes("UTF-8"), 7)
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    val df = Seq((1L, good), (2L, bad), (3L, good)).toDF("doc_id", "container")
+    val out = Multimodal.parseContainersBatch(df, batchSize = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L))
+  }
+
   test("expression and batched decode agree across batch boundaries") {
     val containers = Multimodal.withContainers(Tables.documents(spark, sf()))
     def key(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Seq[Long], String)] =
