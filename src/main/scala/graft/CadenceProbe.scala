@@ -2,15 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One-off cold-JVM probe for the PageRank checkpoint cadence (VERDICT
-  * r5 next-round #1): `runMain graft.CadenceProbe <sfDir> <ckptEvery>`
-  * runs g_pagerank's exact shape once, cold, and prints the seconds.
-  * Run once per JVM so numbers are comparable to Bench's cold cost.
+/** Cold-JVM probe for superstep checkpoint cadences (the VERDICT r5
+  * lesson: never turn a cadence knob without a cold bench).
+  * `runMain graft.CadenceProbe <sfDir> <ckptEvery> [-kcore]` runs
+  * g_pagerank's (or the k-core fixpoint's) exact shape once, cold, and
+  * prints the seconds. Run once per JVM so numbers are comparable to
+  * Bench's cold cost.
   */
 object CadenceProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val ck = args(1).toInt
+    val kcoreMode = args.contains("-kcore")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,13 +27,20 @@ object CadenceProbe {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
     val t0 = System.nanoTime()
-    graft.analytics.PageRank
-      .pageRank(spark, graft.graph.CitationGraph.edges(spark, sfDir),
-        iters = 10, ckptEvery = ck)
-      .orderBy("id").count()
+    if (kcoreMode)
+      graft.analytics.KCore
+        .kcore(spark, graft.graph.CitationGraph.edges(spark, sfDir),
+          rounds = Int.MaxValue, ckptEvery = ck)
+        .orderBy("id").count()
+    else
+      graft.analytics.PageRank
+        .pageRank(spark, graft.graph.CitationGraph.edges(spark, sfDir),
+          iters = 10, ckptEvery = ck)
+        .orderBy("id").count()
     val sec = (System.nanoTime() - t0) / 1e9
     graft.analytics.CheckpointRegistry.releaseAll(spark)
-    println(f"CADENCE ckptEvery=$ck cold=$sec%.2fs")
+    val what = if (kcoreMode) "kcore" else "pagerank"
+    println(f"CADENCE $what ckptEvery=$ck cold=$sec%.2fs")
     spark.stop()
   }
 }

@@ -33,14 +33,26 @@ object KCore {
   /** Peel `rounds` times; `rounds = Int.MaxValue` runs to the fixpoint
     * (true k-core), early-stopping when an entire round removes no edge.
     * Returns surviving (id, deg) with degrees in the FINAL edge set. */
+  /** Checkpoint/early-stop-check cadence: peel `ckptEvery` rounds per
+    * materialization. Correct at any value (the peel is deterministic;
+    * convergence detected at a batch boundary is still the fixpoint —
+    * edge count is monotone non-increasing, so equality across a batch
+    * implies no round in it changed anything). MEASURED cold per-JVM at
+    * sf0.1, 12-round fixpoint (CadenceProbe -kcore, 2 reps each):
+    * every=1 7.1/7.3s, every=2 8.3/9.5s, every=3 9.3/9.6s — the
+    * OPPOSITE of PageRank's curve: each peel round references the
+    * survivor set twice (both semi-joins), and the nested re-evaluation
+    * costs more than the per-round materialization saves. Stays 1. */
+  val CkptEvery = 1
+
   def kcore(spark: SparkSession, edgesRaw: DataFrame, k: Int = K,
-      rounds: Int = Rounds): DataFrame =
+      rounds: Int = Rounds, ckptEvery: Int = CkptEvery): DataFrame =
     LoopConf.pinned(spark, edgesRaw.count()) {
-      kcorePinned(spark, edgesRaw, k, rounds)
+      kcorePinned(spark, edgesRaw, k, rounds, ckptEvery)
     }
 
   private def kcorePinned(spark: SparkSession, edgesRaw: DataFrame,
-      k: Int, rounds: Int): DataFrame = {
+      k: Int, rounds: Int, ckptEvery: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import graft.graph.CitationGraph.bidirectional
 
@@ -52,20 +64,24 @@ object KCore {
     var r = 0
     var changed = true
     while (r < rounds && changed && nEdges > 0) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k)
-        .select(col("src").as("id"))
-      val next = e
-        .join(keep, e("src") === keep("id"), "left_semi")
-        .join(keep.select(col("id").as("id2")), e("dst") === col("id2"), "left_semi")
-        .localCheckpoint(true)
+      val batch = math.min(ckptEvery, rounds - r)
+      var cur = e
+      for (_ <- 1 to batch) {
+        val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k)
+          .select(col("src").as("id"))
+        cur = cur
+          .join(keep, cur("src") === keep("id"), "left_semi")
+          .join(keep.select(col("id").as("id2")), cur("dst") === col("id2"), "left_semi")
+      }
+      val next = cur.localCheckpoint(true)
       val nNext = next.count()
       changed = nNext != nEdges
       nEdges = nNext
       GraftColumnBridge.checkpointRdd(prev).foreach(_.unpersist(false))
       prev = next
       e = next
-      r += 1
+      r += batch
     }
     // the final edge checkpoint backs the lazy result (ADVICE r5:
     // repeated invocations otherwise accumulate pinned blocks for the
