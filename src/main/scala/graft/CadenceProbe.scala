@@ -14,6 +14,8 @@ object CadenceProbe {
     val sfDir = args(0)
     val ck = args(1).toInt
     val kcoreMode = args.contains("-kcore")
+    val ssspMode = args.contains("-sssp")
+    val lpMode = args.contains("-labelprop")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,19 +29,32 @@ object CadenceProbe {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
     val t0 = System.nanoTime()
+    val edges = graft.graph.CitationGraph.edges(spark, sfDir)
     if (kcoreMode)
       graft.analytics.KCore
-        .kcore(spark, graft.graph.CitationGraph.edges(spark, sfDir),
-          rounds = Int.MaxValue, ckptEvery = ck)
+        .kcore(spark, edges, rounds = Int.MaxValue, ckptEvery = ck)
+        .orderBy("id").count()
+    else if (ssspMode) {
+      val src = edges.filter(org.apache.spark.sql.functions.col("src") =!=
+        org.apache.spark.sql.functions.col("dst"))
+        .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col("src"))).head.getLong(0)
+      graft.analytics.ShortestPaths
+        .sssp(spark, edges, src, rounds = 10, ckptEvery = ck)
+        .orderBy("id").count()
+    } else if (lpMode)
+      graft.analytics.LabelPropagation
+        .labelProp(spark, edges, rounds = 3, ckptEvery = ck)
         .orderBy("id").count()
     else
       graft.analytics.PageRank
-        .pageRank(spark, graft.graph.CitationGraph.edges(spark, sfDir),
-          iters = 10, ckptEvery = ck)
+        .pageRank(spark, edges, iters = 10, ckptEvery = ck)
         .orderBy("id").count()
     val sec = (System.nanoTime() - t0) / 1e9
     graft.analytics.CheckpointRegistry.releaseAll(spark)
-    val what = if (kcoreMode) "kcore" else "pagerank"
+    val what =
+      if (kcoreMode) "kcore" else if (ssspMode) "sssp"
+      else if (lpMode) "labelprop" else "pagerank"
     println(f"CADENCE $what ckptEvery=$ck cold=$sec%.2fs")
     spark.stop()
   }

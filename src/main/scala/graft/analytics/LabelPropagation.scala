@@ -23,18 +23,26 @@ object LabelPropagation {
 
   val Rounds = 3
 
+  /** Rounds per checkpoint. Each round references `lab` ONCE (hist ←
+    * lab⋈e, next ← hist) — the PageRank-shaped curve, where batching
+    * can win, unlike the double-reference k-core/SSSP loops. MEASURED
+    * cold per-JVM at sf0.1 (CadenceProbe -labelprop, 2 reps): every=1
+    * 5.4/5.8s, every=3 5.6/5.3s — a tie at 3 rounds; stays 1 (simplest,
+    * and per-round checkpoints keep lineage flat for deeper runs). */
+  val CkptEvery = 1
+
   def labelProp(spark: SparkSession, edgesRaw: DataFrame,
-      rounds: Int = Rounds): DataFrame = {
+      rounds: Int = Rounds, ckptEvery: Int = CkptEvery): DataFrame = {
     // rounds=0 would return a lazy frame over the edge checkpoint that
     // the loop epilogue has already unpersisted — reject it up front
     require(rounds >= 1, s"labelProp needs at least 1 round, got $rounds")
     LoopConf.pinned(spark, edgesRaw.count()) {
-      labelPropPinned(spark, edgesRaw, rounds)
+      labelPropPinned(spark, edgesRaw, rounds, ckptEvery)
     }
   }
 
   private def labelPropPinned(spark: SparkSession, edgesRaw: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int, ckptEvery: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import graft.graph.CitationGraph.bidirectional
 
@@ -44,6 +52,7 @@ object LabelPropagation {
     var lab = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
     var prevCkpt: Option[DataFrame] = None
+    var since = 0
     for (r <- 1 to rounds) {
       val hist = lab.join(e, col("id") === col("src"))
         .groupBy(col("dst"), col("lab"))
@@ -52,11 +61,15 @@ object LabelPropagation {
         .groupBy(col("dst"))
         .agg(max(struct(col("c").as("c"), (-col("lab")).as("nl"))).as("m"))
         .select(col("dst").as("id"), (-col("m.nl")).as("lab"))
-      val next = nextDs.localCheckpoint(true)
-      prevCkpt.foreach(p =>
-        GraftColumnBridge.checkpointRdd(p).foreach(_.unpersist(false)))
-      prevCkpt = Some(next)
-      lab = next
+      since += 1
+      if (since == ckptEvery || r == rounds) {
+        val next = nextDs.localCheckpoint(true)
+        prevCkpt.foreach(p =>
+          GraftColumnBridge.checkpointRdd(p).foreach(_.unpersist(false)))
+        prevCkpt = Some(next)
+        lab = next
+        since = 0
+      } else lab = nextDs
     }
     GraftColumnBridge.checkpointRdd(e).foreach(_.unpersist(false))
     // final checkpoint backs the lazy result; the runner releases it via

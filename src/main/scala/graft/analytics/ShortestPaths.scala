@@ -27,14 +27,22 @@ object ShortestPaths {
     e.select(col("src"), col("dst"),
       (lit(1L) + (col("src") + col("dst")) % lit(10L)).as("w"))
 
+  /** Relaxation rounds per checkpoint. MEASURED cold per-JVM at sf0.1
+    * (CadenceProbe -sssp, 2 reps): every=1 7.7/6.9s, every=2 7.6/7.7s,
+    * every=3 9.0/9.5s — the long-standing default of 3 was the WORST:
+    * like k-core (and unlike PageRank), each round references state
+    * twice (cand derives from st, then st joins cand), so nesting
+    * re-evaluates more than the skipped materializations save. */
+  val CkptEvery = 1
+
   def sssp(spark: SparkSession, edgesRaw: DataFrame, source: Long,
-      rounds: Int = 10): DataFrame =
+      rounds: Int = 10, ckptEvery: Int = CkptEvery): DataFrame =
     LoopConf.pinned(spark, edgesRaw.count()) {
-      ssspPinned(spark, edgesRaw, source, rounds)
+      ssspPinned(spark, edgesRaw, source, rounds, ckptEvery)
     }
 
   private def ssspPinned(spark: SparkSession, edgesRaw: DataFrame,
-      source: Long, rounds: Int): DataFrame = {
+      source: Long, rounds: Int, ckptEvery: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
 
     val e = weighted(
@@ -47,7 +55,6 @@ object ShortestPaths {
       .persist(StorageLevel.MEMORY_AND_DISK)
     v.count()
 
-    val ckptEvery = 3
     // dist is NULL while unreached; min() ignores NULLs on both engines
     var st = v.select(col("id"),
       when(col("id") === source, lit(0L)).as("dist"))
