@@ -1155,9 +1155,113 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("start"))
     })
 
+  /** Incremental corpus APPEND — the operational loop of a production
+    * training-data pipeline: the standing corpus (docs outside the
+    * ingest batch, doc_id % 10 <> 7 as in d_dedup_incremental) is packed
+    * and written; the new batch is gated by the same survivors/quality
+    * rules, packed into bins CONTINUING each shard's numbering
+    * (max base bin + 1 — appended batches never renumber existing
+    * training bins, so already-consumed batches stay addressable), and
+    * appended partition-wise. The registered result is the re-read of
+    * the ENTIRE store, so the oracle verifies both that the append left
+    * the base intact and that the batch landed with continued bins.
+    * Overwrite-then-append per run keeps the query idempotent (static
+    * partition overwrite truncates the store dir first). */
+  val curateIncremental: Q = Q(
+    "d_curate_incremental",
+    Some(s"""WITH RECURSIVE t AS (
+            |  SELECT doc_id, $toksSql AS toks FROM documents),
+            |sh AS (
+            |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+            |  FROM t WHERE len(toks) >= 3),
+            |pr AS (
+            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5),
+            |bidir AS (SELECT a_id AS src, b_id AS dst FROM pr UNION SELECT b_id, a_id FROM pr),
+            |vertices AS (SELECT DISTINCT src AS id FROM bidir),
+            |reach AS (
+            |  SELECT id, id AS r FROM vertices
+            |  UNION
+            |  SELECT re.id, b.dst FROM reach re JOIN bidir b ON re.r = b.src),
+            |merged AS (SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY 1) WHERE id <> comp),
+            |clean AS (
+            |  SELECT doc_id, toks FROM t
+            |  WHERE len(toks) > 0
+            |    AND doc_id NOT IN (SELECT id FROM merged)
+            |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3),
+            |ch AS (
+            |  SELECT doc_id, s.i AS start,
+            |    list_slice(toks, s.i, least(s.i + ${ChunkSize - 1}, len(toks))) AS chunk
+            |  FROM clean, unnest(generate_series(1, len(toks), $ChunkStride)) AS s(i)),
+            |chf AS (
+            |  SELECT doc_id, start, CAST(len(chunk) AS BIGINT) AS n_tokens,
+            |    md5(array_to_string(chunk, ' ')) AS fp
+            |  FROM ch),
+            |bcum AS (
+            |  SELECT doc_id // 100 AS shard, doc_id, start, n_tokens, fp,
+            |    sum(n_tokens) OVER (PARTITION BY doc_id // 100 ORDER BY doc_id, start
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+            |  FROM chf WHERE doc_id % 10 <> 7),
+            |bp AS (SELECT shard, (c - 1) // $PackCapacity AS bin, doc_id, start, n_tokens, fp FROM bcum),
+            |bmax AS (SELECT shard, max(bin) AS maxbin FROM bp GROUP BY 1),
+            |icum AS (
+            |  SELECT doc_id // 100 AS shard, doc_id, start, n_tokens, fp,
+            |    sum(n_tokens) OVER (PARTITION BY doc_id // 100 ORDER BY doc_id, start
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+            |  FROM chf WHERE doc_id % 10 = 7),
+            |ip AS (
+            |  SELECT i.shard, COALESCE(m.maxbin + 1, 0) + (i.c - 1) // $PackCapacity AS bin,
+            |    i.doc_id, i.start, i.n_tokens, i.fp
+            |  FROM icum i LEFT JOIN bmax m ON m.shard = i.shard)
+            |SELECT CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin,
+            |  doc_id, CAST(start AS BIGINT) AS start, n_tokens, fp
+            |FROM (SELECT * FROM bp UNION ALL SELECT * FROM ip)
+            |ORDER BY doc_id, start""".stripMargin),
+    (s, d) => {
+      val merged = dedupSurvivors.run(s, d).select(col("doc_id"))
+      val clean = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .join(merged, Seq("doc_id"), "left_anti")
+        .filter(size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")) >= 0.3)
+      val chunks = clean
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")), lit(ChunkStride))).as("start"))
+        .withColumn("chunk", slice(col("toks"), col("start"), lit(ChunkSize)))
+        .select(col("doc_id"), expr("doc_id div 100").as("shard"), col("start"),
+          size(col("chunk")).cast(LongType).as("n_tokens"),
+          md5(array_join(col("chunk"), " ")).as("fp"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"), col("start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def pack(df: DataFrame): DataFrame =
+        df.withColumn("c", sum(col("n_tokens")).over(w))
+      val basePacked = pack(chunks.filter(col("doc_id") % 10 =!= 7))
+        .withColumn("bin", expr(s"(c - 1) div $PackCapacity"))
+        .select(col("shard"), col("bin"), col("doc_id"),
+          col("start").cast(LongType).as("start"), col("n_tokens"), col("fp"))
+      val baseMax = basePacked.groupBy(col("shard")).agg(max(col("bin")).as("maxbin"))
+      val incrPacked = pack(chunks.filter(col("doc_id") % 10 === 7))
+        .join(baseMax, Seq("shard"), "left")
+        .withColumn("bin",
+          coalesce(col("maxbin") + 1, lit(0L)) + expr(s"(c - 1) div $PackCapacity"))
+        .select(col("shard"), col("bin"), col("doc_id"),
+          col("start").cast(LongType).as("start"), col("n_tokens"), col("fp"))
+      val dir = "target/curate_incr/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.sources.PartitionedStore.write(basePacked, dir, Seq("shard"))
+      incrPacked.write.mode("append").partitionBy("shard").parquet(dir)
+      graft.sources.PartitionedStore.read(s, dir, basePacked.schema)
+        .select(col("shard").cast(LongType).as("shard"), col("bin"),
+          col("doc_id"), col("start"), col("n_tokens"), col("fp"))
+        .orderBy(col("doc_id"), col("start"))
+    })
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupNgram, dedupEmbedding, dedupIncremental, curateE2e,
-    curateWrite,
+    curateWrite, curateIncremental,
     minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash, dedupSurvivors,
     pipelineE2e,
     annTopk, annLsh, annMultiprobe,

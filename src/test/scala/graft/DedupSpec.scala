@@ -181,6 +181,20 @@ class DedupSpec extends SparkSpec {
     assert(dirs.nonEmpty)
   }
 
+  test("incremental curation: batch bins continue after each shard's base bins") {
+    val rows = PipelineQueries.curateIncremental.run(spark, sf()).collect()
+    val (batch, base) = rows.partition(_.getLong(2) % 10 == 7)
+    assert(base.nonEmpty && batch.nonEmpty)
+    val baseMax = base.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).max).toMap
+    batch.foreach { r =>
+      val m = baseMax.get(r.getLong(0))
+      assert(m.forall(r.getLong(1) > _),
+        s"shard ${r.getLong(0)}: batch bin ${r.getLong(1)} does not continue past base max $m")
+    }
+    // re-running must not double-append (overwrite-then-append idempotency)
+    assert(PipelineQueries.curateIncremental.run(spark, sf()).count() === rows.length.toLong)
+  }
+
   test("exact all-pairs baselines fail fast above the input cap") {
     import spark.implicits._
     val big = spark.range(201).toDF("vec_id")
