@@ -15,7 +15,7 @@ import graft.registry.Q
   *
   * Same pinned layout as PageRank (LoopConf): edges shuffled onto src
   * once, state id-partitioned, one exchange per round (the relaxation
-  * min-aggregation), checkpoints batched to bound lineage.
+  * min-aggregation), checkpoint cadence measured per-operator (CkptEvery).
   */
 object ShortestPaths {
 

@@ -1243,16 +1243,27 @@ object PipelineQueries {
         .withColumn("bin", expr(s"(c - 1) div $PackCapacity"))
         .select(col("shard"), col("bin"), col("doc_id"),
           col("start").cast(LongType).as("start"), col("n_tokens"), col("fp"))
-      val baseMax = basePacked.groupBy(col("shard")).agg(max(col("bin")).as("maxbin"))
-      val incrPacked = pack(chunks.filter(col("doc_id") % 10 === 7))
+      // Materialize BEFORE writing: a partitioned APPEND command's child
+      // plan executes WITHOUT InMemoryRelation substitution (observed:
+      // the append re-derived the whole corpus lineage through a
+      // checkpoint the runner had already released after the previous
+      // query, while overwrite/count used the cache) — checkpointing the
+      // small packed frames makes the write jobs scan them directly.
+      // Registered as finals so the runner frees them post-query.
+      val bp = basePacked.localCheckpoint(true)
+      graft.analytics.CheckpointRegistry.trackFinal(s, bp)
+      val baseMax = bp.groupBy(col("shard")).agg(max(col("bin")).as("maxbin"))
+      val ip = pack(chunks.filter(col("doc_id") % 10 === 7))
         .join(baseMax, Seq("shard"), "left")
         .withColumn("bin",
           coalesce(col("maxbin") + 1, lit(0L)) + expr(s"(c - 1) div $PackCapacity"))
         .select(col("shard"), col("bin"), col("doc_id"),
           col("start").cast(LongType).as("start"), col("n_tokens"), col("fp"))
+        .localCheckpoint(true)
+      graft.analytics.CheckpointRegistry.trackFinal(s, ip)
       val dir = "target/curate_incr/" + d.replaceAll("[^A-Za-z0-9.]", "_")
-      graft.sources.PartitionedStore.write(basePacked, dir, Seq("shard"))
-      incrPacked.write.mode("append").partitionBy("shard").parquet(dir)
+      graft.sources.PartitionedStore.write(bp, dir, Seq("shard"))
+      ip.write.mode("append").partitionBy("shard").parquet(dir)
       graft.sources.PartitionedStore.read(s, dir, basePacked.schema)
         .select(col("shard").cast(LongType).as("shard"), col("bin"),
           col("doc_id"), col("start"), col("n_tokens"), col("fp"))
