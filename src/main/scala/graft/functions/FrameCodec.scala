@@ -31,14 +31,21 @@ object FrameCodec {
   val MaxFrames: Int = 0xFFFF
 
   /** Split `payload` into ceil(len/frameSize) frames of at most
-    * `frameSize` bytes and wrap them in a GRFT1 container. */
+    * `frameSize` bytes and wrap them in a GRFT1 container.
+    *
+    * Returns NULL when the payload would need more than `MaxFrames`
+    * frames (u16 count field): on the expression path one oversized
+    * document must degrade to a null container — filterable downstream —
+    * not throw and kill the whole scan (ADVICE r6 #2; frameSize=7 caps
+    * payloads at ~458 KB, small enough that real corpora hit it).
+    * A non-positive frameSize is still a programming error (it is always
+    * a literal/config, never data) and throws. */
   def pack(payload: Array[Byte], frameSize: Int): Array[Byte] = {
     require(frameSize > 0, s"frameSize must be positive, got $frameSize")
     val n =
       if (payload.length == 0) 0
       else (payload.length + frameSize - 1) / frameSize
-    require(n <= MaxFrames,
-      s"payload of ${payload.length}B needs $n frames; container caps at $MaxFrames")
+    if (n > MaxFrames) return null
     val out = new Array[Byte](HeaderLen + 4 * n + payload.length)
     out(0) = 'G'; out(1) = 'R'; out(2) = 'F'; out(3) = 'T'
     out(4) = Version
@@ -78,7 +85,14 @@ object FrameCodec {
       val len = ((c(off) & 0xFF) << 24) | ((c(off + 1) & 0xFF) << 16) |
         ((c(off + 2) & 0xFF) << 8) | (c(off + 3) & 0xFF)
       off += 4
-      if (len < 0 || off + len > c.length) return null
+      // `len > c.length - off`, NOT `off + len > c.length`: a corrupt
+      // prefix near 2^31 makes off+len wrap negative and pass the check,
+      // then the next iteration indexes past the array and the thrown
+      // ArrayIndexOutOfBoundsException kills the task — violating the
+      // null-on-ANY-violation contract (ADVICE r6 #1). off <= c.length
+      // is guaranteed by the prefix check above, so the subtraction
+      // cannot underflow.
+      if (len < 0 || len > c.length - off) return null
       lens(i) = len
       total += len
       off += len

@@ -97,14 +97,20 @@ case class SampleBytes(left: Expression, right: Expression)
 
 /** Build a GRFT1 length-prefixed frame container from a binary payload
   * (FrameCodec.pack): the write side of the multimodal container pair.
-  * Codegen emits a static call — stays inside whole-stage codegen. */
+  * Codegen emits a static call — stays inside whole-stage codegen.
+  * NULL (not an exception) for payloads beyond the container's u16
+  * frame-count cap, so one oversized document can't kill the query. */
 case class PackFrames(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
   override def nullSafeEval(p: Any, fs: Any): Any =
     FrameCodec.pack(p.asInstanceOf[Array[Byte]], fs.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (p, fs) => s"graft.functions.FrameCodec.pack($p, $fs)")
+    nullSafeCodeGen(ctx, ev, (p, fs) => s"""
+       |${ev.value} = graft.functions.FrameCodec.pack($p, $fs);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PackFrames =
     copy(left = newLeft, right = newRight)
@@ -136,6 +142,52 @@ object ParseFrames {
     StructField("n_frames", LongType, nullable = false),
     StructField("frame_lens", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("payload", BinaryType, nullable = false)))
+}
+
+/** Synthesize a complete 24bpp BMP (BmpCodec.encode) from
+  * (width, height, seed) — the "media producer" side of the BMP decode
+  * pair. NULL for non-positive dimensions. */
+case class EncodeBmp(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(w: Any, h: Any, s: Any): Any =
+    BmpCodec.encode(w.asInstanceOf[Int], h.asInstanceOf[Int], s.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, s) => s"""
+       |${ev.value} = graft.functions.BmpCodec.encode($w, $h, $s);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): EncodeBmp =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Parse a BMP header (BmpCodec.parseHeaderRaw) from the first >= 54
+  * bytes of a blob — magic, V3 info-header, planes, bit-depth,
+  * compression, and geometry-vs-file-size consistency all validated.
+  * struct(width, height, bpp, file_size); NULL on any violation. */
+case class ParseBmpHeader(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ParseBmpHeader.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    BmpCodec.parseHeader(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.BmpCodec.parseHeader($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ParseBmpHeader =
+    copy(child = newChild)
+}
+
+object ParseBmpHeader {
+  val schema: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("bpp", LongType, nullable = false),
+    StructField("file_size", LongType, nullable = false)))
 }
 
 /** Dot product of two double arrays as a strict left-to-right fold —
@@ -198,6 +250,14 @@ object GraftFunctions {
   def parse_frames(container: Column): Column =
     GraftColumnBridge.column(ParseFrames(GraftColumnBridge.expression(container)))
 
+  def encode_bmp(width: Column, height: Column, seed: Column): Column =
+    GraftColumnBridge.column(EncodeBmp(
+      GraftColumnBridge.expression(width), GraftColumnBridge.expression(height),
+      GraftColumnBridge.expression(seed)))
+
+  def parse_bmp_header(bytes: Column): Column =
+    GraftColumnBridge.column(ParseBmpHeader(GraftColumnBridge.expression(bytes)))
+
   def cms_sketch(hashedKey: Column): Column = CmsSketch.cms_sketch(hashedKey)
 
   def cms_estimate(sketch: Column, hashedKey: Column): Column =
@@ -212,6 +272,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("array_dot", es => ArrayDot(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("pack_frames", es => PackFrames(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_frames", es => ParseFrames(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_bmp", es => EncodeBmp(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_bmp_header", es => ParseBmpHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cms_sketch",
       es => CmsSketchAgg(es.head).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("cms_estimate",

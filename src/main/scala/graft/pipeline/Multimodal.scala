@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{byte_histogram, pack_frames, parse_frames, sample_bytes}
+import graft.functions.GraftFunctions.{byte_histogram, encode_bmp, pack_frames, parse_bmp_header, parse_frames, sample_bytes}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -166,6 +166,62 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- BMP-in-GRFT1 decode (recognizable format, VERDICT r6 #6) ---------
+
+  /** documents -> (doc_id, container BINARY): a complete, valid 24bpp
+    * BMP per document (dims derived from the text, pixels from doc_id),
+    * framed into a GRFT1 container. frameSize=64 so the ENTIRE 54-byte
+    * BMP header lands in the first frame — the property the decode side
+    * exploits. */
+  def withBmpContainers(docs: DataFrame, frameSize: Int = 64): DataFrame =
+    docs.select(
+      col("doc_id"),
+      pack_frames(
+        encode_bmp(
+          (length(col("text")) % 64 + 1).cast("int"),
+          (length(col("text")) % 48 + 1).cast("int"),
+          col("doc_id").cast(LongType)),
+        lit(frameSize)).as("container"))
+
+  /** Expression-path decode: deframe the container, slice the FIRST
+    * frame, parse the BMP header out of it — all codegen'd, no
+    * reassembly of the full payload needed for a header read. */
+  def parseBmpHeaders(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"),
+        parse_bmp_header(
+          expr("substring(f.payload, 1, cast(f.frame_lens[0] as int))")).as("h"))
+      .select(col("doc_id"),
+        col("h.width").as("width"), col("h.height").as("height"),
+        col("h.bpp").as("bpp"), col("h.file_size").as("file_size"))
+
+  final case class BmpHeaderRow(doc_id: Long, width: Long, height: Long,
+      bpp: Long, file_size: Long)
+
+  /** Batched decode path (one dispatch per batch, like
+    * parseContainersBatch): deframe, slice first frames, batch-parse
+    * headers; corrupt containers or non-BMP first frames drop out. */
+  def parseBmpHeadersBatch(containers: DataFrame, batchSize: Int = 512): DataFrame = {
+    val spark = containers.sparkSession
+    import spark.implicits._
+    containers.select(col("doc_id"), col("container")).as[Container]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val deframed = FrameCodec.parseBatch(batch.map(_.container).toArray)
+          val firstFrames: Array[Array[Byte]] = deframed.map { r =>
+            if (r == null || r._1.isEmpty) null
+            else java.util.Arrays.copyOfRange(r._2, 0, r._1(0).toInt)
+          }
+          val headers = graft.functions.BmpCodec.parseBatch(firstFrames)
+          batch.iterator.zip(headers.iterator).collect {
+            case (c, h) if h != null =>
+              BmpHeaderRow(c.doc_id, h(0), h(1), h(2), h(3))
+          }
+        }
+      }
+      .toDF()
+  }
+
   // ---- registry entries -------------------------------------------------
 
   private def histBinsSql: String =
@@ -251,6 +307,39 @@ object Multimodal {
           md5(col("payload")).as("payload_fp"))
         .orderBy(col("doc_id")))
 
+  /** Decode a RECOGNIZABLE format inside GRFT1 frames: each document
+    * carries a real 24bpp BMP (valid file+info headers, padded bottom-up
+    * pixel rows) packed into a GRFT1 container; the query deframes,
+    * takes the first frame, and parses width/height/bit-depth/file-size
+    * out of the little-endian header bytes. The oracle recomputes every
+    * field — INCLUDING the stride-padded file size the encoder wrote and
+    * the parser read back from 4 LE bytes — from the document text, so
+    * an endianness, offset, or stride bug anywhere in the byte path
+    * hash-fails. */
+  private val BmpOracleSql =
+    """SELECT doc_id,
+      |  CAST(length(text) % 64 + 1 AS BIGINT) AS width,
+      |  CAST(length(text) % 48 + 1 AS BIGINT) AS height,
+      |  CAST(24 AS BIGINT) AS bpp,
+      |  CAST(54 + (((length(text) % 64 + 1) * 3 + 3) // 4) * 4
+      |         * (length(text) % 48 + 1) AS BIGINT) AS file_size
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val bmpDecodeQ: Q = Q(
+    "m_bmp_decode",
+    Some(BmpOracleSql),
+    (s, d) =>
+      parseBmpHeaders(withBmpContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** Same oracle through the batched (one-dispatch-per-batch) path. */
+  val bmpDecodeBatchQ: Q = Q(
+    "m_bmp_decode_batch",
+    Some(BmpOracleSql),
+    (s, d) =>
+      parseBmpHeadersBatch(withBmpContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
   val all: Seq[Q] = Seq(decodeQ, frameSampleQ, decodeBatchQ,
-    containerDecodeQ, containerDecodeBatchQ)
+    containerDecodeQ, containerDecodeBatchQ, bmpDecodeQ, bmpDecodeBatchQ)
 }

@@ -51,6 +51,40 @@ class ContainerCodecSpec extends SparkSpec {
     assert(rows == Map("ok" -> false, "bad" -> true))
   }
 
+  test("huge length prefix cannot overflow the bounds check") {
+    // a corrupt prefix near 2^31 used to wrap off+len negative and PASS
+    // the bounds check; with >=2 declared frames the next iteration then
+    // indexed at a negative offset and threw, killing the task instead
+    // of returning null (ADVICE r6 #1)
+    val good = FrameCodec.pack("hello world, frames".getBytes("UTF-8"), 7)
+    for (hi <- Seq(0x7FFFFFFF, 0x7FFFFFF8, Int.MaxValue - FrameCodec.HeaderLen)) {
+      val evil = good.clone()
+      evil(FrameCodec.HeaderLen) = (hi >>> 24).toByte
+      evil(FrameCodec.HeaderLen + 1) = (hi >>> 16).toByte
+      evil(FrameCodec.HeaderLen + 2) = (hi >>> 8).toByte
+      evil(FrameCodec.HeaderLen + 3) = hi.toByte
+      assert(FrameCodec.parseRaw(evil) == null, f"prefix=0x$hi%08x must parse to null")
+    }
+  }
+
+  test("pack degrades to null past the u16 frame-count cap") {
+    // 65535 frames at frameSize=1 is the boundary: packs fine
+    val atCap = new Array[Byte](FrameCodec.MaxFrames)
+    val packed = FrameCodec.pack(atCap, 1)
+    assert(packed != null && FrameCodec.parseRaw(packed)._1.length == FrameCodec.MaxFrames)
+    // 65536 frames: null, not an exception (one oversized doc must not
+    // kill the scan — ADVICE r6 #2)
+    assert(FrameCodec.pack(new Array[Byte](FrameCodec.MaxFrames + 1), 1) == null)
+    // and through the expression: oversized -> NULL, small -> packed
+    import spark.implicits._
+    val rows = Seq(("big", new Array[Byte](FrameCodec.MaxFrames + 1)),
+        ("small", Array[Byte](1, 2, 3)))
+      .toDF("tag", "p")
+      .select(col("tag"), pack_frames(col("p"), lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(rows == Map("big" -> true, "small" -> false))
+  }
+
   test("batched decode drops corrupt containers instead of crashing") {
     import spark.implicits._
     val good = FrameCodec.pack("payload bytes here".getBytes("UTF-8"), 7)
