@@ -26,8 +26,17 @@ object CadenceProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // same warmup as Bench so codegen/JIT cost doesn't land on the probe
+    // (incl. the sf0.001 superstep warmup — round 7: ~6.3s of the old
+    // "cold" numbers was one-time loop codegen, which made every cadence
+    // look alike; see PrProfile)
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    try {
+      graft.analytics.PageRank.pageRank(spark,
+        graft.graph.CitationGraph.edges(spark, "/root/testdata/sf0.001"),
+        iters = 2).count()
+      graft.analytics.CheckpointRegistry.releaseAll(spark)
+    } catch { case _: Throwable => () }
     val t0 = System.nanoTime()
     val edges = graft.graph.CitationGraph.edges(spark, sfDir)
     if (kcoreMode)

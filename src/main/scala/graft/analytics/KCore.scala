@@ -45,6 +45,15 @@ object KCore {
     * costs more than the per-round materialization saves. Stays 1. */
   val CkptEvery = 1
 
+  /** Rounds the last `kcore` call actually peeled before stopping (the
+    * loop runs eagerly, so this is set by the time the DataFrame is
+    * returned). The fixpoint query's oracle is unrolled to a FIXED
+    * depth, so the registered query asserts this against
+    * FixpointOracleDepth — without the assert, a dataset converging in
+    * more rounds would make the oracle silently wrong and the query fail
+    * verification with no hint why (ADVICE r6 #3). */
+  @volatile private[graft] var lastConvergenceRound: Int = -1
+
   def kcore(spark: SparkSession, edgesRaw: DataFrame, k: Int = K,
       rounds: Int = Rounds, ckptEvery: Int = CkptEvery): DataFrame =
     LoopConf.pinned(spark, edgesRaw.count()) {
@@ -83,6 +92,7 @@ object KCore {
       e = next
       r += batch
     }
+    lastConvergenceRound = r
     // the final edge checkpoint backs the lazy result (ADVICE r5:
     // repeated invocations otherwise accumulate pinned blocks for the
     // session lifetime); the runner releases it via CheckpointRegistry
@@ -149,9 +159,19 @@ object KCore {
   val kcoreFixpointQ: Q = Q(
     "g_kcore_fixpoint",
     Some(fixpointOracleSql(K, FixpointOracleDepth)),
-    (s, d) =>
-      kcore(s, graft.graph.CitationGraph.edges(s, d), K, Int.MaxValue)
-        .orderBy(col("id")))
+    (s, d) => {
+      val out = kcore(s, graft.graph.CitationGraph.edges(s, d), K, Int.MaxValue)
+        .orderBy(col("id"))
+      // the peel loop ran eagerly inside kcore(), so the convergence
+      // round is known here — fail LOUDLY if the fixed-depth oracle
+      // can't cover it, instead of hash-mismatching with no hint
+      // (measured max is 12 at sf0.1; 16 gives headroom)
+      require(lastConvergenceRound <= FixpointOracleDepth,
+        s"g_kcore_fixpoint converged in $lastConvergenceRound peel rounds but " +
+          s"the unrolled oracle is depth $FixpointOracleDepth — raise " +
+          "KCore.FixpointOracleDepth to at least the convergence round")
+      out
+    })
 
   def all: Seq[Q] = Seq(kcoreQ, kcoreFixpointQ)
 }

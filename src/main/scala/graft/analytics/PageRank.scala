@@ -34,17 +34,19 @@ object PageRank {
   /** Damping factor 0.85 as an integer percent. */
   val DampPct = 85L
 
-  /** Checkpoint every few rounds, not every round: co-partitioning flows
-    * through the nested join plans (their output partitioning is known
-    * without materializing), so batching rounds into one job removes
-    * per-round materialization overhead; the checkpoint only exists to
-    * keep lineage depth bounded. MEASURED cold at sf0.1 per-JVM
-    * (CadenceProbe, round 6): every=1 8.3s, every=2 7.2/7.4s,
-    * every=3 7.4/7.5s, every=5 8.8s — 2 and 3 tie within noise, 5 loses
-    * ~20% (deeper nested plans cost more than they save; round 5 turned
-    * this knob 3→5 without a bench and g_pagerank went 3.94s→9.62s,
-    * VERDICT r5 #1). 3 stays: the round-4 known-good. */
-  val CkptEvery = 3
+  /** Checkpoint cadence. Round 7 re-measured after two changes that
+    * reshuffled the old curve: (a) the loop joins are shuffle-hash (no
+    * per-round sorts), so batching rounds saves less; (b) the probe and
+    * Bench now warm the superstep codepath on sf0.001 first — PrProfile
+    * showed ~6.3s of every earlier "cold" number was one-time loop
+    * codegen/JIT, which is why round 6's cadence A/B (8.3/7.2/7.4/8.8s
+    * for 1/2/3/5) barely separated: it was measuring the warmup, not
+    * the knob. Warmed cold at sf0.1 per-JVM (CadenceProbe, round 7):
+    * every=1 4.19/4.25s, every=2 4.59s, every=3 5.67s, every=5 6.85s —
+    * a clean monotone curve; with hash joins, deeper nested plans only
+    * add planning+codegen (each extra depth is a NEW generated class).
+    * 1 wins. */
+  val CkptEvery = 1
 
   @volatile private[graft] var lastIterationExchanges: Int = -1
 
@@ -65,14 +67,24 @@ object PageRank {
     val v = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // deg and e are BOTH loop-static, so join them ONCE before the loop
+    // (r4→r6 regression root cause: the loop re-did r ⋈ deg ⋈ e every
+    // iteration — 10 redundant vertex joins per run, VERDICT r6 #1).
+    // groupBy(src) reuses e's partitioning, the join is co-partitioned,
+    // and the persisted (src, dst, d) frame keeps hash(src) partitioning
+    // so the per-iteration rank join needs no exchange.
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val ed = e.join(deg, col("src") === deg("id"))
+      .select(col("src"), col("dst"), col("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val n = v.count()
     if (n == 0) {
-      e.unpersist(false); v.unpersist(false); deg.unpersist(false)
+      e.unpersist(false); v.unpersist(false); ed.unpersist(false)
       return v.select(col("id"), lit(0L).as("r"))
     }
+    ed.count() // materialize, then drop the raw-edge cache early
+    e.unpersist(false)
     // driver-side Long division == Spark `div` == DuckDB `//` on positives
     val r0 = Scale / n
     val base = ((100L - DampPct) * Scale) / (100L * n)
@@ -81,10 +93,16 @@ object PageRank {
     var prevCkpt: Option[DataFrame] = None
     var sinceCkpt = 0
     for (k <- 1 to iters) {
-      val contrib = r.join(deg, "id").join(e, col("id") === col("src"))
+      // shuffle-hash, build side = the vertex-sized frame, on BOTH loop
+      // joins: the r6 merge-hint shape re-sorted rank state and the
+      // static edge table every iteration (SMJ sorts are per-iteration
+      // work; hash builds on |V|-sized sides are cheaper and leave the
+      // co-partitioned exchange count unchanged — still exactly one
+      // shuffle per superstep, asserted below and in PageRankSpec).
+      val contrib = r.hint("shuffle_hash").join(ed, col("id") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div d")).as("contrib"))
-      val nextDs = v.hint("merge").join(contrib, col("id") === col("dst"), "left")
+      val nextDs = v.join(contrib.hint("shuffle_hash"), col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(base) + expr(s"($DampPct * coalesce(contrib, 0L)) div 100")).as("r"))
       // capture the per-superstep exchange count on rounds that start
@@ -104,7 +122,7 @@ object PageRank {
         sinceCkpt = 0
       } else r = nextDs
     }
-    e.unpersist(false); v.unpersist(false); deg.unpersist(false)
+    v.unpersist(false); ed.unpersist(false)
     // final checkpoint backs the lazy result; the runner releases it via
     // CheckpointRegistry once the result is materialized
     prevCkpt.foreach(CheckpointRegistry.trackFinal(spark, _))

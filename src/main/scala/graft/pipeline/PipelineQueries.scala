@@ -59,16 +59,38 @@ object PipelineQueries {
   private val shared =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
-  private def cachedDf(s: SparkSession, d: String, key: String)
-      (mk: => DataFrame): DataFrame = {
+  /** `sever = true` materializes the cache through an EAGER
+    * localCheckpoint instead of a lazy persist. Required whenever the
+    * built frame's lineage bottoms out in a CheckpointRegistry-tracked
+    * checkpoint (today: survivors, whose lineage crosses
+    * ConnectedComponents' final checkpoint): the runners release that
+    * checkpoint right after the query materializes, and a merely-
+    * persisted cache partition lost later would then be UNRECOMPUTABLE —
+    * downstream d_* queries would fail instead of recomputing (ADVICE
+    * r6 #4; harmless in this single-JVM harness, a real trap for the
+    * long-lived cluster sessions the CheckpointRegistry doc encourages). */
+  private def cachedDf(s: SparkSession, d: String, key: String,
+      sever: Boolean = false)(mk: => DataFrame): DataFrame = {
     val k = (graft.SessionKey(s), d, key)
     val hit = shared.get(k)
     if (hit != null) hit
     else {
-      val v = mk.persist(StorageLevel.MEMORY_AND_DISK)
+      val v =
+        if (sever) mk.localCheckpoint(true)
+        else mk.persist(StorageLevel.MEMORY_AND_DISK)
       val prev = shared.putIfAbsent(k, v)
-      if (prev != null) { v.unpersist(false); prev } else v
+      if (prev != null) { release(v); prev } else v
     }
+  }
+
+  /** Free a shared frame whether it is persist-backed or checkpoint-
+    * backed (df.unpersist is a no-op on checkpoints — their blocks are
+    * freed via the backing RDD). */
+  private def release(df: DataFrame): Unit = {
+    try org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
+      .foreach(_.unpersist(false))
+    catch { case _: Throwable => () }
+    try df.unpersist(false) catch { case _: Throwable => () }
   }
 
   /** Materialize every shared dedup-family intermediate (shingle
@@ -112,7 +134,7 @@ object PipelineQueries {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 == sid) {
-        try e.getValue.unpersist(false) catch { case _: Throwable => () }
+        release(e.getValue)
         it.remove()
       }
     }
@@ -460,7 +482,7 @@ object PipelineQueries {
             |SELECT id AS doc_id, comp AS survivor_id FROM comp
             |WHERE id <> comp ORDER BY doc_id""".stripMargin),
     (s, d) =>
-      cachedDf(s, d, "survivors") {
+      cachedDf(s, d, "survivors", sever = true) {
         val pairs = dedupNgram.run(s, d)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         graft.analytics.ConnectedComponents.components(pairs)
