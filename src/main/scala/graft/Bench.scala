@@ -28,6 +28,16 @@ object Bench {
         iters = 2).count()
       graft.analytics.CheckpointRegistry.releaseAll(spark)
     } catch { case _: Throwable => () }
+    // ... and the dedup family's operator codepaths, for the same reason
+    // (FamilyProbe: build 9.8s first pass vs 6.2s repeatable — the delta
+    // is codegen of the sketch/join/CC operators, not build work); the
+    // tiny-sf caches are released immediately so _setup_dedup_family
+    // still measures the real sf build from zero
+    try {
+      graft.pipeline.PipelineQueries.warmSharedFamily(spark, "/root/testdata/sf0.001")
+      graft.pipeline.PipelineQueries.releaseShared(spark)
+      graft.analytics.CheckpointRegistry.releaseAll(spark)
+    } catch { case _: Throwable => () }
     // deterministic name order: stable per-query numbers across rounds
     val base = SparkEntry.queries.toSeq.sortBy(_._1)
     // The dedup family's shared cache build is timed as its own entry

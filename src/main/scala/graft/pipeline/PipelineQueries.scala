@@ -247,8 +247,12 @@ object PipelineQueries {
     * counts ALL shared shingles. Public so the bound is property-testable. */
   def ngramJaccardPairs(posts: DataFrame, t: Double,
       dfCap: Long = DfCap): DataFrame = {
-    val dfs = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val withDf = posts.join(dfs, "g")
+    // df via an unordered count window: ONE shuffle of the postings by g
+    // (which also leaves rare/hot partitioned by g for the candidate
+    // self-join below) — the agg+join formulation shuffled the postings
+    // twice for the same answer (round-7 family-build shave)
+    val withDf = posts.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
     val rare = withDf.filter(col("df") <= dfCap).select(col("doc_id"), col("g"))
     val hot = withDf.filter(col("df") > dfCap).select(col("doc_id"), col("g"))
     val cRare = rare.select(col("doc_id").as("a_id"), col("g"))
@@ -270,7 +274,9 @@ object PipelineQueries {
         col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac_raw") >= t)
       .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
-      .orderBy(col("a_id"), col("b_id"))
+    // no orderBy here: the cached family frame doesn't need one (a global
+    // sort is a sample+range-shuffle job on every rebuild); the
+    // registered query orders its own output
   }
 
   private def ngramPairsCached(s: SparkSession, d: String): DataFrame =
