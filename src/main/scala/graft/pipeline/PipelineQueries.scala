@@ -246,7 +246,7 @@ object PipelineQueries {
     * O(|candidates|) instead of Σ C(df,2), and the reported Jaccard still
     * counts ALL shared shingles. Public so the bound is property-testable. */
   def ngramJaccardPairs(posts: DataFrame, t: Double,
-      dfCap: Long = DfCap): DataFrame = {
+      dfCap: Long = DfCap, sizes: Option[DataFrame] = None): DataFrame = {
     // df via an unordered count window: ONE shuffle of the postings by g
     // (which also leaves rare/hot partitioned by g for the candidate
     // self-join below) — the agg+join formulation shuffled the postings
@@ -266,7 +266,12 @@ object PipelineQueries {
     val common = cRare.join(cHot, Seq("a_id", "b_id"), "left")
       .select(col("a_id"), col("b_id"),
         (col("c_rare") + coalesce(col("c_hot"), lit(0L))).as("c"))
-    val sz = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // per-doc shingle-set sizes: callers that built `posts` by exploding
+    // a per-row distinct-shingle array pass the sizes map-only (one fewer
+    // shuffle of the full postings per family build — round-7 shave);
+    // the generic fallback recounts from the postings
+    val sz = sizes.getOrElse(
+      posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
     common
       .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
@@ -280,7 +285,14 @@ object PipelineQueries {
   }
 
   private def ngramPairsCached(s: SparkSession, d: String): DataFrame =
-    cachedDf(s, d, "ngram_pairs")(ngramJaccardPairs(shinglePosts(s, d), 0.5))
+    cachedDf(s, d, "ngram_pairs")(ngramJaccardPairs(shinglePosts(s, d), 0.5,
+      // |distinct shingles| per doc, computed in the same narrow scan
+      // shape as the postings themselves (explode of the same array
+      // would shuffle; size() of it doesn't touch the cluster at all)
+      sizes = Some(Tables.documents(s, d).select(col("doc_id"),
+        size(graft.functions.SketchFunctions.word_shingles(col("text")))
+          .cast("long").as("n"))
+        .filter(col("n") > 0))))
 
   val dedupNgram: Q = Q(
     "d_dedup_ngram_jaccard",
