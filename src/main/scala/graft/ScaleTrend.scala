@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-trend probe (VERDICT r6 missing #2): time the headline set at
+  * two scale factors in one harness shape and compare slopes. Usage:
+  *
+  *   runMain graft.ScaleTrend <sfDir> [reps]
+  *
+  * Runs the same warmup discipline as Bench (superstep + family
+  * codepaths on sf0.001), then `_setup_dedup_family` once and each
+  * slope query `reps` times (default 2), printing per-rep seconds. The
+  * slope set is the headline set minus the requireBounded exact
+  * baselines (their O(n²) cost at 10x is by-design unbounded — the
+  * gated message, not a slope, is their scale story) and minus the
+  * store-writing curation queries (their cost is parquet IO, measured
+  * separately). Run against /root/testdata/sf0.1 and /tmp/sf1 (built
+  * by tools/gen_sf1.py — 10 structure-preserving disjoint copies of
+  * sf0.1) and divide.
+  */
+object ScaleTrend {
+
+  /** Family block: runs right after the setup entry, marginal like
+    * Bench; the shared caches are released at the end of the block
+    * (Bench's releaseSharedAfterFamily discipline — holding them
+    * through the supersteps measurably slows the checkpoint loops). */
+  val FamilySet: Seq[String] = Seq(
+    "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_ngram_jaccard",
+    "d_dedup_simhash", "d_dedup_survivors", "d_pipeline_e2e",
+    "d_dedup_embedding_lsh", "d_dedup_embedding_ivf",
+    "d_curate_e2e")
+
+  /** Slope set: supersteps + text + the non-family heavy movers. */
+  val SlopeSet: Seq[String] = Seq(
+    "q1_agg", "w1_running_total",
+    "g_pagerank", "g_sssp", "g_components", "g_kcore", "g_labelprop",
+    "g_hopplot",
+    "t_tfidf_top_terms", "t_token_bpe",
+    "sim_ann_topk", "sim_ann_ivf",
+    "st_tumbling_window", "x_asof_join_native", "x_merge_upsert")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    try {
+      graft.analytics.PageRank.pageRank(spark,
+        graft.graph.CitationGraph.edges(spark, "/root/testdata/sf0.001"),
+        iters = 2).count()
+      graft.analytics.CheckpointRegistry.releaseAll(spark)
+      graft.pipeline.PipelineQueries.warmSharedFamily(spark, "/root/testdata/sf0.001")
+      graft.pipeline.PipelineQueries.releaseShared(spark)
+      graft.analytics.CheckpointRegistry.releaseAll(spark)
+    } catch { case _: Throwable => () }
+
+    def time(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      val ok = try { body; true } catch {
+        case e: Throwable => println(s"TREND $name FAILED: ${e.getMessage}"); false
+      }
+      if (ok) println(f"TREND $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      graft.analytics.CheckpointRegistry.releaseAll(spark)
+    }
+
+    // family build timed explicitly, once, like Bench's setup entry;
+    // d_* times below are then marginal
+    time("_setup_dedup_family") {
+      graft.pipeline.PipelineQueries.warmSharedFamily(spark, sfDir)
+    }
+    for (name <- FamilySet; r <- 1 to reps)
+      time(s"$name rep=$r") {
+        SparkEntry.queries(name)(spark, sfDir).count()
+      }
+    graft.pipeline.PipelineQueries.releaseShared(spark)
+    for (name <- SlopeSet; r <- 1 to reps)
+      time(s"$name rep=$r") {
+        SparkEntry.queries(name)(spark, sfDir).count()
+      }
+    spark.stop()
+  }
+}

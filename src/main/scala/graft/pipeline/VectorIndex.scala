@@ -254,12 +254,61 @@ object VectorIndex {
     * product against <=64 centroids, a narrow top-3 window per vector,
     * then equi-joins on a 6-bit key + candidate-scoped verify. */
   private val DedupCellPlane0 = 48
-  private val DedupCellBits = 6
   private val DedupNprobe = 3
 
-  def embeddingIvfCandidates(s: SparkSession, d: String): DataFrame = {
-    val n = normed(s, d)
-    val cents = centroids(n, DedupCellPlane0, DedupCellBits)
+  /** Adaptive cell-count rule — the scale fix the sf1 trend run forced
+    * (round 7): with the old FIXED 6-bit quantizer, cell occupancy grows
+    * linearly in the corpus and the candidate self-join quadratically
+    * (measured: 10x corpus -> 48x wall, /tmp/sf1). The sizing is the
+    * textbook IVF-flat rule, cells ~ sqrt(n) (what FAISS recommends for
+    * nlist): assignment costs n*cells products and candidate
+    * verification ~ cells*(nprobe*n/cells)^2 = (nprobe^2)*n^2/cells, so
+    * cells ~ sqrt(n) balances the two at O(n^1.5) — the honest floor
+    * for IVF-flat at this data's hard 0.45-0.51 cosine band (constant
+    * occupancy would make candidates linear but assignment quadratic;
+    * sub-n^1.5 needs approximate assignment, i.e. a graph/tree index
+    * over centroids, which no longer oracle-replicates). Measured at
+    * 10x corpus (QProfile, same harness both sides): fixed 64 cells
+    * 2.65s -> 50.2s (19x); sqrt(n) 256 cells 2.65s -> 17.4s (6.6x),
+    * inside the 31.6x the n^1.5 law allows.
+    *
+    * Ladder: bits = smallest b in [2,16] with 4^b >= n, i.e.
+    * ceil(log4(n)) — so 2^bits >= sqrt(n) — by exact integer
+    * comparison, NOT float log: log at exact powers is an
+    * engine-dependent off-by-one, and the DuckDB oracle replicates the
+    * identical ladder in SQL. At sf0.1 (n=2000) it lands on the old 6
+    * bits exactly, so the bench-scale results are unchanged; smaller
+    * corpora get fewer, fuller cells (recall sf0.01 stays 7/14,
+    * sf0.001 3/7 — both above the sim_ann_recall_tol floors). */
+  def dedupCellBits(n: Long): Int = {
+    var b = 2
+    while (b < 16 && (1L << (2 * b)) < n) b += 1
+    b
+  }
+
+  private def dedupCellBitsSql(nSql: String): String = {
+    val ladder = (2 until 16)
+      .map(b => s"WHEN ($nSql) <= ${1L << (2 * b)} THEN $b")
+      .mkString(" ")
+    s"(CASE $ladder ELSE 16 END)"
+  }
+
+  def embeddingIvfCandidates(s: SparkSession, d: String): DataFrame =
+    embeddingIvfCandidatesOf(normed(s, d))
+
+  /** Candidate generation over any (vec_id, vd, nrm)-or-(vec_id,
+    * embedding) frame — the seam VectorIndexSpec's scale property test
+    * drives with synthetic corpora. */
+  def embeddingIvfCandidatesOf(raw: DataFrame): DataFrame = {
+    val n =
+      if (raw.columns.contains("vd")) raw
+      else raw.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd"))
+        .withColumn("nrm", sqrt(GraftFunctions.array_dot(col("vd"), col("vd"))))
+    // corpus size -> cell bits is a driver-side decision, like
+    // totalPairs/custModulus: one count() against the (cheap, narrow)
+    // normed scan before planning
+    val cents = centroids(n, DedupCellPlane0, dedupCellBits(n.count()))
     val sims = centroidSims(n, cents)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
     val asg = sims.withColumn("rk", row_number().over(w))
@@ -272,11 +321,20 @@ object VectorIndex {
       .distinct()
   }
 
+  /** Dynamic-bits bucket: 16 plane terms, each gated on its index being
+    * under the (scalar-subquery) bit count — the SQL twin of
+    * bucketCol(j0, bits) with bits data-dependent. */
+  private def bucketSqlAdaptive(j0: Int, bitsSql: String): String =
+    (0 until 16).map { k =>
+      s"(CASE WHEN $k < $bitsSql AND ${planeSql(j0 + k)} >= 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   val dedupEmbeddingIvf: Q = Q(
     "d_dedup_embedding_ivf",
     Some(s"""WITH n AS (
             |  $normedSql),
-            |cells AS (SELECT vec_id, vd, nrm, ${bucketSql(DedupCellPlane0, DedupCellBits)} AS cell FROM n),
+            |bitsv AS (SELECT ${dedupCellBitsSql("SELECT count(*) FROM n")} AS bits),
+            |cells AS (SELECT vec_id, vd, nrm, ${bucketSqlAdaptive(DedupCellPlane0, "(SELECT bits FROM bitsv)")} AS cell FROM n),
             |seeds AS (SELECT cell, min(vec_id) AS cid FROM cells GROUP BY cell),
             |cents AS (
             |  SELECT s.cell, v.vd AS cvd, v.nrm AS cn FROM seeds s JOIN n v ON v.vec_id = s.cid),

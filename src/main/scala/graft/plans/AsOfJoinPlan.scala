@@ -249,11 +249,14 @@ object AsOfJoinPlan {
     // v1 contract enforced at ANALYSIS time, not as an executor
     // ClassCastException (ADVICE r2): the merge evals key/ts as Long, so
     // only BIGINT and TIMESTAMP (Long micros internally) are accepted.
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     for ((df, side) <- Seq((probe, "probe"), (build, "build"));
          (n, what) <- Seq((key, "key"), (ts, "ts"))) {
       val dt = df.select(n).schema.head.dataType // session-resolver lookup
-      if (dt != LongType && dt != TimestampType)
+      // TIMESTAMP_NTZ is Long micros internally too (parquet written
+      // without tz annotation — e.g. most non-Spark writers — reads as
+      // NTZ, and the merge's ordering semantics are identical)
+      if (dt != LongType && dt != TimestampType && dt != TimestampNTZType)
         throw new IllegalArgumentException(
           s"asofNative $side $what column $n must be BIGINT or TIMESTAMP, got $dt")
     }

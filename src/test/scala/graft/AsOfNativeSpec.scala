@@ -27,6 +27,23 @@ class AsOfNativeSpec extends SparkSpec {
     assert(nat.nonEmpty)
   }
 
+  test("TIMESTAMP_NTZ ts accepted (non-Spark parquet writers read as NTZ)") {
+    val ev = Tables.events(spark, sf())
+    val probe = ev.select(col("event_id"), col("user_id"),
+      to_timestamp_ntz(col("ts")).as("ts"))
+    val build = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), to_timestamp_ntz(col("ts")).as("ts"))
+      .agg(max(col("event_id")).as("sid"))
+    val nat = AsOfJoinPlan.asofNative(probe, build, "user_id", "ts", Seq("sid"))
+      .select(col("event_id"), col("sid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = AsOfJoin.asof(probe, build, "user_id", "ts", Seq("sid"))
+      .select(col("event_id"), col("sid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nat === win)
+    assert(nat.nonEmpty)
+  }
+
   test("plans as AsOfJoinExec with sorted, hash-clustered children") {
     val p = Registry.byName("x_asof_join_native").run(spark, sf("0.01"))
       .queryExecution.executedPlan.toString
