@@ -139,6 +139,28 @@ object StreamingQueries {
         .orderBy(col("sid"), col("bid"))
     })
 
+  /** Deterministic dedup survivorship over (user_id, event_type, minute):
+    * the batch twin of `Streams.dedupEvents`'s
+    * dropDuplicatesWithinWatermark. Streaming keeps the FIRST ARRIVAL per
+    * key while its state is inside the watermark; arrival order is the
+    * event_id order in this corpus, so the deterministic batch
+    * formulation is min(event_id) per key (plus the duplicate count the
+    * streaming form silently drops). StreamingSpec proves the stream's
+    * emitted key set equals this query's key set. */
+  val dedup: Q = Q(
+    "st_dedup",
+    Some("""SELECT user_id, event_type, date_trunc('minute', ts) AS m,
+           |  CAST(min(event_id) AS BIGINT) AS first_event,
+           |  CAST(count(*) AS BIGINT) AS n_dupes
+           |FROM events GROUP BY 1, 2, 3
+           |ORDER BY user_id, event_type, m""".stripMargin),
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("m"))
+        .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_dupes"))
+        .orderBy(col("user_id"), col("event_type"), col("m")))
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionize, sessionWindow,
-    streamStreamJoin)
+    streamStreamJoin, dedup)
 }

@@ -102,6 +102,22 @@ object Streams {
       .select(col("sid"), col("bid"))
   }
 
+  /** Streaming dedup: at-least-once delivery → exactly-once emission per
+    * (user_id, event_type, minute) key, with state bounded by the
+    * watermark (a key's dedup entry is dropped once the watermark passes
+    * it — the property that makes this viable on an unbounded 100-TB
+    * ingest, where a global dropDuplicates would accumulate state
+    * forever). Streaming twin of the registered `st_dedup` batch query;
+    * StreamingSpec proves key-set equality and cross-micro-batch
+    * suppression. `delay` is the dedup horizon: duplicates arriving
+    * within it are suppressed, later re-sends are re-emitted (the
+    * standard watermark-dedup contract). */
+  def dedupEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("m", date_trunc("minute", col("ts")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "m")
+
   // ---- upsert sink ------------------------------------------------------
 
   /** Lakehouse-style streaming upsert sink: each micro-batch is applied

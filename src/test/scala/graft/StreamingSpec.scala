@@ -235,6 +235,51 @@ class StreamingSpec extends SparkSpec {
     assert(byId(2L) === 1)
   }
 
+  test("dedupEvents: streaming dedup key set == registered st_dedup twin") {
+    val q = Streams.dedupEvents(Streams.readEventsStream(spark, sf()))
+      .select(col("user_id"), col("event_type"), col("m"))
+      .writeStream.format("memory").queryName("dedup_twin_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Long, String, java.sql.Timestamp)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+    val got = keys(spark.table("dedup_twin_out"))
+    val want = keys(graft.registry.Registry.byName("st_dedup").run(spark, sf())
+      .select(col("user_id"), col("event_type"), col("m")))
+    assert(got === want)
+    // exactly one survivor per key — the whole point of the operator
+    assert(spark.table("dedup_twin_out").count() === want.size)
+    assert(got.nonEmpty)
+  }
+
+  test("dedupEvents: duplicates suppressed across micro-batches within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = Streams.dedupEvents(events)
+      .writeStream.format("memory").queryName("dedup_xbatch_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:05"), 7L, "view", 1.0, ""))
+      q.processAllAvailable()
+      // same key re-delivered in a LATER micro-batch, inside the horizon
+      input.addData((2L, ts("2024-01-01 10:00:40"), 7L, "view", 1.0, ""),
+        (3L, ts("2024-01-01 10:02:00"), 7L, "view", 3.0, ""))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("dedup_xbatch_out").collect()
+      .map(r => r.getAs[Long]("event_id")).toSet
+    // id 2 is a cross-batch duplicate of id 1's (user, type, minute) key;
+    // id 3 is the same user+type in a different minute → distinct key
+    assert(got === Set(1L, 3L))
+  }
+
   test("sessionize: flatMapGroupsWithState == batch window sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
