@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operators over the events stream (SURVEY.md
@@ -203,5 +203,73 @@ object Streams {
       .withWatermark("ts", "1 minute")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  // ---- transformWithState sessionization (Spark 4 state API v2) --------
+
+  /** The same 30-minute-gap sessionization on `transformWithState` — the
+    * Spark 4 arbitrary-state API that supersedes flatMapGroupsWithState:
+    * typed named state (ValueState) instead of a single GroupState blob,
+    * explicit event-time timers instead of one timeout slot, and a
+    * RocksDB-backed store (the API requires the provider, which is what
+    * gives it changelog checkpointing and state bigger than the heap at
+    * cluster scale). Semantics must equal `sessionize` and the
+    * registered `st_sessionize` batch oracle — StreamingSpec proves all
+    * three agree on real events.
+    *
+    * Timer discipline: a timer is (re)registered at session-end + gap on
+    * every extension; stale timers (an earlier end's) fire harmlessly —
+    * the guard in handleExpiredTimer only closes when the fired expiry
+    * covers the CURRENT end + gap, so an extended session survives its
+    * superseded timers. */
+  final class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, Ev, Session] {
+    @transient private var state: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessState]("session",
+        Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.map(e => tsToUs(e.ts)).toArray.sorted
+      var open = if (state.exists()) Some(state.get()) else None
+      val closed = scala.collection.mutable.ArrayBuffer[Session]()
+      sorted.foreach { us =>
+        open match {
+          case Some(s) if us - s.endUs <= gapUs =>
+            open = Some(SessState(s.startUs, math.max(s.endUs, us), s.n + 1))
+          case Some(s) =>
+            closed += Session(uid, s.startUs, s.endUs, s.n)
+            open = Some(SessState(us, us, 1))
+          case None =>
+            open = Some(SessState(us, us, 1))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        getHandle.registerTimer(s.endUs / 1000L + gapUs / 1000L)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      if (!state.exists()) return Iterator.empty
+      val s = state.get()
+      if (info.getExpiryTimeInMs >= s.endUs / 1000L + gapUs / 1000L) {
+        state.clear()
+        Iterator(Session(uid, s.startUs, s.endUs, s.n))
+      } else Iterator.empty // superseded by a session extension
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Ev], gapUs: Long = 1800000000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -319,4 +319,55 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("transformWithState sessionization == batch oracle (RocksDB provider)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Tables.events(spark, sf())
+        .select(col("user_id"), col("ts")).as[Streams.Ev].collect().toSeq
+      val maxUs = events.map(e => Streams.tsToUs(e.ts)).max
+
+      val input = MemoryStream[Streams.Ev]
+      val q = Streams.sessionizeTws(input.toDS()).writeStream
+        .format("memory").queryName("sessions_tws_out")
+        .outputMode("append")
+        .start()
+      try {
+        input.addData(events)
+        q.processAllAvailable()
+        // push the watermark past every open session's timer (sentinel
+        // user filtered out below), twice so the flush batch commits
+        input.addData(Seq(Streams.Ev(-1L,
+          new Timestamp((maxUs / 1000L) + 48L * 3600 * 1000))))
+        q.processAllAvailable()
+        input.addData(Seq(Streams.Ev(-1L,
+          new Timestamp((maxUs / 1000L) + 96L * 3600 * 1000))))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val got = spark.table("sessions_tws_out")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = StreamingQueries.sessionize.run(spark, sf())
+        .collect()
+        .map(r => (r.getLong(0),
+          Streams.tsToUs(r.getTimestamp(2)),
+          Streams.tsToUs(r.getTimestamp(3)),
+          r.getLong(4))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
