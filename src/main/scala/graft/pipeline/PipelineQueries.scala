@@ -981,6 +981,92 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     })
 
+  /** Repetition detection (a Gopher-rule quality signal): the fraction
+    * of a document's word trigrams that are repeats of an earlier
+    * trigram. Boilerplate, keyword-stuffed, and looping generator
+    * output score high and get filtered before training. Map-only per
+    * row (higher-order functions over the token array, no explode →
+    * no shuffle, whole-stage codegen'd); outputs are exact integers
+    * plus an integer-compare flag (distinct/total < 0.8 as
+    * 5*distinct < 4*total) so the oracle is bit-deterministic — no
+    * double ratio to tie-break. */
+  val repetition: Q = Q(
+    "t_repetition",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |g AS (SELECT doc_id, len(toks) - 2 AS n_grams,
+            |    list_transform(range(len(toks) - 2),
+            |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS grams
+            |  FROM t WHERE len(toks) >= 3)
+            |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+            |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+            |  5 * len(list_distinct(grams)) < 4 * n_grams AS repetitive
+            |FROM g ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val grams = transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1),
+          get(col("toks"), i + 2)))
+      t.select(
+        col("doc_id"),
+        (size(col("toks")) - 2).cast(LongType).as("n_grams"),
+        size(array_distinct(grams)).cast(LongType).as("n_distinct_grams"))
+        .withColumn("repetitive",
+          lit(5L) * col("n_distinct_grams") < lit(4L) * col("n_grams"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Benchmark decontamination: flag corpus documents that share any
+    * word 5-gram with a held-out benchmark set (here: doc_id < 25 plays
+    * the benchmark, the rest the corpus). The standard pretraining
+    * hygiene stage — test-set text leaking into training data inflates
+    * evals — done the scale-correct way round: the benchmark gram set
+    * is small and broadcast, the corpus side is a map-only explode into
+    * a BroadcastHashJoin, so 100 TB of corpus streams past a few MB of
+    * benchmark grams with no corpus shuffle except the final per-doc
+    * count. Clean docs are reported too (n_matched_grams = 0) via a
+    * left join back to the doc list — a decon report that silently
+    * dropped clean docs would be unusable as a filter input. */
+  val decontaminate: Q = Q(
+    "d_decontaminate",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |g AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 4),
+            |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' '
+            |      || toks[i+4] || ' ' || toks[i+5])) AS grams
+            |  FROM t WHERE len(toks) >= 5),
+            |b AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id < 25),
+            |c AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id >= 25),
+            |m AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n
+            |  FROM c JOIN b USING (gr) GROUP BY c.doc_id)
+            |SELECT g.doc_id, coalesce(m.n, CAST(0 AS BIGINT)) AS n_matched_grams,
+            |  m.n IS NOT NULL AS contaminated
+            |FROM g LEFT JOIN m ON g.doc_id = m.doc_id
+            |WHERE g.doc_id >= 25 ORDER BY g.doc_id""".stripMargin),
+    (s, d) => {
+      def gram5(c: Column): Column = array_distinct(transform(
+        sequence(lit(0), size(c) - 5),
+        i => concat_ws(" ", get(c, i), get(c, i + 1), get(c, i + 2),
+          get(c, i + 3), get(c, i + 4))))
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), gram5(col("toks")).as("grams"))
+      val bench = g.filter(col("doc_id") < 25)
+        .select(explode(col("grams")).as("gr")).distinct()
+      val corpus = g.filter(col("doc_id") >= 25)
+      val matched = corpus.select(col("doc_id"), explode(col("grams")).as("gr"))
+        .join(broadcast(bench), "gr")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      corpus.select(col("doc_id"))
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).as("n_matched_grams"),
+          col("n").isNotNull.as("contaminated"))
+        .orderBy(col("doc_id"))
+    })
+
   /** Language-ID heuristic: argmax of marker-stopword hits (en/de/es). */
   val langId: Q = Q(
     "t_lang_id",
@@ -1339,5 +1425,6 @@ object PipelineQueries {
     pipelineE2e,
     annTopk, annLsh, annMultiprobe,
     tokenCount, tokenBpe, heavyHitters, chunking, packSequences,
-    fingerprint, quality, langId, tfidfTopTerms, vocabStats)
+    fingerprint, quality, langId, tfidfTopTerms, vocabStats, repetition,
+    decontaminate)
 }
