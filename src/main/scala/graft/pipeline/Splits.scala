@@ -49,6 +49,39 @@ object Splits {
       .filter(col("bucket") < rate)
   }
 
+  /** Domain mixing with COMPUTED quotas: downsample every domain to the
+    * scarcest domain's size — the "equal mixture" rebalance a corpus
+    * gets before source-weighted training — keeping each domain's
+    * deterministic hash-order prefix. Unlike stratifiedSample's fixed
+    * per-stratum RATES (probabilistic sizes), quotas here are derived
+    * from the observed counts and hit EXACTLY: rank-in-hash-order <=
+    * quota, ties broken by key, so reruns, engines, and insertions of
+    * later-hashing records all agree on the selected set.
+    *
+    * Shape: one count aggregation (1-row broadcast), one keyed window
+    * per domain partition. At 100 TB with a dominant domain the ranking
+    * window concentrates that domain in one task; the scale refinement
+    * (same contract) is threshold selection — approx-quantile the
+    * domain's hash distribution to bracket the quota-th hash, count to
+    * exact, then narrow-filter — worth it only past ~single-task-sized
+    * domains, so this keeps the simpler plan. */
+  def domainMix(df: DataFrame, key: String, domain: String,
+      salt: String = "mix", budgetPct: Int = 80): DataFrame = {
+    // quota = budgetPct% of the scarcest domain (integer math): on a
+    // perfectly balanced corpus quota==min would select everything, so
+    // the budget keeps the operator a real selection there too
+    // floor(), not bare `/`: Column division is double division, and the
+    // oracle must floor too — DuckDB CAST(double AS BIGINT) ROUNDS
+    val quota = df.groupBy(col(domain)).agg(count(lit(1)).as("n_domain"))
+      .agg(floor(min(col("n_domain")) * budgetPct / 100).as("quota"))
+    val h = md5(concat(lit(salt + ":"), col(key).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domain)).orderBy(h, col(key))
+    df.withColumn("rnk", row_number().over(w).cast(LongType))
+      .crossJoin(broadcast(quota))
+      .filter(col("rnk") <= col("quota"))
+  }
+
   // ---- registry entries -------------------------------------------------
 
   /** Portable oracle arithmetic: DuckDB parses '0x....' string casts. */
@@ -80,5 +113,21 @@ object Splits {
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy(col("doc_id")))
 
-  val all: Seq[Q] = Seq(hashSplitQ, stratifiedSampleQ)
+  val domainMixQ: Q = Q(
+    "d_domain_mix",
+    Some("""WITH q AS (SELECT CAST(floor(min(n) * 80 / 100) AS BIGINT) AS quota FROM
+           |    (SELECT count(*) AS n FROM documents GROUP BY source)),
+           |r AS (SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+           |  FROM documents)
+           |SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rnk
+           |FROM r, q WHERE r.rnk <= q.quota ORDER BY r.doc_id""".stripMargin),
+    (s, d) =>
+      domainMix(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source")
+        .select(col("doc_id"), col("source"), col("rnk"))
+        .orderBy(col("doc_id")))
+
+  val all: Seq[Q] = Seq(hashSplitQ, stratifiedSampleQ, domainMixQ)
 }
