@@ -44,6 +44,38 @@ class SplitsSpec extends SparkSpec {
         s"lang $l: kept ${kept.getOrElse(l, 0L)} of $c")
   }
 
+  test("domain mix hits each domain's quota exactly and is layout-stable") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("source"))
+    val minCount = docs.groupBy("source").count()
+      .agg(min(col("count"))).collect()(0).getLong(0)
+    val quota = minCount * 80 / 100
+
+    val mixed = Splits.domainMix(docs, "doc_id", "source")
+    val perDomain = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact equal mixture: every domain lands on the SAME quota
+    assert(perDomain.values.toSet === Set(quota))
+
+    // and the selected SET is a pure function of keys, not layout
+    val a = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Splits.domainMix(docs.repartition(17), "doc_id", "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("domain mix budget floors (never rounds up past the scarcest domain)") {
+    import spark.implicits._
+    // 3 domains with 7/9/30 rows: quota = floor(7*80/100) = 5, and the
+    // rounding direction matters (7*80/100 = 5.6 would round to 6)
+    val df = ((1 to 7).map(i => (i.toLong, "a")) ++
+      (101 to 109).map(i => (i.toLong, "b")) ++
+      (201 to 230).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    val got = Splits.domainMix(df, "doc_id", "source")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 5L, "b" -> 5L, "c" -> 5L))
+  }
+
   test("split assignment is key-stable: a subset sees identical buckets") {
     val docs = Tables.documents(spark, sf()).select(col("doc_id"))
     val full = Splits.assignSplit(docs, "doc_id")
