@@ -36,6 +36,7 @@ object ScaleTrend {
     "g_pagerank", "g_sssp", "g_components", "g_kcore", "g_labelprop",
     "g_hopplot",
     "t_tfidf_top_terms", "t_token_bpe",
+    "t_repetition", "d_decontaminate", "d_domain_mix", "st_dedup",
     "sim_ann_topk", "sim_ann_ivf",
     "st_tumbling_window", "x_asof_join_native", "x_merge_upsert")
 

@@ -1040,10 +1040,10 @@ object PipelineQueries {
             |c AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id >= 25),
             |m AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n
             |  FROM c JOIN b USING (gr) GROUP BY c.doc_id)
-            |SELECT g.doc_id, coalesce(m.n, CAST(0 AS BIGINT)) AS n_matched_grams,
+            |SELECT t.doc_id, coalesce(m.n, CAST(0 AS BIGINT)) AS n_matched_grams,
             |  m.n IS NOT NULL AS contaminated
-            |FROM g LEFT JOIN m ON g.doc_id = m.doc_id
-            |WHERE g.doc_id >= 25 ORDER BY g.doc_id""".stripMargin),
+            |FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+            |WHERE t.doc_id >= 25 ORDER BY t.doc_id""".stripMargin),
     (s, d) => {
       def gram5(c: Column): Column = array_distinct(transform(
         sequence(lit(0), size(c) - 5),
@@ -1059,7 +1059,11 @@ object PipelineQueries {
       val matched = corpus.select(col("doc_id"), explode(col("grams")).as("gr"))
         .join(broadcast(bench), "gr")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      corpus.select(col("doc_id"))
+      // report EVERY corpus doc — including <5-token and null-text docs
+      // that can't carry a 5-gram — at 0 matches, or a consumer
+      // inner-joining the report as a filter would silently drop them
+      Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") >= 25)
         .join(matched, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n"), lit(0L)).as("n_matched_grams"),
