@@ -37,6 +37,7 @@ object Registry {
       graft.pipeline.PipelineQueries.all ++
       graft.pipeline.VectorIndex.all ++
       graft.pipeline.Multimodal.all ++
+      graft.pipeline.Pii.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 
