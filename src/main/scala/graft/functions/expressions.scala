@@ -190,6 +190,58 @@ object ParseBmpHeader {
     StructField("file_size", LongType, nullable = false)))
 }
 
+/** Synthesize a complete 16-bit PCM WAV (WavCodec.encode) from
+  * (sampleRate, numChannels, nSamples, seed) — the "media producer"
+  * side of the WAV decode pair. NULL for out-of-range parameters. */
+case class EncodeWav(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(sr: Any, ch: Any, n: Any, s: Any): Any =
+    WavCodec.encode(sr.asInstanceOf[Int], ch.asInstanceOf[Int],
+      n.asInstanceOf[Int], s.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sr, ch, n, s) => s"""
+       |${ev.value} = graft.functions.WavCodec.encode($sr, $ch, $n, $s);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): EncodeWav =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
+/** Parse a RIFF/PCM WAV header (WavCodec.parseHeaderRaw) from the first
+  * >= 44 bytes of a blob — magic tags, canonical PCM fmt chunk, and
+  * byteRate / blockAlign / chunkSize geometry consistency all
+  * validated. struct(num_channels, sample_rate, bits_per_sample,
+  * n_samples, byte_rate); NULL on any violation. */
+case class ParseWavHeader(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ParseWavHeader.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    WavCodec.parseHeader(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.WavCodec.parseHeader($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ParseWavHeader =
+    copy(child = newChild)
+}
+
+object ParseWavHeader {
+  val schema: StructType = StructType(Seq(
+    StructField("num_channels", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("bits_per_sample", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("byte_rate", LongType, nullable = false)))
+}
+
 /** Dot product of two double arrays as a strict left-to-right fold —
   * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but
   * codegen'd: Spark's higher-order functions run interpreted per element
@@ -226,6 +278,43 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product of two long arrays — the quantized-vector
+  * (int8-in-long) twin of [[ArrayDot]]: exact BIGINT arithmetic (no
+  * float summation order to pin), codegen'd so the O(n·dim) candidate
+  * verify of a quantized similarity scan stays inside whole-stage
+  * codegen. Overflow-safe for true int8 payloads: |q| <= 127 so
+  * dim * 127^2 fits a Long for any realistic dimension. */
+case class ArrayDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column wrappers + SQL registration. */
 object GraftFunctions {
   def array_dot(a: Column, b: Column): Column =
@@ -258,6 +347,21 @@ object GraftFunctions {
   def parse_bmp_header(bytes: Column): Column =
     GraftColumnBridge.column(ParseBmpHeader(GraftColumnBridge.expression(bytes)))
 
+  def encode_wav(sampleRate: Column, numChannels: Column, nSamples: Column,
+      seed: Column): Column =
+    GraftColumnBridge.column(EncodeWav(
+      GraftColumnBridge.expression(sampleRate),
+      GraftColumnBridge.expression(numChannels),
+      GraftColumnBridge.expression(nSamples),
+      GraftColumnBridge.expression(seed)))
+
+  def parse_wav_header(bytes: Column): Column =
+    GraftColumnBridge.column(ParseWavHeader(GraftColumnBridge.expression(bytes)))
+
+  def array_dot_long(a: Column, b: Column): Column =
+    GraftColumnBridge.column(ArrayDotLong(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   def cms_sketch(hashedKey: Column): Column = CmsSketch.cms_sketch(hashedKey)
 
   def cms_estimate(sketch: Column, hashedKey: Column): Column =
@@ -274,6 +378,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("parse_frames", es => ParseFrames(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_bmp", es => EncodeBmp(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_bmp_header", es => ParseBmpHeader(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_wav", es => EncodeWav(es(0), es(1), es(2), es(3)), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_wav_header", es => ParseWavHeader(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("array_dot_long", es => ArrayDotLong(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cms_sketch",
       es => CmsSketchAgg(es.head).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("cms_estimate",

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{byte_histogram, encode_bmp, pack_frames, parse_bmp_header, parse_frames, sample_bytes}
+import graft.functions.GraftFunctions.{byte_histogram, encode_bmp, encode_wav, pack_frames, parse_bmp_header, parse_frames, parse_wav_header, sample_bytes}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -222,6 +222,67 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- WAV-in-GRFT1 decode (audio twin of the BMP pair) -----------------
+
+  /** documents -> (doc_id, container BINARY): a complete, valid 16-bit
+    * PCM WAV per document (rate/channels/length derived from doc_id and
+    * the text, samples from doc_id), framed into a GRFT1 container.
+    * frameSize=64 so the ENTIRE 44-byte RIFF header lands in the first
+    * frame — the property the decode side exploits. */
+  def withWavContainers(docs: DataFrame, frameSize: Int = 64): DataFrame =
+    docs.select(
+      col("doc_id"),
+      pack_frames(
+        encode_wav(
+          ((col("doc_id") % 3 + 1) * 8000).cast("int"),
+          (col("doc_id") % 2 + 1).cast("int"),
+          length(col("text")).cast("int"),
+          col("doc_id").cast(LongType)),
+        lit(frameSize)).as("container"))
+
+  /** Expression-path decode: deframe the container, slice the FIRST
+    * frame, parse the RIFF header out of it — all codegen'd, no
+    * reassembly of the full payload needed for a header read. */
+  def parseWavHeaders(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"),
+        parse_wav_header(
+          expr("substring(f.payload, 1, cast(f.frame_lens[0] as int))")).as("h"))
+      .select(col("doc_id"),
+        col("h.num_channels").as("num_channels"),
+        col("h.sample_rate").as("sample_rate"),
+        col("h.bits_per_sample").as("bits_per_sample"),
+        col("h.n_samples").as("n_samples"),
+        col("h.byte_rate").as("byte_rate"))
+
+  final case class WavHeaderRow(doc_id: Long, num_channels: Long,
+      sample_rate: Long, bits_per_sample: Long, n_samples: Long,
+      byte_rate: Long)
+
+  /** Batched decode path (one dispatch per batch, like
+    * parseBmpHeadersBatch): deframe, slice first frames, batch-parse
+    * headers; corrupt containers or non-WAV first frames drop out. */
+  def parseWavHeadersBatch(containers: DataFrame, batchSize: Int = 512): DataFrame = {
+    val spark = containers.sparkSession
+    import spark.implicits._
+    containers.select(col("doc_id"), col("container")).as[Container]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val deframed = FrameCodec.parseBatch(batch.map(_.container).toArray)
+          val firstFrames: Array[Array[Byte]] = deframed.map { r =>
+            if (r == null || r._1.isEmpty) null
+            else java.util.Arrays.copyOfRange(r._2, 0, r._1(0).toInt)
+          }
+          val headers = graft.functions.WavCodec.parseBatch(firstFrames)
+          batch.iterator.zip(headers.iterator).collect {
+            case (c, h) if h != null =>
+              WavHeaderRow(c.doc_id, h(0), h(1), h(2), h(3), h(4))
+          }
+        }
+      }
+      .toDF()
+  }
+
   // ---- registry entries -------------------------------------------------
 
   private def histBinsSql: String =
@@ -340,6 +401,40 @@ object Multimodal {
       parseBmpHeadersBatch(withBmpContainers(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
+  /** Decode the AUDIO format inside GRFT1 frames: each document carries
+    * a real 16-bit PCM WAV (valid RIFF/fmt/data headers) packed into a
+    * GRFT1 container; the query deframes, takes the first frame, and
+    * parses channels/rate/depth/length out of the little-endian header
+    * bytes. The oracle recomputes every field — INCLUDING the byte rate
+    * the encoder wrote and the parser read back from 4 LE bytes — from
+    * doc_id and the text, so an endianness, offset, or consistency bug
+    * anywhere in the byte path hash-fails. */
+  private val WavOracleSql =
+    """SELECT doc_id,
+      |  CAST(doc_id % 2 + 1 AS BIGINT) AS num_channels,
+      |  CAST((doc_id % 3 + 1) * 8000 AS BIGINT) AS sample_rate,
+      |  CAST(16 AS BIGINT) AS bits_per_sample,
+      |  CAST(length(text) AS BIGINT) AS n_samples,
+      |  CAST((doc_id % 3 + 1) * 8000 * (doc_id % 2 + 1) * 2 AS BIGINT)
+      |    AS byte_rate
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val wavDecodeQ: Q = Q(
+    "m_wav_decode",
+    Some(WavOracleSql),
+    (s, d) =>
+      parseWavHeaders(withWavContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** Same oracle through the batched (one-dispatch-per-batch) path. */
+  val wavDecodeBatchQ: Q = Q(
+    "m_wav_decode_batch",
+    Some(WavOracleSql),
+    (s, d) =>
+      parseWavHeadersBatch(withWavContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
   val all: Seq[Q] = Seq(decodeQ, frameSampleQ, decodeBatchQ,
-    containerDecodeQ, containerDecodeBatchQ, bmpDecodeQ, bmpDecodeBatchQ)
+    containerDecodeQ, containerDecodeBatchQ, bmpDecodeQ, bmpDecodeBatchQ,
+    wavDecodeQ, wavDecodeBatchQ)
 }
