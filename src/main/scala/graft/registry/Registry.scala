@@ -38,6 +38,7 @@ object Registry {
       graft.pipeline.VectorIndex.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Pii.all ++
+      graft.pipeline.Quantize.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 
