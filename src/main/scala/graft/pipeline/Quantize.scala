@@ -32,15 +32,30 @@ import graft.registry.Q
   */
 object Quantize {
 
-  /** embeddings -> (vec_id, vd double[], m, q long[] in [-127,127]). */
-  def quantized(emb: DataFrame): DataFrame =
-    emb.select(
-      col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("vd"))
-      .withColumn("m", array_max(transform(col("vd"), x => abs(x))))
+  /** Adds (m = max|vd_i|, q = int8-in-long quantization of vd) to any
+    * frame carrying a double-array `vd` column — shared with the IVF
+    * int8-verify path in [[VectorIndex]] so the scheme cannot drift
+    * between the audit queries and the scale path. */
+  def withQuantized(df: DataFrame): DataFrame =
+    df.withColumn("m", array_max(transform(col("vd"), x => abs(x))))
       .withColumn("q", transform(col("vd"), x =>
         when(col("m") === 0.0, lit(0L))
           .otherwise(floor(x * lit(127.0) / col("m") + lit(0.5)))))
+
+  /** The same two columns in DuckDB SQL, appended to a CTE exposing
+    * `vd`: `m` first (own CTE level), then `q` from (vd, m). */
+  def quantSqlM(vd: String): String =
+    s"list_max(list_transform($vd, x -> abs(x)))"
+
+  def quantSqlQ(vd: String, m: String): String =
+    s"""list_transform($vd, x -> CASE WHEN $m = 0 THEN 0
+       |      ELSE CAST(floor(x * 127.0 / $m + 0.5) AS BIGINT) END)""".stripMargin
+
+  /** embeddings -> (vec_id, vd double[], m, q long[] in [-127,127]). */
+  def quantized(emb: DataFrame): DataFrame =
+    withQuantized(emb.select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vd")))
 
   private def l1(q: Column): Column =
     aggregate(q, lit(0L), (acc, x) => acc + abs(x))

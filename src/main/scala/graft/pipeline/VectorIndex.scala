@@ -166,6 +166,84 @@ object VectorIndex {
             |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
     (s, d) => ivfTopk(s, d, nprobe = 2))
 
+  /** IVF ANN with INT8 candidate verify — the quantized scan on the
+    * scale path (not the bounded brute-force twin): probe selection is
+    * identical to [[ivfTopk]], but candidates are ranked by the
+    * dequantized integer dot — array_dot_long(q_a, q_b) · m_a · m_b /
+    * 127² / (‖a‖·‖b‖) — so the per-candidate inner loop reads 1 byte/dim
+    * instead of 4 (at 100 TB the verify scan is memory-bandwidth-bound;
+    * int8 is a 4x lever FAISS/ScaNN pull by default) and runs exact
+    * BIGINT arithmetic inside whole-stage codegen. Quantization error
+    * only perturbs NEIGHBOR RANKING — the oracle replays the identical
+    * quantized ranking bit-for-bit (Quantize's round is engine-portable),
+    * and QuantizeSpec measures the ranking agreement against the float
+    * IVF path. */
+  def ivfTopkInt8(s: SparkSession, d: String, nprobe: Int, k: Int = 3): DataFrame = {
+    val n = Quantize.withQuantized(normed(s, d))
+    val cents = centroids(n)
+    val sims = centroidSims(n, cents)
+    val asg = sims
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim").as("s"), (-col("cell")).as("nc"))).as("m0"),
+        first(col("q")).as("cq2"), first(col("m")).as("cm2"),
+        first(col("nrm")).as("cn2"))
+      .select(col("vec_id").as("nid"), (-col("m0.nc")).as("cell"),
+        col("cq2"), col("cm2"), col("cn2"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probes = sims.filter(col("vec_id") < 10)
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("m").as("qm"),
+        col("nrm").as("qn"), col("cell").as("pcell"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    probes.join(asg, col("pcell") === col("cell") && col("qid") =!= col("nid"))
+      .withColumn("idot", GraftFunctions.array_dot_long(col("qq"), col("cq2")))
+      .withColumn("sim", round(
+        (col("idot").cast("double") * col("qm") * col("cm2") / lit(16129.0))
+          / (col("qn") * col("cn2")), 6))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rnk").cast(LongType).as("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val annIvfInt8: Q = Q(
+    "sim_ann_ivf_int8",
+    Some(s"""WITH n0 AS (
+            |  $normedSql),
+            |n AS (
+            |  SELECT vec_id, vd, nrm, m,
+            |    ${Quantize.quantSqlQ("vd", "m")} AS q
+            |  FROM (SELECT *, ${Quantize.quantSqlM("vd")} AS m FROM n0)),
+            |$centroidsSql,
+            |sims AS (
+            |  SELECT v.vec_id, v.nrm, v.m, v.q, c.cell,
+            |    list_sum(list_transform(generate_series(1, $Dims), i -> v.vd[i]*c.cvd[i]))
+            |      / (v.nrm*c.cn) AS csim
+            |  FROM n v CROSS JOIN cents c),
+            |asg AS (
+            |  SELECT vec_id AS nid, cell, q, m, nrm FROM (
+            |    SELECT *, row_number() OVER (
+            |      PARTITION BY vec_id ORDER BY csim DESC, cell) AS rk FROM sims)
+            |  WHERE rk = 1),
+            |probes AS (
+            |  SELECT vec_id AS qid, q AS qq, m AS qm, nrm AS qn, cell AS pcell FROM (
+            |    SELECT *, row_number() OVER (
+            |      PARTITION BY vec_id ORDER BY csim DESC, cell) AS rk
+            |    FROM sims WHERE vec_id < 10)
+            |  WHERE rk <= 2),
+            |p AS (
+            |  SELECT q.qid, c.nid,
+            |    round((CAST(list_sum(list_transform(generate_series(1, $Dims),
+            |        i -> q.qq[i]*c.q[i])) AS DOUBLE) * q.qm * c.m / 16129.0)
+            |      / (q.qn * c.nrm), 6) AS sim
+            |  FROM probes q JOIN asg c ON q.pcell = c.cell AND q.qid <> c.nid)
+            |SELECT qid, nid, sim, rnk FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM p)
+            |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
+    (s, d) => ivfTopkInt8(s, d, nprobe = 2))
+
   // ---- embedding near-duplicate detection at scale ----------------------
 
   /** The testdata's planted near-dup band sits at cosine 0.45-0.51
@@ -440,5 +518,6 @@ object VectorIndex {
           (col("ivf_nd_hits") * 100 >= col("nd_possible") * 35).as("ivf_nd_ok"))
     })
 
-  def all: Seq[Q] = Seq(annIvf, dedupEmbeddingLsh, dedupEmbeddingIvf, recallTol)
+  def all: Seq[Q] = Seq(annIvf, annIvfInt8, dedupEmbeddingLsh,
+    dedupEmbeddingIvf, recallTol)
 }

@@ -65,4 +65,16 @@ class QuantizeSpec extends SparkSpec {
     val recall = (exact & int8).size.toDouble / exact.size
     assert(recall >= 0.6, s"int8 top-5 recall $recall vs exact float dot")
   }
+
+  test("int8-verify IVF agrees with the float IVF path on most neighbors") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f = pairs(graft.pipeline.VectorIndex.ivfTopk(spark, sf(), nprobe = 2))
+    val i = pairs(graft.pipeline.VectorIndex.ivfTopkInt8(spark, sf(), nprobe = 2))
+    assert(f.nonEmpty && i.nonEmpty)
+    // identical probes and candidates; int8 only perturbs ranking
+    val agree = (f & i).size.toDouble / f.size
+    assert(agree >= 0.6, s"int8 IVF ranking agreement $agree vs float IVF")
+  }
 }
