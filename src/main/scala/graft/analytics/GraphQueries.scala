@@ -247,31 +247,87 @@ object GraphQueries {
             |e AS (SELECT src AS a, dst AS b FROM bidir WHERE src < dst)
             |SELECT count(*) AS n_triangles
             |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin),
-    (s, d) => {
-      val bidir = bidirectional(edges(s, d))
-      val deg = bidir.groupBy(col("src").as("n")).agg(count(lit(1)).as("dg"))
-      val rankLt = col("ds") < col("dd") ||
-        (col("ds") === col("dd") && col("src") < col("dst"))
-      val ePlus = bidir.filter(col("src") < col("dst"))
-        .join(deg.select(col("n").as("src"), col("dg").as("ds")), Seq("src"))
-        .join(deg.select(col("n").as("dst"), col("dg").as("dd")), Seq("dst"))
-        .select(
-          when(rankLt, col("src")).otherwise(col("dst")).as("a"),
-          when(rankLt, col("dst")).otherwise(col("src")).as("b"))
-      // triangle {u<v<w} by rank has oriented edges u→v, u→w, v→w: join
-      // the out-wedge (u→v, u→w) against E+ membership of (v, w) — each
-      // triangle matches exactly once (only one of (v,w)/(w,v) is in E+)
-      val e1 = ePlus.select(col("a").as("u"), col("b").as("v"))
-      val e2 = ePlus.select(col("a").as("u2"), col("b").as("w"))
-      val e3 = ePlus.select(col("a").as("v3"), col("b").as("w3"))
-      e1.join(e2, col("u") === col("u2") && col("v") =!= col("w"))
-        .join(e3, col("v") === col("v3") && col("w") === col("w3"))
-        .agg(count(lit(1)).as("n_triangles"))
-    })
+    (s, d) =>
+      enumTriangles(bidirectional(edges(s, d)))
+        .agg(count(lit(1)).as("n_triangles")))
+
+  /** Degree-rank-oriented triangle enumeration over a bidirectional edge
+    * frame — each triangle exactly once as (u, v, w). Shared by the
+    * global count and the per-vertex clustering coefficient so the
+    * skew-bounded orientation cannot drift between them. */
+  private def enumTriangles(bidir: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val deg = bidir.groupBy(col("src").as("n")).agg(count(lit(1)).as("dg"))
+    val rankLt = col("ds") < col("dd") ||
+      (col("ds") === col("dd") && col("src") < col("dst"))
+    val ePlus = bidir.filter(col("src") < col("dst"))
+      .join(deg.select(col("n").as("src"), col("dg").as("ds")), Seq("src"))
+      .join(deg.select(col("n").as("dst"), col("dg").as("dd")), Seq("dst"))
+      .select(
+        when(rankLt, col("src")).otherwise(col("dst")).as("a"),
+        when(rankLt, col("dst")).otherwise(col("src")).as("b"))
+    // triangle {u<v<w} by rank has oriented edges u→v, u→w, v→w: join
+    // the out-wedge (u→v, u→w) against E+ membership of (v, w) — each
+    // triangle matches exactly once (only one of (v,w)/(w,v) is in E+)
+    val e1 = ePlus.select(col("a").as("u"), col("b").as("v"))
+    val e2 = ePlus.select(col("a").as("u2"), col("b").as("w"))
+    val e3 = ePlus.select(col("a").as("v3"), col("b").as("w3"))
+    e1.join(e2, col("u") === col("u2") && col("v") =!= col("w"))
+      .join(e3, col("v") === col("v3") && col("w") === col("w3"))
+      .select(col("u"), col("v"), col("w"))
+  }
+
+  /** Per-vertex triangle participation + local clustering coefficient
+    * over any directed edge frame (public — the toy-graph spec drives
+    * it directly). lcc is reported as EXACT integer parts-per-million —
+    * 2·tri·10⁶ div deg·(deg−1) — because a double ratio would hinge on
+    * engine-identical division at every vertex. */
+  def clusteringCoeffOf(edgesDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bidir = bidirectional(edgesDf)
+    val deg = bidir.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val pv = enumTriangles(bidir)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tc"))
+    deg.join(pv, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("tc"), lit(0L)).as("tri_cnt"))
+      .withColumn("lcc_ppm",
+        when(col("degree") < 2, lit(0L))
+          .otherwise(expr("(tri_cnt * 2000000) DIV (degree * (degree - 1))")))
+      .orderBy(col("node"))
+  }
+
+  /** Local clustering coefficient (Watts-Strogatz) per vertex on the
+    * citation graph — triangles from the shared skew-bounded
+    * enumeration, wedges from the degree; the id-canonical SQL is the
+    * oracle since per-vertex counts are orientation-invariant. */
+  val clusteringCoeff: Q = Q(
+    "g_clustering_coeff",
+    Some(s"""WITH $edgesSql, $bidirOfEdges,
+            |e AS (SELECT src AS a, dst AS b FROM bidir WHERE src < dst),
+            |tri AS (
+            |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+            |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            |pv AS (
+            |  SELECT v, CAST(count(*) AS BIGINT) AS tc FROM (
+            |    SELECT unnest([x, y, z]) AS v FROM tri) GROUP BY v),
+            |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            |  FROM bidir GROUP BY 1)
+            |SELECT node, degree,
+            |  CAST(COALESCE(tc, 0) AS BIGINT) AS tri_cnt,
+            |  CAST(CASE WHEN degree < 2 THEN 0
+            |    ELSE (COALESCE(tc, 0) * 2000000) // (degree * (degree - 1))
+            |  END AS BIGINT) AS lcc_ppm
+            |FROM deg LEFT JOIN pv ON deg.node = pv.v
+            |ORDER BY node""".stripMargin),
+    (s, d) => clusteringCoeffOf(edges(s, d)))
 
   val all: Seq[Q] = Seq(
     density, snapshot, pairsLen1, bidirectDegree, wedges,
     hopplot, effDiameter, hopplotApprox, effDiameterApprox,
     hopplotApproxTol, effDiameterApproxTol,
-    components, packPair, triangles)
+    components, packPair, triangles, clusteringCoeff)
 }

@@ -260,7 +260,22 @@ object PipelineQueries {
     * O(|candidates|) instead of Σ C(df,2), and the reported Jaccard still
     * counts ALL shared shingles. Public so the bound is property-testable. */
   def ngramJaccardPairs(posts: DataFrame, t: Double,
-      dfCap: Long = DfCap, sizes: Option[DataFrame] = None): DataFrame = {
+      dfCap: Long = DfCap, sizes: Option[DataFrame] = None): DataFrame =
+    ngramCommonCounts(posts, dfCap, sizes)
+      .withColumn("jac_raw",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac_raw") >= t)
+      .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
+    // no orderBy here: the cached family frame doesn't need one (a global
+    // sort is a sample+range-shuffle job on every rebuild); the
+    // registered query orders its own output
+
+  /** Candidate pairs with common-shingle counts and per-doc set sizes
+    * (a_id, b_id, c, na, nb) — the inverted-index core shared by the
+    * Jaccard and containment dedup paths (one metric formula cannot
+    * drift from the other's candidate generation). */
+  private def ngramCommonCounts(posts: DataFrame, dfCap: Long,
+      sizes: Option[DataFrame]): DataFrame = {
     // df via an unordered count window: ONE shuffle of the postings by g
     // (which also leaves rare/hot partitioned by g for the candidate
     // self-join below) — the agg+join formulation shuffled the postings
@@ -289,14 +304,19 @@ object PipelineQueries {
     common
       .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-      .withColumn("jac_raw",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jac_raw") >= t)
-      .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
-    // no orderBy here: the cached family frame doesn't need one (a global
-    // sort is a sample+range-shuffle job on every rebuild); the
-    // registered query orders its own output
   }
+
+  /** Containment pairs — |A∩B| / min(|A|,|B|) >= t over the same
+    * inverted index: the boilerplate-inclusion detector (a short doc
+    * embedded in a longer one scores ~1.0 here while its Jaccard can sit
+    * far below any dedup threshold, since the union is dominated by the
+    * longer doc). Public for the toy-pair spec. */
+  def ngramContainmentPairs(posts: DataFrame, t: Double,
+      dfCap: Long = DfCap, sizes: Option[DataFrame] = None): DataFrame =
+    ngramCommonCounts(posts, dfCap, sizes)
+      .withColumn("cont_raw", col("c").cast("double") / least(col("na"), col("nb")))
+      .filter(col("cont_raw") >= t)
+      .select(col("a_id"), col("b_id"), round(col("cont_raw"), 6).as("cont"))
 
   // A PPJoin-style prefix filter (global df-ascending shingle order,
   // join only each doc's first n - ceil(t*n) + 1 shingles — Vernica et
@@ -320,6 +340,33 @@ object PipelineQueries {
     "d_dedup_ngram_jaccard",
     dedupNgramOracle(0.5),
     (s, d) => ngramPairsCached(s, d).orderBy(col("a_id"), col("b_id")))
+
+  /** Containment (overlap-coefficient) near-dup: |A∩B|/min(|A|,|B|) >=
+    * 0.8 over the same shared shingle postings — catches
+    * boilerplate-inclusion pairs whose Jaccard is diluted by the longer
+    * doc's size. Same inverted-index cost shape as the Jaccard path. */
+  val dedupContainment: Q = Q(
+    "d_dedup_containment",
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, $toksSql AS toks FROM documents),
+            |sh AS (
+            |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+            |  FROM t WHERE len(toks) >= 3)
+            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            |  round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            |    / least(len(a.gs), len(b.gs)), 6) AS cont
+            |FROM sh a JOIN sh b
+            |  ON a.doc_id < b.doc_id
+            |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            |    / least(len(a.gs), len(b.gs)) >= 0.8
+            |ORDER BY a_id, b_id""".stripMargin),
+    (s, d) => ngramContainmentPairs(shinglePosts(s, d), 0.8,
+      sizes = Some(Tables.documents(s, d).select(col("doc_id"),
+        size(graft.functions.SketchFunctions.word_shingles(col("text")))
+          .cast("long").as("n"))
+        .filter(col("n") > 0)))
+      .orderBy(col("a_id"), col("b_id")))
 
   /** Embedding near-dup: cosine >= 0.45 over all pairs (threshold sits in
     * the data's planted near-dup band; exact — the LSH-bucketed ANN path
@@ -1423,7 +1470,8 @@ object PipelineQueries {
     })
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupNgram, dedupEmbedding, dedupIncremental, curateE2e,
+    dedupExact, dedupNgram, dedupContainment, dedupEmbedding,
+    dedupIncremental, curateE2e,
     curateWrite, curateIncremental,
     minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash, dedupSurvivors,
     pipelineE2e,

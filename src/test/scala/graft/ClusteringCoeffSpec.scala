@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.GraphQueries
+
+/** Per-vertex clustering coefficient: exact hand-computed values on a
+  * toy graph, orientation invariance (per-vertex triangle counts match
+  * the global count × 3), and zero rows lost for triangle-free
+  * vertices. */
+class ClusteringCoeffSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("toy graph: triangle + wedge vertex values are exact") {
+    // edges: triangle {1,2,3}, plus 4 adjacent to 1 and 2 (second
+    // triangle {1,2,4}), plus pendant 5 on 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (2L, 4L),
+      (3L, 5L)).toDF("src", "dst")
+    val rows = GraphQueries.clusteringCoeffOf(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // degree, tri_cnt, lcc_ppm = 2e6*tri div deg*(deg-1)
+    assert(rows(1L) === ((3L, 2L, 666666L)))
+    assert(rows(2L) === ((3L, 2L, 666666L)))
+    assert(rows(3L) === ((3L, 1L, 333333L)))
+    assert(rows(4L) === ((2L, 1L, 1000000L)))
+    assert(rows(5L) === ((1L, 0L, 0L))) // pendant: degree < 2 → 0
+  }
+
+  test("per-vertex triangle counts sum to 3x the global triangle count") {
+    val df = graft.registry.Registry.byName("g_clustering_coeff")
+      .run(spark, sf())
+    val perVertexSum = df.agg(sum(col("tri_cnt"))).head.getLong(0)
+    val global = graft.registry.Registry.byName("g_triangles")
+      .run(spark, sf()).head.getLong(0)
+    assert(perVertexSum === 3L * global)
+    // every graph vertex is present, triangles or not: one row per
+    // degree-table vertex (the left join loses nobody)
+    val nVertices = graft.registry.Registry.byName("g1_bidirect_degree")
+      .run(spark, sf()).count()
+    assert(df.count() === nVertices)
+  }
+}
