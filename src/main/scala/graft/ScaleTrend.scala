@@ -26,8 +26,8 @@ object ScaleTrend {
     * through the supersteps measurably slows the checkpoint loops). */
   val FamilySet: Seq[String] = Seq(
     "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_ngram_jaccard",
-    "d_dedup_simhash", "d_dedup_survivors", "d_pipeline_e2e",
-    "d_dedup_embedding_lsh", "d_dedup_embedding_ivf",
+    "d_dedup_containment", "d_dedup_simhash", "d_dedup_survivors",
+    "d_pipeline_e2e", "d_dedup_embedding_lsh", "d_dedup_embedding_ivf",
     "d_curate_e2e")
 
   /** Slope set: supersteps + text + the non-family heavy movers. */
@@ -37,7 +37,9 @@ object ScaleTrend {
     "g_hopplot",
     "t_tfidf_top_terms", "t_token_bpe",
     "t_repetition", "d_decontaminate", "d_domain_mix", "st_dedup",
-    "sim_ann_topk", "sim_ann_ivf",
+    "sim_ann_topk", "sim_ann_ivf", "sim_ann_ivf_int8",
+    "sim_quantize_int8", "g_clustering_coeff",
+    "t_pii_redact", "m_wav_decode",
     "st_tumbling_window", "x_asof_join_native", "x_merge_upsert")
 
   def main(args: Array[String]): Unit = {

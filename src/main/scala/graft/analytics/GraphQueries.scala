@@ -325,9 +325,82 @@ object GraphQueries {
             |ORDER BY node""".stripMargin),
     (s, d) => clusteringCoeffOf(edges(s, d)))
 
+  /** Degree assortativity + reciprocity over any directed edge frame
+    * (public — the toy-graph spec drives it directly). All moments are
+    * EXACT BIGINT sums; the only doubles are two final divisions both
+    * engines compute from identical integers. Assortativity uses the
+    * symmetric-edge-list identity r = (m·Σxy − (Σx)²)/(m·Σx² − (Σx)²)
+    * (over the bidirectional list Σx = Σy and Σx² = Σy², so no sqrt —
+    * sqrt(d)·sqrt(d) ≠ d in floating point and would be an
+    * engine-parity hazard). Reciprocity is reported as exact integer
+    * ppm over distinct loop-free directed pairs. */
+  def assortativityOf(edgesDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bidir = bidirectional(edgesDf)
+    val deg = bidir.groupBy(col("src").as("n")).agg(count(lit(1)).as("dg"))
+    val ed = bidir
+      .join(deg.select(col("n").as("src"), col("dg").as("x")), Seq("src"))
+      .join(deg.select(col("n").as("dst"), col("dg").as("y")), Seq("dst"))
+    val sums = ed.agg(
+      count(lit(1)).as("m"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val de = edgesDf.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val nde = de.agg(count(lit(1)).as("n_directed"))
+    val nrec = de.as("a")
+      .join(de.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .agg(count(lit(1)).as("n_recip"))
+    val num = col("m") * col("sxy") - col("sx") * col("sx")
+    val den = col("m") * col("sxx") - col("sx") * col("sx")
+    sums.crossJoin(nde).crossJoin(nrec) // 1-row cross joins
+      .select(col("m"), col("sx"), col("sxy"), col("sxx"),
+        when(den === 0, lit(0.0))
+          .otherwise(round(num.cast("double") / den.cast("double"), 6))
+          .as("assortativity"),
+        col("n_directed"), col("n_recip"),
+        when(col("n_directed") === 0, lit(0L))
+          .otherwise(expr("(n_recip * 1000000) DIV n_directed"))
+          .as("reciprocity_ppm"))
+  }
+
+  /** Degree assortativity (Newman 2002) + edge reciprocity of the
+    * citation graph — the two standard one-number structure summaries
+    * after density/diameter. */
+  val assortativity: Q = Q(
+    "g_assortativity",
+    Some(s"""WITH $edgesSql, $bidirOfEdges,
+            |deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS dg
+            |  FROM bidir GROUP BY 1),
+            |ed AS (
+            |  SELECT a.dg AS x, b.dg AS y FROM bidir
+            |    JOIN deg a ON bidir.src = a.n JOIN deg b ON bidir.dst = b.n),
+            |s AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS m,
+            |    CAST(sum(x) AS BIGINT) AS sx,
+            |    CAST(sum(x*y) AS BIGINT) AS sxy,
+            |    CAST(sum(x*x) AS BIGINT) AS sxx
+            |  FROM ed),
+            |de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+            |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_directed FROM de),
+            |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_recip
+            |  FROM de a JOIN de b ON a.src = b.dst AND a.dst = b.src)
+            |SELECT m, sx, sxy, sxx,
+            |  CASE WHEN m*sxx - sx*sx = 0 THEN 0.0
+            |    ELSE round(CAST(m*sxy - sx*sx AS DOUBLE)
+            |      / CAST(m*sxx - sx*sx AS DOUBLE), 6) END AS assortativity,
+            |  n_directed, n_recip,
+            |  CAST(CASE WHEN n_directed = 0 THEN 0
+            |    ELSE (n_recip * 1000000) // n_directed END AS BIGINT)
+            |    AS reciprocity_ppm
+            |FROM s, nd, nr""".stripMargin),
+    (s, d) => assortativityOf(edges(s, d)))
+
   val all: Seq[Q] = Seq(
     density, snapshot, pairsLen1, bidirectDegree, wedges,
     hopplot, effDiameter, hopplotApprox, effDiameterApprox,
     hopplotApproxTol, effDiameterApproxTol,
-    components, packPair, triangles, clusteringCoeff)
+    components, packPair, triangles, clusteringCoeff, assortativity)
 }

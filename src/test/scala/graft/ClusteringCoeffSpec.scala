@@ -41,4 +41,23 @@ class ClusteringCoeffSpec extends SparkSpec {
       .run(spark, sf()).count()
     assert(df.count() === nVertices)
   }
+
+  test("star graph is perfectly disassortative; reciprocity is exact ppm") {
+    // star 1-{2,3,4} has assortativity -1 by construction; directed
+    // edges include one reciprocated pair out of 3 distinct pairs... use
+    // (1,2),(2,1),(1,3),(1,4): n_directed=4, n_recip=2 → 500000 ppm
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = GraphQueries.assortativityOf(e).head
+    assert(r.getAs[Double]("assortativity") === -1.0)
+    assert(r.getAs[Long]("n_directed") === 4L)
+    assert(r.getAs[Long]("n_recip") === 2L)
+    assert(r.getAs[Long]("reciprocity_ppm") === 500000L)
+  }
+
+  test("regular graph (zero variance) reports assortativity 0, not NaN") {
+    // a 4-cycle: every vertex degree 2 → denominator 0
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = GraphQueries.assortativityOf(e).head
+    assert(r.getAs[Double]("assortativity") === 0.0)
+  }
 }
