@@ -261,14 +261,24 @@ object PipelineQueries {
     * counts ALL shared shingles. Public so the bound is property-testable. */
   def ngramJaccardPairs(posts: DataFrame, t: Double,
       dfCap: Long = DfCap, sizes: Option[DataFrame] = None): DataFrame =
-    ngramCommonCounts(posts, dfCap, sizes)
+    jaccardOfCounts(ngramCommonCounts(posts, dfCap, sizes), t)
+    // no orderBy here: the cached family frame doesn't need one (a global
+    // sort is a sample+range-shuffle job on every rebuild); the
+    // registered query orders its own output
+
+  private def jaccardOfCounts(counts: DataFrame, t: Double): DataFrame =
+    counts
       .withColumn("jac_raw",
         col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac_raw") >= t)
       .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
-    // no orderBy here: the cached family frame doesn't need one (a global
-    // sort is a sample+range-shuffle job on every rebuild); the
-    // registered query orders its own output
+
+  private def containmentOfCounts(counts: DataFrame, t: Double): DataFrame =
+    counts
+      .withColumn("cont_raw",
+        col("c").cast("double") / least(col("na"), col("nb")))
+      .filter(col("cont_raw") >= t)
+      .select(col("a_id"), col("b_id"), round(col("cont_raw"), 6).as("cont"))
 
   /** Candidate pairs with common-shingle counts and per-doc set sizes
     * (a_id, b_id, c, na, nb) — the inverted-index core shared by the
@@ -313,10 +323,7 @@ object PipelineQueries {
     * longer doc). Public for the toy-pair spec. */
   def ngramContainmentPairs(posts: DataFrame, t: Double,
       dfCap: Long = DfCap, sizes: Option[DataFrame] = None): DataFrame =
-    ngramCommonCounts(posts, dfCap, sizes)
-      .withColumn("cont_raw", col("c").cast("double") / least(col("na"), col("nb")))
-      .filter(col("cont_raw") >= t)
-      .select(col("a_id"), col("b_id"), round(col("cont_raw"), 6).as("cont"))
+    containmentOfCounts(ngramCommonCounts(posts, dfCap, sizes), t)
 
   // A PPJoin-style prefix filter (global df-ascending shingle order,
   // join only each doc's first n - ceil(t*n) + 1 shingles — Vernica et
@@ -326,8 +333,13 @@ object PipelineQueries {
   // candidate join they replaced — 9.9s vs 2.7s repeatable at sf0.1.
   // The df-cap path stays; its miss-caveat is property-tested and a
   // proven no-op on this corpus (max df 25 << cap 64).
-  private def ngramPairsCached(s: SparkSession, d: String): DataFrame =
-    cachedDf(s, d, "ngram_pairs")(ngramJaccardPairs(shinglePosts(s, d), 0.5,
+  /** Candidate common-counts (a_id, b_id, c, na, nb) cached ONCE per
+    * family build — the Jaccard and containment metrics are narrow
+    * filters over this frame, so the second metric costs a filter, not
+    * a second inverted-index build (sf0.1: containment 2.6s recomputed
+    * → ~0.1s derived). */
+  private def ngramCommonCached(s: SparkSession, d: String): DataFrame =
+    cachedDf(s, d, "ngram_common")(ngramCommonCounts(shinglePosts(s, d), DfCap,
       // |distinct shingles| per doc, computed in the same narrow scan
       // shape as the postings themselves (explode of the same array
       // would shuffle; size() of it doesn't touch the cluster at all)
@@ -335,6 +347,9 @@ object PipelineQueries {
         size(graft.functions.SketchFunctions.word_shingles(col("text")))
           .cast("long").as("n"))
         .filter(col("n") > 0))))
+
+  private def ngramPairsCached(s: SparkSession, d: String): DataFrame =
+    cachedDf(s, d, "ngram_pairs")(jaccardOfCounts(ngramCommonCached(s, d), 0.5))
 
   val dedupNgram: Q = Q(
     "d_dedup_ngram_jaccard",
@@ -361,11 +376,7 @@ object PipelineQueries {
             |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
             |    / least(len(a.gs), len(b.gs)) >= 0.8
             |ORDER BY a_id, b_id""".stripMargin),
-    (s, d) => ngramContainmentPairs(shinglePosts(s, d), 0.8,
-      sizes = Some(Tables.documents(s, d).select(col("doc_id"),
-        size(graft.functions.SketchFunctions.word_shingles(col("text")))
-          .cast("long").as("n"))
-        .filter(col("n") > 0)))
+    (s, d) => containmentOfCounts(ngramCommonCached(s, d), 0.8)
       .orderBy(col("a_id"), col("b_id")))
 
   /** Embedding near-dup: cosine >= 0.45 over all pairs (threshold sits in
@@ -546,26 +557,32 @@ object PipelineQueries {
     * of the Jaccard>=0.5 pair graph) to their min-id representative —
     * the operator that actually REMOVES duplicates from a corpus. Output:
     * (doc_id, survivor_id) for every doc merged away. */
+  /** The min-label CC over the Jaccard>=0.5 pair graph as a DuckDB CTE
+    * chain (ends at `comp(id, comp)`) — shared by the survivors oracle
+    * and the leakage-guarded split oracle. */
+  private val survivorsCteSql =
+    s"""t AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+       |  FROM t WHERE len(toks) >= 3),
+       |pr AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+       |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5),
+       |bidir AS (SELECT a_id AS src, b_id AS dst FROM pr UNION SELECT b_id, a_id FROM pr),
+       |vertices AS (SELECT DISTINCT src AS id FROM bidir),
+       |reach AS (
+       |  SELECT id, id AS r FROM vertices
+       |  UNION
+       |  SELECT re.id, b.dst FROM reach re JOIN bidir b ON re.r = b.src),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)""".stripMargin
+
   val dedupSurvivors: Q = Q(
     "d_dedup_survivors",
-    Some(s"""WITH RECURSIVE t AS (
-            |  SELECT doc_id, $toksSql AS toks FROM documents),
-            |sh AS (
-            |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
-            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
-            |  FROM t WHERE len(toks) >= 3),
-            |pr AS (
-            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-            |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5),
-            |bidir AS (SELECT a_id AS src, b_id AS dst FROM pr UNION SELECT b_id, a_id FROM pr),
-            |vertices AS (SELECT DISTINCT src AS id FROM bidir),
-            |reach AS (
-            |  SELECT id, id AS r FROM vertices
-            |  UNION
-            |  SELECT re.id, b.dst FROM reach re JOIN bidir b ON re.r = b.src),
-            |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)
+    Some(s"""WITH RECURSIVE $survivorsCteSql
             |SELECT id AS doc_id, comp AS survivor_id FROM comp
             |WHERE id <> comp ORDER BY doc_id""".stripMargin),
     (s, d) =>
@@ -576,6 +593,41 @@ object PipelineQueries {
           .filter(col("id") =!= col("comp"))
           .select(col("id").as("doc_id"), col("comp").as("survivor_id"))
       }.orderBy(col("doc_id")))
+
+  /** Leakage-guarded train/val/test split: every member of a near-dup
+    * cluster inherits its cluster representative's hash draw, so near
+    * duplicates can never straddle the train/test boundary (hash-split
+    * on raw doc_id leaks: a test doc's 0.9-Jaccard twin in train is
+    * memorization fuel — the reason The Pile/C4-style pipelines split
+    * AFTER clustering). Docs outside any cluster keep their own draw —
+    * the guard only MOVES clustered docs relative to x_hash_split (same
+    * salt, asserted in ContainmentSpec). Shape: the cluster map is the
+    * family's cached survivors frame (O(|dup docs|), small), LEFT-joined
+    * onto the corpus — one broadcast-size join + the same narrow md5
+    * bucket map as every split here. */
+  val splitLeakageGuard: Q = Q(
+    "d_split_leakage_guard",
+    Some(s"""WITH RECURSIVE $survivorsCteSql,
+            |rep AS (
+            |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep
+            |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+            |b AS (
+            |  SELECT doc_id, rep,
+            |    CAST(concat('0x', substr(md5('split:' || CAST(rep AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
+            |  FROM rep)
+            |SELECT doc_id, rep, bucket,
+            |  CASE WHEN bucket < 80 THEN 'train'
+            |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+            |FROM b ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val rep = Tables.documents(s, d).select(col("doc_id"))
+        .join(dedupSurvivors.run(s, d), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("survivor_id"), col("doc_id")).as("rep"))
+      Splits.assignSplit(rep, "rep")
+        .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    })
 
   // ---- similarity search ------------------------------------------------
 
@@ -1471,7 +1523,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupNgram, dedupContainment, dedupEmbedding,
-    dedupIncremental, curateE2e,
+    dedupIncremental, splitLeakageGuard, curateE2e,
     curateWrite, curateIncremental,
     minhashSig, dedupMinhashLsh, simhashQ, dedupSimhash, dedupSurvivors,
     pipelineE2e,

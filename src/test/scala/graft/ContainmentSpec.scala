@@ -43,6 +43,25 @@ class ContainmentSpec extends SparkSpec {
     }
   }
 
+  test("leakage-guarded split keeps clusters intact, moves only clustered docs") {
+    import graft.registry.Registry
+    val df = Registry.byName("d_split_leakage_guard").run(spark, sf())
+    val surv = Registry.byName("d_dedup_survivors").run(spark, sf())
+    // every clustered doc lands in the same split as its survivor
+    val j = surv
+      .join(df.select(col("doc_id"), col("split").as("member_split")), Seq("doc_id"))
+      .join(df.select(col("doc_id").as("survivor_id"),
+        col("split").as("survivor_split")), Seq("survivor_id"))
+    assert(j.count() > 0)
+    assert(j.filter(col("member_split") =!= col("survivor_split")).count() === 0)
+    // and relative to the plain hash split, ONLY clustered docs moved
+    val plain = Registry.byName("x_hash_split").run(spark, sf())
+    val moved = df
+      .join(plain.select(col("doc_id"), col("bucket").as("plain_bucket")), Seq("doc_id"))
+      .filter(col("bucket") =!= col("plain_bucket"))
+    assert(moved.join(surv, Seq("doc_id"), "left_anti").count() === 0)
+  }
+
   test("df-capped hot shingles still count toward containment") {
     // one shingle shared by every doc (df > cap) plus a rare one shared
     // by the pair: with cap=2 the hot shingle is excluded from candidate
