@@ -333,28 +333,37 @@ object PipelineQueries {
   // candidate join they replaced — 9.9s vs 2.7s repeatable at sf0.1.
   // The df-cap path stays; its miss-caveat is property-tested and a
   // proven no-op on this corpus (max df 25 << cap 64).
-  /** Candidate common-counts (a_id, b_id, c, na, nb) cached ONCE per
-    * family build — the Jaccard and containment metrics are narrow
-    * filters over this frame, so the second metric costs a filter, not
-    * a second inverted-index build (sf0.1: containment 2.6s recomputed
-    * → ~0.1s derived). */
-  private def ngramCommonCached(s: SparkSession, d: String): DataFrame =
-    cachedDf(s, d, "ngram_common")(ngramCommonCounts(shinglePosts(s, d), DfCap,
-      // |distinct shingles| per doc, computed in the same narrow scan
-      // shape as the postings themselves (explode of the same array
-      // would shuffle; size() of it doesn't touch the cluster at all)
-      sizes = Some(Tables.documents(s, d).select(col("doc_id"),
-        size(graft.functions.SketchFunctions.word_shingles(col("text")))
-          .cast("long").as("n"))
-        .filter(col("n") > 0))))
-
+  /** Exported-threshold near-dup pairs WITH their exact integer counts
+    * (a_id, b_id, c, na, nb), cached ONCE per family build: one
+    * inverted-index pass, filtered at build time to pairs passing
+    * EITHER exported threshold (Jaccard >= 0.5 OR containment >= 0.8),
+    * so the cached frame stays O(near-dup pairs) — tiny — and each
+    * registered metric re-derives its own exact filter from the
+    * integers. (Round-7 lesson, measured at 10x: caching the UNFILTERED
+    * candidate counts — ~1.1M rows/copy — blew the family build 15.9s →
+    * 100.8s and pressured every downstream family query 3-6x; the
+    * either-threshold filter restores the small cache while still
+    * buying containment its free ride on the shared build.) */
   private def ngramPairsCached(s: SparkSession, d: String): DataFrame =
-    cachedDf(s, d, "ngram_pairs")(jaccardOfCounts(ngramCommonCached(s, d), 0.5))
+    cachedDf(s, d, "ngram_pairs")(
+      ngramCommonCounts(shinglePosts(s, d), DfCap,
+        // |distinct shingles| per doc, computed in the same narrow scan
+        // shape as the postings themselves (explode of the same array
+        // would shuffle; size() of it doesn't touch the cluster at all)
+        sizes = Some(Tables.documents(s, d).select(col("doc_id"),
+          size(graft.functions.SketchFunctions.word_shingles(col("text")))
+            .cast("long").as("n"))
+          .filter(col("n") > 0)))
+        .filter(
+          col("c").cast("double") / (col("na") + col("nb") - col("c")) >= 0.5 ||
+          col("c").cast("double") / least(col("na"), col("nb")) >= 0.8)
+        .select(col("a_id"), col("b_id"), col("c"), col("na"), col("nb")))
 
   val dedupNgram: Q = Q(
     "d_dedup_ngram_jaccard",
     dedupNgramOracle(0.5),
-    (s, d) => ngramPairsCached(s, d).orderBy(col("a_id"), col("b_id")))
+    (s, d) => jaccardOfCounts(ngramPairsCached(s, d), 0.5)
+      .orderBy(col("a_id"), col("b_id")))
 
   /** Containment (overlap-coefficient) near-dup: |A∩B|/min(|A|,|B|) >=
     * 0.8 over the same shared shingle postings — catches
@@ -376,7 +385,7 @@ object PipelineQueries {
             |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
             |    / least(len(a.gs), len(b.gs)) >= 0.8
             |ORDER BY a_id, b_id""".stripMargin),
-    (s, d) => containmentOfCounts(ngramCommonCached(s, d), 0.8)
+    (s, d) => containmentOfCounts(ngramPairsCached(s, d), 0.8)
       .orderBy(col("a_id"), col("b_id")))
 
   /** Embedding near-dup: cosine >= 0.45 over all pairs (threshold sits in
