@@ -341,11 +341,13 @@ object GraphQueries {
     val ed = bidir
       .join(deg.select(col("n").as("src"), col("dg").as("x")), Seq("src"))
       .join(deg.select(col("n").as("dst"), col("dg").as("y")), Seq("dst"))
+    // coalesce: sum() over zero rows is NULL, and the empty graph must
+    // report exact zero moments, not a NULL-poisoned summary row
     val sums = ed.agg(
       count(lit(1)).as("m"),
-      sum(col("x")).as("sx"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"))
+      coalesce(sum(col("x")), lit(0L)).as("sx"),
+      coalesce(sum(col("x") * col("y")), lit(0L)).as("sxy"),
+      coalesce(sum(col("x") * col("x")), lit(0L)).as("sxx"))
     val de = edgesDf.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
     val nde = de.agg(count(lit(1)).as("n_directed"))

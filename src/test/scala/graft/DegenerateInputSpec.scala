@@ -103,4 +103,44 @@ class DegenerateInputSpec extends SparkSpec {
       .toDF("user_id", "ts", "sid")
     assert(AsOfJoin.asof(probe, build, "user_id", "ts", Seq("sid")).count() === 0)
   }
+
+  test("clustering coefficient / assortativity of an empty graph are empty / 1 zero-row") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.analytics.GraphQueries.clusteringCoeffOf(e).count() === 0)
+    // assortativity is a global 1-row summary even on nothing: zero
+    // moments, assortativity 0 (no NaN), reciprocity 0
+    val r = graft.analytics.GraphQueries.assortativityOf(e).head
+    assert(r.getAs[Long]("m") === 0L)
+    assert(r.getAs[Double]("assortativity") === 0.0)
+    assert(r.getAs[Long]("reciprocity_ppm") === 0L)
+  }
+
+  test("PII scan/redact of an empty corpus are empty") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.pipeline.Pii.piiScanDf(docs).count() === 0)
+    assert(graft.pipeline.Pii.piiRedactDf(docs).count() === 0)
+  }
+
+  test("int8 quantization of an empty embedding table is empty") {
+    import spark.implicits._
+    val emb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.pipeline.Quantize.quantized(emb).count() === 0)
+  }
+
+  test("containment pairs of an empty postings frame are empty") {
+    import spark.implicits._
+    val posts = Seq.empty[(Long, String)].toDF("doc_id", "g")
+    assert(graft.pipeline.PipelineQueries
+      .ngramContainmentPairs(posts, 0.8).count() === 0)
+  }
+
+  test("WAV header-only file (zero samples) round-trips; empty blob is null") {
+    val wav = graft.functions.WavCodec.encode(8000, 1, 0, 0L)
+    val h = graft.functions.WavCodec.parseHeaderRaw(wav)
+    assert(h != null && h(3) === 0L)
+    assert(graft.functions.WavCodec.parseHeaderRaw(Array.emptyByteArray) == null)
+  }
 }
