@@ -1126,6 +1126,43 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     })
 
+  /** Word co-occurrence within a 5-token sliding window: unordered
+    * pairs (least, greatest) counted over every in-window position
+    * pair, top-50 by count — the corpus statistic under PMI/embedding
+    * bootstraps (word2vec's co-occurrence matrix, feature hashing
+    * vocabularies). Scale shape: pair GENERATION is map-only (nested
+    * higher-order transforms build each row's pair list, one explode —
+    * no token self-join, whose doc_id-keyed variant would shuffle the
+    * full token table and skew on long docs); the only shuffle is the
+    * final count groupBy, which map-side combines into the bounded
+    * vocabulary-pair space. */
+  val cooccurrence: Q = Q(
+    "t_cooccurrence",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |p AS (
+            |  SELECT unnest(flatten(list_transform(generate_series(1, len(toks) - 1),
+            |    i -> list_transform(generate_series(i + 1, least(i + 4, len(toks))),
+            |      j -> [least(toks[i], toks[j]), greatest(toks[i], toks[j])])))) AS pr
+            |  FROM t WHERE len(toks) >= 2)
+            |SELECT pr[1] AS a, pr[2] AS b, CAST(count(*) AS BIGINT) AS cnt
+            |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin),
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val n = size(col("toks"))
+      val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
+        transform(sequence(i + 1, least(i + 4, n - 1)), j =>
+          struct(
+            least(get(col("toks"), i), get(col("toks"), j)).as("a"),
+            greatest(get(col("toks"), i), get(col("toks"), j)).as("b")))))
+      t.select(explode(pairs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(50)
+    })
+
   /** Benchmark decontamination: flag corpus documents that share any
     * word 5-gram with a held-out benchmark set (here: doc_id < 25 plays
     * the benchmark, the rest the corpus). The standard pretraining
@@ -1539,5 +1576,6 @@ object PipelineQueries {
     annTopk, annLsh, annMultiprobe,
     tokenCount, tokenBpe, heavyHitters, chunking, packSequences,
     fingerprint, quality, langId, tfidfTopTerms, vocabStats, repetition,
+    cooccurrence,
     decontaminate)
 }

@@ -77,6 +77,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("t_cooccurrence: map-only pair generation, top-k as TakeOrdered") {
+    val p = plan("t_cooccurrence")
+    // pairs are built per-row (nested transforms + one explode), never
+    // by a token self-join; the global top-50 is a TakeOrdered, not a
+    // full sort
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("sim_ann_multiprobe: bucket equi-join, never a nested loop") {
     val p = plan("sim_ann_multiprobe")
     assert(!p.contains("CartesianProduct"), p)
