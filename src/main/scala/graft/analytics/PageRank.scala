@@ -53,11 +53,26 @@ object PageRank {
   def pageRank(spark: SparkSession, edgesRaw: DataFrame,
       iters: Int = 10, ckptEvery: Int = CkptEvery): DataFrame =
     LoopConf.pinned(spark, edgesRaw.count()) {
-      pageRankPinned(spark, edgesRaw, iters, ckptEvery)
+      pageRankPinned(spark, edgesRaw, iters, ckptEvery, seedMax = None)
+    }
+
+  /** Personalized PageRank: teleport mass restarts at the SEED SET
+    * (id < seedMax) instead of uniformly — the locality-scoring variant
+    * behind "related papers"/recommendation queries. Same loop, same
+    * exact-integer recurrence, same one-exchange supersteps; only the
+    * init and teleport vectors change (mass Scale/|S| on seeds, 0
+    * elsewhere), so unreachable-from-seeds vertices provably hold rank
+    * exactly 0 (integer arithmetic — no epsilon mass). With every
+    * vertex a seed it degenerates to pageRank bit-for-bit (asserted in
+    * PageRankSpec). */
+  def personalizedPageRank(spark: SparkSession, edgesRaw: DataFrame,
+      seedMax: Long, iters: Int = 10, ckptEvery: Int = CkptEvery): DataFrame =
+    LoopConf.pinned(spark, edgesRaw.count()) {
+      pageRankPinned(spark, edgesRaw, iters, ckptEvery, seedMax = Some(seedMax))
     }
 
   private def pageRankPinned(spark: SparkSession, edgesRaw: DataFrame,
-      iters: Int, ckptEvery: Int): DataFrame = {
+      iters: Int, ckptEvery: Int, seedMax: Option[Long]): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
 
     val e = edgesRaw.select(col("src"), col("dst"))
@@ -86,10 +101,20 @@ object PageRank {
     ed.count() // materialize, then drop the raw-edge cache early
     e.unpersist(false)
     // driver-side Long division == Spark `div` == DuckDB `//` on positives
-    val r0 = Scale / n
-    val base = ((100L - DampPct) * Scale) / (100L * n)
+    val (r0Col, baseCol) = seedMax match {
+      case None =>
+        (lit(Scale / n),
+          lit(((100L - DampPct) * Scale) / (100L * n)))
+      case Some(sm) =>
+        // seed count is a driver-side decision like n, one cheap count
+        val nS = v.filter(col("id") < sm).count()
+        require(nS > 0, s"personalized PageRank: no vertices with id < $sm")
+        (when(col("id") < sm, lit(Scale / nS)).otherwise(lit(0L)),
+          when(col("id") < sm,
+            lit(((100L - DampPct) * Scale) / (100L * nS))).otherwise(lit(0L)))
+    }
 
-    var r = v.select(col("id"), lit(r0).as("r"))
+    var r = v.select(col("id"), r0Col.as("r"))
     var prevCkpt: Option[DataFrame] = None
     var sinceCkpt = 0
     for (k <- 1 to iters) {
@@ -104,7 +129,7 @@ object PageRank {
         .agg(sum(expr("r div d")).as("contrib"))
       val nextDs = v.join(contrib.hint("shuffle_hash"), col("id") === col("dst"), "left")
         .select(col("id"),
-          (lit(base) + expr(s"($DampPct * coalesce(contrib, 0L)) div 100")).as("r"))
+          (baseCol + expr(s"($DampPct * coalesce(contrib, 0L)) div 100")).as("r"))
       // capture the per-superstep exchange count on rounds that start
       // from materialized state (a nested round's plan embeds the prior
       // rounds' exchanges, so its count is the batch's, not one round's)
@@ -163,5 +188,45 @@ object PageRank {
       pageRank(s, graft.graph.CitationGraph.edges(s, d), iters = 10)
         .orderBy(col("id")))
 
-  val all: Seq[Q] = Seq(pageRankQ)
+  /** Unrolled twin of the SEEDED recurrence (seeds = id < seedMax). */
+  private def pprOracleSql(seedMax: Long, iters: Int): String = {
+    import graft.graph.CitationGraph.edgesSql
+    val head =
+      s"""WITH $edgesSql,
+         |e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |scnt AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM v WHERE id < $seedMax),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+         |pr0 AS (SELECT id, CASE WHEN id < $seedMax
+         |  THEN $Scale // (SELECT ns FROM scnt) ELSE 0 END AS r FROM v)""".stripMargin
+    val levels = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT v.id,
+         |    CASE WHEN v.id < $seedMax
+         |      THEN ((100 - $DampPct) * $Scale) // (100 * (SELECT ns FROM scnt))
+         |      ELSE 0 END
+         |      + ($DampPct * COALESCE(c.contrib, 0)) // 100 AS r
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM(p.r // dg.d) AS BIGINT) AS contrib
+         |    FROM pr${k - 1} p JOIN deg dg ON dg.id = p.id JOIN e ON e.src = p.id
+         |    GROUP BY e.dst
+         |  ) c ON c.id = v.id)""".stripMargin
+    }
+    (head +: levels).mkString(",\n") +
+      s"\nSELECT id, r FROM pr$iters ORDER BY id"
+  }
+
+  /** Seed set = the 10 lowest-id vertices' ids (id < 10 matches the ANN
+    * queries' convention for a deterministic small query set). */
+  private val PprSeedMax = 10L
+
+  val pprQ: Q = Q(
+    "g_ppr",
+    Some(pprOracleSql(PprSeedMax, 10)),
+    (s, d) =>
+      personalizedPageRank(s, graft.graph.CitationGraph.edges(s, d),
+        seedMax = PprSeedMax, iters = 10)
+        .orderBy(col("id")))
+
+  val all: Seq[Q] = Seq(pageRankQ, pprQ)
 }

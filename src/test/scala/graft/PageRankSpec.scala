@@ -67,4 +67,25 @@ class PageRankSpec extends SparkSpec {
     assert(PageRank.lastIterationExchanges === 1,
       s"expected 1 exchange per iteration, saw ${PageRank.lastIterationExchanges}")
   }
+
+  test("personalized: unreachable vertices hold rank exactly 0") {
+    import spark.implicits._
+    // seed {1} feeds the chain 1→2→3; the island 10→11 never sees mass
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val r = PageRank.personalizedPageRank(spark, e, seedMax = 2L, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > 0L && r(2L) > 0L && r(3L) > 0L)
+    assert(r(10L) === 0L && r(11L) === 0L)
+    // seed holds the teleport base; downstream holds strictly less
+    assert(r(1L) > r(2L) && r(2L) > r(3L))
+  }
+
+  test("personalized with every vertex a seed equals plain PageRank") {
+    val edges = CitationGraph.edges(spark, sf())
+    val plain = PageRank.pageRank(spark, edges, iters = 5)
+      .collect().map(_.toSeq).toSet
+    val ppr = PageRank.personalizedPageRank(spark, edges,
+      seedMax = Long.MaxValue, iters = 5).collect().map(_.toSeq).toSet
+    assert(ppr === plain)
+  }
 }
