@@ -38,7 +38,8 @@ object ScaleTrend {
     "t_tfidf_top_terms", "t_token_bpe",
     "t_repetition", "d_decontaminate", "d_domain_mix", "st_dedup",
     "sim_ann_topk", "sim_ann_ivf", "sim_ann_ivf_int8",
-    "sim_quantize_int8", "g_clustering_coeff",
+    "sim_quantize_int8", "g_clustering_coeff", "g_assortativity",
+    "g_ppr", "t_cooccurrence", "d_split_leakage_guard",
     "t_pii_redact", "m_wav_decode",
     "st_tumbling_window", "x_asof_join_native", "x_merge_upsert")
 
