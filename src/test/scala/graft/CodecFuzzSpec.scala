@@ -1,0 +1,93 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{BmpCodec, FrameCodec, WavCodec}
+
+/** Fuzz the binary codecs' never-throw contract: for ARBITRARY bytes —
+  * random blobs, random mutations of valid files, random truncations —
+  * every parse either returns null or a structurally-consistent result,
+  * and never throws. This is the property a 100-TB scan depends on: one
+  * corrupt blob in a trillion rows filters out; it cannot kill a task.
+  * Generators are driven with fixed seeds (PropertySpec's discipline) so
+  * failures reproduce. */
+class CodecFuzzSpec extends SparkSpec {
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val byteGen: Gen[Byte] = Gen.chooseNum(-128, 127).map(_.toByte)
+
+  private val blob: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 200).flatMap(n => Gen.listOfN(n, byteGen).map(_.toArray))
+
+  private def parsers: Seq[(String, Array[Byte] => Any)] = Seq(
+    "grft1" -> (b => FrameCodec.parseRaw(b)),
+    "bmp" -> (b => BmpCodec.parseHeaderRaw(b)),
+    "wav" -> (b => WavCodec.parseHeaderRaw(b)))
+
+  test("random blobs never throw through any codec parse (200 seeded cases)") {
+    (1L to 200L).foreach { seed =>
+      val b = sample(blob, seed)
+      parsers.foreach { case (name, p) =>
+        try p(b)
+        catch { case e: Throwable =>
+          fail(s"$name threw on seed=$seed len=${b.length}: $e")
+        }
+      }
+    }
+  }
+
+  test("random single-byte mutations of valid files never throw; accepted parses stay consistent") {
+    val valids = Seq(
+      FrameCodec.pack("the quick brown fox jumps over it".getBytes("UTF-8"), 7),
+      BmpCodec.encode(13, 9, 42L),
+      WavCodec.encode(16000, 2, 50, 7L))
+    (1L to 300L).foreach { seed =>
+      val v = valids((seed % 3).toInt)
+      val pos = sample(Gen.chooseNum(0, v.length - 1), seed)
+      val nb = sample(byteGen, seed + 1000)
+      val mutated = v.clone(); mutated(pos) = nb
+      parsers.foreach { case (name, p) =>
+        val r = try p(mutated)
+        catch { case e: Throwable =>
+          fail(s"$name threw on mutation seed=$seed pos=$pos: $e")
+        }
+        // WAV accepts only if the header stays consistent: sample count
+        // must still be non-negative etc. — spot-check the one parser
+        // whose output we can sanity-bound without re-deriving it
+        r match {
+          case a: Array[Long] if name == "wav" =>
+            assert(a(0) >= 1 && a(0) <= 8 && a(1) > 0 && a(3) >= 0)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("random truncations of valid files never throw") {
+    val valids = Seq(
+      FrameCodec.pack("a slightly longer payload for frames".getBytes("UTF-8"), 5),
+      BmpCodec.encode(7, 5, 3L),
+      WavCodec.encode(8000, 1, 20, 1L))
+    (1L to 150L).foreach { seed =>
+      val v = valids((seed % 3).toInt)
+      val cut = sample(Gen.chooseNum(0, v.length), seed)
+      val t = java.util.Arrays.copyOf(v, cut)
+      parsers.foreach { case (name, p) =>
+        try p(t)
+        catch { case e: Throwable =>
+          fail(s"$name threw on truncation seed=$seed cut=$cut: $e")
+        }
+      }
+      // a truncation strictly inside the file must REJECT (the declared
+      // sizes no longer fit), except GRFT1's 0-frame prefix case is
+      // still covered by its trailing-byte check — all three are strict
+      if (cut < v.length) {
+        assert(BmpCodec.parseHeaderRaw(java.util.Arrays.copyOf(valids(1), math.min(cut, valids(1).length))) == null
+          || math.min(cut, valids(1).length) >= BmpCodec.HeaderLen)
+      }
+    }
+  }
+}
