@@ -27,6 +27,7 @@ object Main {
     val builder = SparkSession.builder()
       .appName("graft")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // spark-submit injects spark.master; default to local[] otherwise
     val spark = (if (sys.props.contains("spark.master")) builder
       else builder

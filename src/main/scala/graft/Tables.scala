@@ -20,11 +20,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
-  /** `events.parquet` stores ts as TIMESTAMP(NANOS), which Spark 4 cannot
-    * read natively (PARQUET_TYPE_ILLEGAL). Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; the nanos long is then
-    * truncated to microseconds here — exactly what DuckDB does when it
-    * reads the same file, so oracle comparisons stay exact.
+  /** Timestamp portability across testdata generations. Earlier testdata
+    * stored ts as TIMESTAMP(NANOS) (unreadable natively by Spark 4 —
+    * sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and the
+    * nanos long is truncated to micros below, matching DuckDB). Current
+    * testdata stores naive micros (`timestamp[us]`, no TZ annotation),
+    * which Spark 4 would infer as TIMESTAMP_NTZ while every query and
+    * DuckDB oracle computes in TIMESTAMP; sessions therefore also set
+    * `spark.sql.parquet.inferTimestampNTZ.enabled=false` so the reader
+    * yields TIMESTAMP (LTZ, session tz pinned UTC) natively — identical
+    * micros either way, and filter pushdown survives (no cast on ts).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")

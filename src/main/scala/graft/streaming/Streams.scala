@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** File-source schema: ts is TIMESTAMP(NANOS) in the parquet, read as
-    * nanos-long (`nanosAsLong`) and truncated to micros — identical to
-    * Tables.events. */
+  /** File-source schema: ts is naive micros (`timestamp[us]`) in the
+    * current testdata generation, declared TIMESTAMP here (sessions pin
+    * tz=UTC and `inferTimestampNTZ.enabled=false`, so batch and stream
+    * reads agree — identical to Tables.events). An earlier generation
+    * stored TIMESTAMP(NANOS), which needed a LongType schema plus a
+    * `ts div 1000` truncation; that path died with the old files. */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -30,7 +33,6 @@ object Streams {
       // file source needs a directory; select just the events file
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling 1-hour window per event type with a 1-hour watermark —
     * streaming twin of StreamingQueries.tumbling (incl. its exact
