@@ -400,9 +400,65 @@ object GraphQueries {
             |FROM s, nd, nr""".stripMargin),
     (s, d) => assortativityOf(edges(s, d)))
 
+  /** Salt width for the wedge self-join behind square counting. */
+  private val WedgeSalt = 8
+
+  /** Global 4-cycle (square) count over any directed edge frame
+    * (public — the toy-graph spec drives it directly), by per-diagonal
+    * wedge aggregation: an unordered vertex pair {a,b} with w common
+    * neighbors closes C(w,2) squares on that diagonal, and every square
+    * has exactly two diagonals, so n_squares = Σ C(w,2) div 2 — the sum
+    * is provably even and all arithmetic stays BIGINT (no double to
+    * tie-break between engines).
+    *
+    * Scale shape: Σ_m C(deg m, 2) wedge rows is the irreducible work of
+    * exact square counting — what must NOT happen at 100 TB is one task
+    * owning a hub's full C(d, 2). The self-join on the middle vertex
+    * would do exactly that (all rows of key m land in one partition),
+    * so the probe side carries salt = hash(neighbor) mod S and the
+    * build side is replicated S ways: each (a, b) pair still matches
+    * exactly once (at a's salt), while a hub's pair generation spreads
+    * over S tasks. The per-pair counts then map-side combine into the
+    * bounded diagonal space before the final 2-column aggregate. */
+  def squaresOf(edgesDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bidir = bidirectional(edgesDf)
+    val probe = bidir.select(col("src").as("m"), col("dst").as("a"),
+      pmod(hash(col("dst")), lit(WedgeSalt)).as("salt_a"))
+    val build = bidir.select(col("src").as("m2"), col("dst").as("b"))
+      .withColumn("salt_b", explode(sequence(lit(0), lit(WedgeSalt - 1))))
+    val w = probe.join(build,
+        col("m") === col("m2") && col("salt_a") === col("salt_b") &&
+          col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    w.agg(
+      count(lit(1)).as("n_diagonals"),
+      coalesce(sum(expr("(w * (w - 1)) DIV 2")), lit(0L)).as("p"))
+      .select(col("n_diagonals"),
+        expr("p DIV 2").as("n_squares"))
+  }
+
+  /** Square (4-cycle) count of the citation graph — with triangles and
+    * wedges, the motif census behind clustering/community structure
+    * summaries. The id-canonical SQL is the oracle (per-diagonal wedge
+    * counts are salt- and orientation-invariant). */
+  val squares: Q = Q(
+    "g_squares",
+    Some(s"""WITH $edgesSql, $bidirOfEdges,
+            |w AS (
+            |  SELECT b1.dst AS a, b2.dst AS b, CAST(count(*) AS BIGINT) AS w
+            |  FROM bidir b1 JOIN bidir b2 ON b1.src = b2.src AND b1.dst < b2.dst
+            |  GROUP BY 1, 2)
+            |SELECT CAST(count(*) AS BIGINT) AS n_diagonals,
+            |  CAST(COALESCE(CAST(sum(w * (w - 1) // 2) AS BIGINT), 0) // 2
+            |    AS BIGINT) AS n_squares
+            |FROM w""".stripMargin),
+    (s, d) => squaresOf(edges(s, d)))
+
   val all: Seq[Q] = Seq(
     density, snapshot, pairsLen1, bidirectDegree, wedges,
     hopplot, effDiameter, hopplotApprox, effDiameterApprox,
     hopplotApproxTol, effDiameterApproxTol,
-    components, packPair, triangles, clusteringCoeff, assortativity)
+    components, packPair, triangles, clusteringCoeff, assortativity,
+    squares)
 }

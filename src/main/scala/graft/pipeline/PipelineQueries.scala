@@ -1567,6 +1567,85 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("start"))
     })
 
+  /** Gopher-style composite quality FILTER (Rae et al. 2021 §A1.1's
+    * document-level rules, the standard pre-training gate that runs
+    * before any dedup): per doc, every signal as an exact integer, a
+    * reason BITMASK of the rules violated, and the pass verdict — a
+    * filter that only says pass/fail can't be audited or tuned, so the
+    * reasons column is the deliverable. Rules (bit): token count < 50
+    * (1) / > 100000 (2); mean token length outside [3, 10] as the
+    * integer compare 3n ≤ chars ≤ 10n (4); fewer than 2 stopword hits
+    * (8); under 80% of tokens containing an alphabetic character as
+    * 5·alpha < 4·n (16); the t_repetition trigram rule 5·distinct <
+    * 4·grams (32). Map-only narrow plan — no shuffle, no explode; every
+    * compare is BIGINT so the oracle is bit-deterministic. */
+  val qualityFilter: Q = Q(
+    "t_quality_filter",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |m AS (SELECT doc_id,
+            |  CAST(len(toks) AS BIGINT) AS n_tokens,
+            |  CAST(COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS n_token_chars,
+            |  ${hitsSql(enStops)} AS n_stop_hits,
+            |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_tokens,
+            |  CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_grams,
+            |  CAST(CASE WHEN len(toks) >= 3
+            |    THEN len(list_distinct(list_transform(range(len(toks) - 2),
+            |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+            |    ELSE 0 END AS BIGINT) AS n_distinct_grams
+            |  FROM t),
+            |r AS (SELECT *,
+            |  CAST(CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END
+            |    + CASE WHEN n_tokens > 100000 THEN 2 ELSE 0 END
+            |    + CASE WHEN 3 * n_tokens > n_token_chars
+            |        OR n_token_chars > 10 * n_tokens THEN 4 ELSE 0 END
+            |    + CASE WHEN n_stop_hits < 2 THEN 8 ELSE 0 END
+            |    + CASE WHEN 5 * n_alpha_tokens < 4 * n_tokens THEN 16 ELSE 0 END
+            |    + CASE WHEN 5 * n_distinct_grams < 4 * n_grams THEN 32 ELSE 0 END
+            |    AS BIGINT) AS reasons
+            |  FROM m)
+            |SELECT doc_id, n_tokens, n_token_chars, n_stop_hits,
+            |  n_alpha_tokens, n_grams, n_distinct_grams, reasons,
+            |  reasons = 0 AS pass
+            |FROM r ORDER BY doc_id""".stripMargin),
+    (s, d) => qualityFilterOf(Tables.documents(s, d)))
+
+  /** The t_quality_filter body over any (doc_id, text) frame (public —
+    * the crafted-document spec drives it directly). */
+  def qualityFilterOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+    val grams = transform(
+      sequence(lit(0), size(col("toks")) - 3),
+      i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1),
+        get(col("toks"), i + 2)))
+    val m = t.select(
+      col("doc_id"),
+      size(col("toks")).cast(LongType).as("n_tokens"),
+      coalesce(
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)),
+        lit(0L)).as("n_token_chars"),
+      hits(col("toks"), enStops).as("n_stop_hits"),
+      size(filter(col("toks"), x => x.rlike("[a-zA-Z]")))
+        .cast(LongType).as("n_alpha_tokens"),
+      greatest(size(col("toks")) - 2, lit(0)).cast(LongType).as("n_grams"),
+      // CASE short-circuits per row, so the descending-sequence shape
+      // of `grams` under 3 tokens is never evaluated
+      when(size(col("toks")) >= 3, size(array_distinct(grams)).cast(LongType))
+        .otherwise(lit(0L)).as("n_distinct_grams"))
+    m.withColumn("reasons",
+        when(col("n_tokens") < 50, lit(1L)).otherwise(lit(0L))
+          + when(col("n_tokens") > 100000, lit(2L)).otherwise(lit(0L))
+          + when(lit(3L) * col("n_tokens") > col("n_token_chars")
+              || col("n_token_chars") > lit(10L) * col("n_tokens"), lit(4L))
+            .otherwise(lit(0L))
+          + when(col("n_stop_hits") < 2, lit(8L)).otherwise(lit(0L))
+          + when(lit(5L) * col("n_alpha_tokens") < lit(4L) * col("n_tokens"),
+              lit(16L)).otherwise(lit(0L))
+          + when(lit(5L) * col("n_distinct_grams") < lit(4L) * col("n_grams"),
+              lit(32L)).otherwise(lit(0L)))
+      .withColumn("pass", col("reasons") === 0L)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupNgram, dedupContainment, dedupEmbedding,
     dedupIncremental, splitLeakageGuard, curateE2e,
@@ -1577,5 +1656,5 @@ object PipelineQueries {
     tokenCount, tokenBpe, heavyHitters, chunking, packSequences,
     fingerprint, quality, langId, tfidfTopTerms, vocabStats, repetition,
     cooccurrence,
-    decontaminate)
+    decontaminate, qualityFilter)
 }

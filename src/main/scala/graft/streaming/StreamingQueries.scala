@@ -161,6 +161,22 @@ object StreamingQueries {
         .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_dupes"))
         .orderBy(col("user_id"), col("event_type"), col("m")))
 
+  /** Batch twin of the stream-static enrichment join
+    * (Streams.enrichEvents): events inner-joined to the broadcast
+    * customer dimension on user_id. The dimension is the build side
+    * (BroadcastHashJoin — asserted in PlanSpec); only matching events
+    * survive, identically in both forms. */
+  val enrich: Q = Q(
+    "st_enrich",
+    Some("""SELECT e.event_id, e.user_id, e.event_type,
+           |  c.c_mktsegment, CAST(c.c_nationkey AS BIGINT) AS nationkey
+           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           |ORDER BY e.event_id""".stripMargin),
+    (s, d) =>
+      graft.streaming.Streams.enrichEvents(
+        Tables.events(s, d), Tables.customer(s, d))
+        .orderBy(col("event_id")))
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionize, sessionWindow,
-    streamStreamJoin, dedup)
+    streamStreamJoin, dedup, enrich)
 }

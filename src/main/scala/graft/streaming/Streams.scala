@@ -120,6 +120,25 @@ object Streams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "m")
 
+  /** Stream-static enrichment join: every micro-batch of the event
+    * stream probes the static customer dimension, broadcast to the
+    * executors — the standard at-ingest enrichment pattern (attach
+    * segment/geo attributes before events hit the lake). Stateless by
+    * construction: an INNER stream-static join needs no watermark and
+    * keeps no store (the static side is planned once per micro-batch,
+    * broadcast-sized), so throughput is the map path plus a hash probe —
+    * the shape that survives an unbounded 100-TB ingest. Twin of the
+    * registered `st_enrich` batch query; StreamingSpec proves row-set
+    * equality. */
+  def enrichEvents(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(
+        col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey").cast(LongType).as("nationkey"))),
+      col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), col("nationkey"))
+
   // ---- upsert sink ------------------------------------------------------
 
   /** Lakehouse-style streaming upsert sink: each micro-batch is applied

@@ -130,6 +130,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("st_enrich: customer dimension is the broadcast build side") {
+    val p = plan("st_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("g_squares: salted wedge join shuffles by (middle, salt), no nested loop") {
+    val p = plan("g_squares")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the salt column joins alongside the middle vertex
+    assert(p.contains("salt_a"), p)
+  }
+
   test("x_hash_split: split assignment is a narrow map (one sort exchange only)") {
     val p = plan("x_hash_split")
     // the md5-bucket assignment itself must add no shuffle; the single

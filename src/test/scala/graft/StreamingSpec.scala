@@ -150,6 +150,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 13:00:00.0") === 1L)
   }
 
+  test("stream-static enrichment join == registered st_enrich twin, row for row") {
+    val joined = Streams.enrichEvents(
+      Streams.readEventsStream(spark, sf()), Tables.customer(spark, sf()))
+    val q = joined.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("enrich_out").collect().map(_.toSeq).toSet
+    val want = graft.registry.Registry.byName("st_enrich")
+      .run(spark, sf()).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("stream-static join == batch join") {
     val static = Tables.events(spark, sf())
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
