@@ -24,6 +24,7 @@ object Registry {
       graft.queries.Typed.all ++
       graft.analytics.GraphQueries.all ++
       graft.analytics.PageRank.all ++
+      graft.analytics.Hits.all ++
       graft.analytics.ShortestPaths.all ++
       graft.analytics.KCore.all ++
       graft.analytics.LabelPropagation.all ++
