@@ -455,10 +455,73 @@ object GraphQueries {
             |FROM w""".stripMargin),
     (s, d) => squaresOf(edges(s, d)))
 
+  /** Wedge centers above this degree are excluded from link-prediction
+    * scoring — the standard skew bound: a hub center contributes deg²
+    * wedge pairs to the self-join while adding ~nothing to the score
+    * (RA already weights it 1/deg). Far above every measured degree
+    * (max bidir degree is ~40 at sf0.1), so tested-scale outputs carry
+    * no cap effect; the oracle replicates the identical predicate. */
+  private val LinkPredHubCap = 256L
+
+  /** Link-prediction scores over any directed edge frame (public — the
+    * toy-graph spec drives it directly): for each NON-adjacent pair
+    * {a, b} with a common neighbor, the common-neighbor count and the
+    * resource-allocation index (Zhou/Lü/Zhang 2009) — RA instead of
+    * Adamic-Adar because Σ 1/deg(z) is exact-integer expressible
+    * (1e6 div deg) where AA's 1/log deg(z) would hinge on
+    * engine-identical transcendental rounding. Top-50 under a TOTAL
+    * order (cn desc, ra desc, a, b) so the cut is deterministic.
+    *
+    * Scale shape: wedge generation is the bounded self-join of the
+    * squares/triangles family (hub centers excluded by the degree cap
+    * BEFORE the join explodes them), adjacency removal is a left_anti
+    * equi-join, the score agg map-side combines, and the top-50 lands
+    * as TakeOrderedAndProject — no global sort. */
+  def linkPredictionOf(edgesDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bidir = bidirectional(edgesDf)
+    val deg = bidir.groupBy(col("src").as("z")).agg(count(lit(1)).as("dz"))
+    val b1 = bidir.select(col("src").as("z"), col("dst").as("a"))
+    val b2 = bidir.select(col("src").as("z2"), col("dst").as("b"))
+    val w = b1.join(b2, col("z") === col("z2") && col("a") < col("b"))
+      .select(col("a"), col("b"), col("z"))
+    // cap applied to the CENTER list before the wedge join, so a hub
+    // never reaches the quadratic side at all
+    val capped = w.join(deg.filter(col("dz") <= LinkPredHubCap), "z")
+    val adj = bidir.select(col("src").as("a"), col("dst").as("b"))
+    capped.join(adj, Seq("a", "b"), "left_anti")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000L div dz")).as("ra_ppm"))
+      .orderBy(col("cn").desc, col("ra_ppm").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  /** Link prediction (common neighbors + resource allocation) on the
+    * citation graph — "papers likely to cite each other next", the
+    * recommendation twin of personalized PageRank. */
+  val linkPrediction: Q = Q(
+    "g_link_pred",
+    Some(s"""WITH $edgesSql, $bidirOfEdges,
+            |deg AS (SELECT src AS z, CAST(count(*) AS BIGINT) AS dz FROM bidir GROUP BY 1),
+            |w AS (SELECT b1.src AS z, b1.dst AS a, b2.dst AS b
+            |  FROM bidir b1 JOIN bidir b2 ON b1.src = b2.src AND b1.dst < b2.dst),
+            |cz AS (SELECT w.a, w.b, deg.dz FROM w JOIN deg ON deg.z = w.z
+            |  WHERE deg.dz <= $LinkPredHubCap),
+            |na AS (SELECT cz.a, cz.b, cz.dz FROM cz
+            |  WHERE NOT EXISTS (
+            |    SELECT 1 FROM bidir e WHERE e.src = cz.a AND e.dst = cz.b)),
+            |sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+            |    CAST(sum(1000000 // dz) AS BIGINT) AS ra_ppm
+            |  FROM na GROUP BY 1, 2)
+            |SELECT a, b, cn, ra_ppm FROM sc
+            |ORDER BY cn DESC, ra_ppm DESC, a, b LIMIT 50""".stripMargin),
+    (s, d) => linkPredictionOf(edges(s, d)))
+
   val all: Seq[Q] = Seq(
     density, snapshot, pairsLen1, bidirectDegree, wedges,
     hopplot, effDiameter, hopplotApprox, effDiameterApprox,
     hopplotApproxTol, effDiameterApproxTol,
     components, packPair, triangles, clusteringCoeff, assortativity,
-    squares)
+    squares, linkPrediction)
 }

@@ -1216,6 +1216,88 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     })
 
+  /** Intra-corpus duplicated n-gram span fraction — the exact-substring
+    * duplication signal (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499, use suffix arrays
+    * for the single-machine version; this is the distributed shape). A
+    * word 8-gram is DUPLICATED if it occurs in >= 2 distinct documents;
+    * each doc reports how many of its 8-gram positions are covered by a
+    * duplicated gram, as an exact-integer ppm. Unlike the doc-level
+    * near-dup family this sees SUB-document duplication (a copied
+    * paragraph inside an otherwise-unique doc), and unlike t_repetition
+    * (within-doc) it is a corpus-wide signal. 8 words over this corpus's
+    * ~40-word vocabulary makes chance collisions ~40^-8 — every hit is
+    * real copying.
+    *
+    * Scale shape: position-gram explode (map-only, narrow), duplicated
+    * grams via (gram, doc_id) distinct -> per-gram doc count (both
+    * map-side-combined shuffles on the gram key), join back on gram, one
+    * per-doc count. Nothing global; all four exchanges hash on gram or
+    * doc_id. At 100 TB the gram strings would be fingerprinted to 64-bit
+    * hashes (xxhash64) before the shuffle and optionally winnowed to
+    * minimizers (Lee et al. §4) — bandwidth levers, same plan shape; the
+    * string keys are kept here so the DuckDB oracle replays bit-for-bit.
+    * Every doc is reported (short/null docs at 0 grams), like
+    * d_decontaminate: a span report that drops clean docs can't feed the
+    * downstream span-removal pass. */
+  val dupSpan: Q = Q(
+    "d_dup_span",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |g AS (SELECT doc_id, list_transform(range(len(toks) - 7),
+            |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' '
+            |      || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' '
+            |      || toks[i+7] || ' ' || toks[i+8]) AS grams
+            |  FROM t WHERE len(toks) >= 8),
+            |p AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            |dup AS (SELECT gram FROM (
+            |    SELECT gram, count(*) AS ndocs FROM (SELECT DISTINCT gram, doc_id FROM p)
+            |    GROUP BY gram) WHERE ndocs >= 2),
+            |nd AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+            |  FROM p JOIN dup USING (gram) GROUP BY p.doc_id),
+            |ng AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM g)
+            |SELECT d.doc_id,
+            |  coalesce(ng.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+            |  coalesce(nd.n_dup, CAST(0 AS BIGINT)) AS n_dup_grams,
+            |  CASE WHEN coalesce(ng.n_grams, 0) > 0
+            |    THEN (1000000 * coalesce(nd.n_dup, CAST(0 AS BIGINT))) // ng.n_grams
+            |    ELSE CAST(0 AS BIGINT) END AS dup_ppm,
+            |  coalesce(nd.n_dup, 0) > 0 AS flagged
+            |FROM documents d
+            |LEFT JOIN ng ON d.doc_id = ng.doc_id
+            |LEFT JOIN nd ON d.doc_id = nd.doc_id
+            |ORDER BY d.doc_id""".stripMargin),
+    (s, d) => dupSpanOf(Tables.documents(s, d)))
+
+  /** d_dup_span over any (doc_id, text) frame — the seam the toy-corpus
+    * spec drives directly. */
+  def dupSpanOf(docs: DataFrame): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+    val grams = transform(sequence(lit(0), size(col("toks")) - 8),
+      i => concat_ws(" ", (0 to 7).map(k => get(col("toks"), i + k)): _*))
+    val g = t.select(col("doc_id"), grams.as("grams"))
+    val p = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // two-level: (gram, doc) distinct then per-gram doc count — both
+    // aggregations partial/map-side-combinable, unlike countDistinct
+    val dup = p.distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("gram"))
+    val nd = p.join(dup, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    val ng = g.select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
+    docs.select(col("doc_id"))
+      .join(ng, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_ppm",
+        expr("CASE WHEN n_grams > 0 THEN (1000000L * n_dup_grams) div n_grams ELSE 0L END"))
+      .withColumn("flagged", col("n_dup_grams") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic: argmax of marker-stopword hits (en/de/es). */
   val langId: Q = Q(
     "t_lang_id",
@@ -1656,5 +1738,5 @@ object PipelineQueries {
     tokenCount, tokenBpe, heavyHitters, chunking, packSequences,
     fingerprint, quality, langId, tfidfTopTerms, vocabStats, repetition,
     cooccurrence,
-    decontaminate, qualityFilter)
+    decontaminate, dupSpan, qualityFilter)
 }

@@ -258,19 +258,82 @@ object VectorIndex {
     * to 1-θ/π ≈ 0.86/plane and both paths approach full recall. */
   private val CosThreshold = 0.45
 
-  /** Classic banded hyperplane LSH: 6 independent 4-bit sign bands
-    * (plane ids 24-47); a pair is a candidate if it collides in ANY
-    * band — minhash-LSH banding, hyperplane flavor. Geometry was tuned
-    * empirically (4x6 beats 8x2, 6x4, 5x4 on recall-per-candidate at
-    * this θ); measured sf0.01: recall 8/14, candidates ~30% of pairs.
-    * Kept as the fixed-plane baseline the IVF variant must beat. */
+  /** Classic banded hyperplane LSH: 6 independent sign bands; a pair is
+    * a candidate if it collides in ANY band — minhash-LSH banding,
+    * hyperplane flavor. The first 4 bits of band b are the original
+    * fixed planes (ids 24+4b..24+4b+3 — tuned empirically: 4x6 beats
+    * 8x2, 6x4, 5x4 on recall-per-candidate at this θ; measured sf0.01:
+    * recall 8/14, candidates ~30% of pairs); extension bits come from
+    * the disjoint 64+16b+k range, so at every measured sf (where the
+    * adaptive width stays 4) buckets are BIT-IDENTICAL to the fixed
+    * geometry. Kept as the banded baseline the IVF variant must beat. */
   private val BandPlane0 = Seq(24, 28, 32, 36, 40, 44)
-  private val BandBits = 4
 
-  def embeddingLshCandidates(s: SparkSession, d: String): DataFrame = {
-    val n = normed(s, d)
-    val banded = BandPlane0.zipWithIndex.foldLeft(n) { case (df, (j0, b)) =>
-      df.withColumn(s"b$b", bucketCol(j0, BandBits))
+  /** Plane id for band b, bit k (see BandPlane0 scaladoc). */
+  private def bandPlane(b: Int, k: Int): Int =
+    if (k < 4) BandPlane0(b) + k else 64 + 16 * b + k
+
+  /** Adaptive band width — the same scale rule that fixed the IVF dedup
+    * path (dedupCellBits): smallest bits in [4,16] with 128·2^bits >= n,
+    * so per-band bucket occupancy is bounded (~128) and the band
+    * self-join's candidate volume stays ~linear in n instead of n²/2^4
+    * (the sf1 trend run measured the fixed geometry at 15-35x for a 10x
+    * corpus — the one remaining superlinear entry). Exact integer
+    * ladder, replicated in SQL, never float log. Recall: P(band
+    * collision) = (1-θ/π)^bits falls as bits grow with fixed table
+    * count (holding it needs tables ∝ n^ρ — rejected round 7 as
+    * table-count explosion at this data's hard θ≈60°); at production
+    * near-dup thresholds (cosine >= 0.9, 1-θ/π ≈ 0.86/plane) an 8-bit
+    * band still collides at 0.29 and 6 bands reach 0.87 any-band
+    * recall. The recall gate (sim_ann_recall_tol) pins the measured-sf
+    * floors, where bits lands on 4 (2000 <= 2048) and candidates are
+    * unchanged. */
+  def lshBandBits(n: Long): Int = {
+    var b = 4
+    while (b < 16 && (128L << b) < n) b += 1
+    b
+  }
+
+  private def lshBandBitsSql(nSql: String): String = {
+    val ladder = (4 until 16)
+      .map(b => s"WHEN ($nSql) <= ${128L << b} THEN $b")
+      .mkString(" ")
+    s"(CASE $ladder ELSE 16 END)"
+  }
+
+  /** Band-b bucket at a driver-decided width. */
+  private def bandBucketCol(b: Int, bits: Int): Column =
+    (0 until bits).map { k =>
+      val plane = array(lcgPlane(bandPlane(b, k)).map(lit): _*)
+      when(GraftFunctions.array_dot(col("vd"), plane) >= 0, lit(1L << k))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SQL twin: 16 plane terms, each gated on its index being under the
+    * (scalar-subquery) bit count — bucketSqlAdaptive with the band's
+    * split plane-id mapping. */
+  private def bandBucketSqlAdaptive(b: Int, bitsSql: String): String =
+    (0 until 16).map { k =>
+      s"(CASE WHEN $k < $bitsSql AND ${planeSql(bandPlane(b, k))} >= 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def embeddingLshCandidates(s: SparkSession, d: String): DataFrame =
+    embeddingLshCandidatesOf(normed(s, d))
+
+  /** Candidate generation over any (vec_id, vd, nrm)-or-(vec_id,
+    * embedding) frame — the seam VectorIndexSpec's scale property test
+    * drives with synthetic corpora. */
+  def embeddingLshCandidatesOf(raw: DataFrame): DataFrame = {
+    val n =
+      if (raw.columns.contains("vd")) raw
+      else raw.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd"))
+        .withColumn("nrm", sqrt(GraftFunctions.array_dot(col("vd"), col("vd"))))
+    // corpus size -> band bits is a driver-side decision, like the IVF
+    // cell bits: one count() against the narrow scan before planning
+    val bits = lshBandBits(n.count())
+    val banded = BandPlane0.indices.foldLeft(n) { case (df, b) =>
+      df.withColumn(s"b$b", bandBucketCol(b, bits))
     }
     BandPlane0.indices.map { b =>
       banded.select(col("vec_id").as("a_id"), col(s"b$b").as("k"))
@@ -291,8 +354,8 @@ object VectorIndex {
       .select(col("a_id"), col("b_id"), col("sim"))
       .orderBy(col("a_id"), col("b_id"))
 
-  private val bandSqlCols = BandPlane0.zipWithIndex
-    .map { case (j0, b) => s"${bucketSql(j0, BandBits)} AS b$b" }
+  private def bandSqlColsAdaptive(bitsSql: String) = BandPlane0.indices
+    .map(b => s"${bandBucketSqlAdaptive(b, bitsSql)} AS b$b")
     .mkString(",\n    ")
 
   private val bandSqlUnions = BandPlane0.indices
@@ -309,12 +372,19 @@ object VectorIndex {
 
   val dedupEmbeddingLsh: Q = Q(
     "d_dedup_embedding_lsh",
+    // bits is CROSS-JOINED in as a one-row column, never a scalar
+    // subquery inside the per-plane terms: DuckDB inlines CTEs, and a
+    // `(SELECT bits FROM bitsv)` referenced from 96 gated plane terms
+    // re-executes the count per term per row (measured: minutes at
+    // sf0.001; the column form is instant)
     Some(s"""WITH n AS (
             |  $normedSql),
+            |bitsv AS (SELECT ${lshBandBitsSql("cnt")} AS bits
+            |  FROM (SELECT count(*) AS cnt FROM n)),
             |banded AS (
             |  SELECT vec_id, vd, nrm,
-            |    $bandSqlCols
-            |  FROM n),
+            |    ${bandSqlColsAdaptive("bits")}
+            |  FROM n CROSS JOIN bitsv),
             |cand AS (
             |  $bandSqlUnions),
             |${verifySql("cand")}""".stripMargin),

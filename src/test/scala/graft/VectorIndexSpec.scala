@@ -78,6 +78,41 @@ class VectorIndexSpec extends SparkSpec {
       "with sqrt(n) cells the candidate fraction must fall as n grows")
   }
 
+  test("adaptive band-bits ladder: exact integer boundaries, 4-bit floor") {
+    assert(VectorIndex.lshBandBits(1) === 4)
+    assert(VectorIndex.lshBandBits(500) === 4)
+    assert(VectorIndex.lshBandBits(2048) === 4) // sf0.1: the old fixed 4
+    assert(VectorIndex.lshBandBits(2049) === 5)
+    assert(VectorIndex.lshBandBits(4096) === 5)
+    assert(VectorIndex.lshBandBits(8192) === 6)
+    assert(VectorIndex.lshBandBits(20000) === 8) // synthetic sf1
+    assert(VectorIndex.lshBandBits(Long.MaxValue) === 16)
+  }
+
+  test("adaptive bands kill the quadratic: LSH candidate fraction falls as the corpus grows") {
+    // same synthetic sign-flip corpus as the IVF scale test; 1 vs 4
+    // copies crosses two ladder rungs (n=2000 -> 4 bits, n=8000 -> 6),
+    // so the bounded-occupancy rule must CUT the candidate fraction
+    // where fixed 4-bit bands would hold it constant
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sf("0.1"))
+    def corpus(copies: Int) = (0 until copies).map { k =>
+      base.select((col("vec_id") + lit(k * 100000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when((i + lit(k)) % 3 === 0, -x).otherwise(x)).as("embedding"))
+    }.reduce(_ union _)
+    def frac(copies: Int): Double = {
+      val n = copies * 2000L
+      val cand = VectorIndex.embeddingLshCandidatesOf(corpus(copies)).count()
+      cand.toDouble / (n.toDouble * (n - 1) / 2)
+    }
+    val f1 = frac(1)
+    val f2 = frac(4)
+    info(f"LSH candidate fraction: n=2000 -> $f1%.4f, n=8000 -> $f2%.4f")
+    assert(f2 < f1,
+      "with adaptive band bits the candidate fraction must fall as n grows")
+  }
+
   test("IVF ANN recall vs exact is monotone in nprobe (nested probe sets)") {
     def topk(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
