@@ -42,7 +42,8 @@ object ScaleTrend {
     "g_ppr", "t_cooccurrence", "d_split_leakage_guard",
     "t_pii_redact", "m_wav_decode",
     "st_tumbling_window", "x_asof_join_native", "x_merge_upsert",
-    "g_squares", "t_quality_filter", "st_enrich")
+    "g_squares", "t_quality_filter", "st_enrich",
+    "d_dup_span", "g_link_pred")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1298,6 +1298,47 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram rarity score — the log-free exact-integer stand-in for the
+    * LM-perplexity quality filter (CCNet scores docs with a wiki-trained
+    * LM; a unigram model is its order-0 form). The corpus itself is the
+    * model: token t has count C(t) out of mass M, a doc's score is the
+    * MEAN INVERSE UNIGRAM FREQUENCY mean(M div C(t)) — monotone in
+    * "how improbable are this doc's tokens under the corpus unigram
+    * model", without the engine-parity hazard of summing logs (exact
+    * BIGINT division only). High = rare-token-heavy (OOV-ish/garbled),
+    * low = stopword salad; both tails are the filter's business.
+    *
+    * Scale shape: one token explode, a map-side-combined count agg
+    * (vocabulary-sized result), an equi-join back on token, one per-doc
+    * agg — the d_dup_span plan at 1-gram granularity; the mass M rides
+    * a 1-row broadcast. */
+  val rarity: Q = Q(
+    "t_rarity",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |p AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY tok),
+            |m AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM c),
+            |s AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            |    CAST(sum(m.m // c.c) AS BIGINT) AS isum
+            |  FROM p JOIN c USING (tok) CROSS JOIN m GROUP BY p.doc_id)
+            |SELECT doc_id, n_tokens, isum // n_tokens AS rarity
+            |FROM s ORDER BY doc_id""".stripMargin),
+    (s, d) => rarityOf(Tables.documents(s, d)))
+
+  /** t_rarity over any (doc_id, text) frame — the toy-corpus seam. */
+  def rarityOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+    val p = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val c = p.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val m = c.agg(sum(col("c")).as("m"))
+    p.join(c, "tok").crossJoin(broadcast(m))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(expr("m div c")).as("isum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("isum div n_tokens").as("rarity"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic: argmax of marker-stopword hits (en/de/es). */
   val langId: Q = Q(
     "t_lang_id",
@@ -1736,7 +1777,7 @@ object PipelineQueries {
     pipelineE2e,
     annTopk, annLsh, annMultiprobe,
     tokenCount, tokenBpe, heavyHitters, chunking, packSequences,
-    fingerprint, quality, langId, tfidfTopTerms, vocabStats, repetition,
-    cooccurrence,
+    fingerprint, quality, langId, rarity, tfidfTopTerms, vocabStats,
+    repetition, cooccurrence,
     decontaminate, dupSpan, qualityFilter)
 }

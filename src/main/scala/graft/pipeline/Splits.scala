@@ -129,5 +129,58 @@ object Splits {
         .select(col("doc_id"), col("source"), col("rnk"))
         .orderBy(col("doc_id")))
 
-  val all: Seq[Q] = Seq(hashSplitQ, stratifiedSampleQ, domainMixQ)
+  /** Integer-epoch domain upsampling — the other half of mixture
+    * control: d_domain_mix DOWNsamples every source to a shared budget;
+    * this UPsamples scarce sources by whole-corpus repetition, the
+    * "epochs per source" lever of data-constrained pretraining
+    * (repeating a small high-quality source up to ~4 epochs is
+    * near-free in loss terms — Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models", arXiv:2305.16264 — while
+    * unbounded repetition is not, hence the cap). epochs(source) =
+    * min(maxEpochs, T div n_source) with T the LARGEST source's size:
+    * every doc of a source appears exactly epochs times, tagged with
+    * its copy index. Exact integer arithmetic end-to-end; fractional
+    * remainders are deliberately NOT emitted — a partial epoch is a
+    * SELECTION problem, solved by composing d_domain_mix's
+    * rank-in-hash-order rule over the last copy.
+    *
+    * Scale shape: per-source counts are a map-side-combined agg into a
+    * few-row broadcast; the corpus side is a broadcast join + sequence
+    * explode — ZERO corpus shuffles, output is writer-ready in source
+    * order. */
+  def domainUpsample(df: DataFrame, key: String, domain: String,
+      maxEpochs: Int = 4): DataFrame = {
+    val counts = df.groupBy(col(domain)).agg(count(lit(1)).as("n_domain"))
+    val target = counts.agg(max(col("n_domain")).as("t"))
+    val epochs = counts.crossJoin(broadcast(target))
+      .select(col(domain),
+        least(lit(maxEpochs.toLong), expr("t div n_domain")).as("n_epochs"))
+    df.join(broadcast(epochs), domain)
+      .select(col(key), col(domain), col("n_epochs"),
+        explode(sequence(lit(0L), col("n_epochs") - 1L)).as("copy"))
+  }
+
+  val domainUpsampleQ: Q = Q(
+    "d_domain_upsample",
+    // keyed by lang, not source: the testdata's sources are perfectly
+    // balanced (epochs would be identically 1 — a no-op oracle), while
+    // lang is ~3:1 skewed (en dominates), so the registered query
+    // exercises real 2-4x upsampling at every sf
+    Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_domain
+           |  FROM documents GROUP BY lang),
+           |t AS (SELECT max(n_domain) AS t FROM c),
+           |e AS (SELECT lang, least(4, t // n_domain) AS n_epochs FROM c, t),
+           |u AS (SELECT d.doc_id, d.lang, e.n_epochs,
+           |    unnest(generate_series(0, e.n_epochs - 1)) AS copy
+           |  FROM documents d JOIN e ON d.lang = e.lang)
+           |SELECT doc_id, lang, CAST(n_epochs AS BIGINT) AS n_epochs,
+           |  CAST(copy AS BIGINT) AS copy
+           |FROM u ORDER BY doc_id, copy""".stripMargin),
+    (s, d) =>
+      domainUpsample(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang")
+        .orderBy(col("doc_id"), col("copy")))
+
+  val all: Seq[Q] = Seq(hashSplitQ, stratifiedSampleQ, domainMixQ,
+    domainUpsampleQ)
 }

@@ -84,4 +84,44 @@ class SplitsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     for ((id, b) <- sub) assert(full(id) === b)
   }
+
+  test("domain upsampling: integer epochs hit min(cap, T div n) exactly") {
+    import spark.implicits._
+    // domains: a=8 (largest, 1 epoch), b=4 (8//4=2), c=2 (8//2=4),
+    // d=1 (8//1=8 -> capped at 4)
+    val df = ((1 to 8).map(i => (i.toLong, "a")) ++
+      (101 to 104).map(i => (i.toLong, "b")) ++
+      (201 to 202).map(i => (i.toLong, "c")) ++
+      Seq((301L, "d"))).toDF("doc_id", "source")
+    val up = Splits.domainUpsample(df, "doc_id", "source")
+    val per = up.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per === Map("a" -> 8L, "b" -> 8L, "c" -> 8L, "d" -> 4L))
+    // copy indices are exactly 0..n_epochs-1, no gaps, no dups
+    val copies = up.filter(col("doc_id") === 201L)
+      .select("copy").collect().map(_.getLong(0)).toSet
+    assert(copies === Set(0L, 1L, 2L, 3L))
+    // deterministic under layout changes
+    val a = up.select("doc_id", "copy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Splits.domainUpsample(df.repartition(7), "doc_id", "source")
+      .select("doc_id", "copy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
+  test("rarity: mean inverse unigram frequency, exact integer") {
+    import spark.implicits._
+    // corpus: C(x)=6, C(y)=1, M=7; doc0 = avg of five (7 div 6)=1 -> 1;
+    // doc1 = (7 div 6 + 7 div 1) div 2 = (1+7) div 2 = 4
+    val docs = Seq((0L, "x x x x x"), (1L, "x y")).toDF("doc_id", "text")
+    val rows = graft.pipeline.PipelineQueries.rarityOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(0L) === ((5L, 1L)))
+    assert(rows(1L) === ((2L, 4L)))
+    // real corpus: one row per doc, rarity >= 1 (M div C >= 1 always)
+    val real = graft.pipeline.PipelineQueries.rarity.run(spark, sf())
+    assert(real.count() === Tables.documents(spark, sf()).count())
+    assert(real.filter(col("rarity") < 1).count() === 0L)
+  }
 }
