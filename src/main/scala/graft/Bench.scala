@@ -39,6 +39,10 @@ object Bench {
       graft.pipeline.PipelineQueries.releaseShared(spark)
       graft.analytics.CheckpointRegistry.releaseAll(spark)
     } catch { case _: Throwable => () }
+    // ... and the k-means pyramid (QProfile: 7.9s cold / 2.3s warm at
+    // sf0.1 — the delta is codegen of the Lloyd-pass generated classes)
+    try graft.pipeline.SemanticCluster.clusters(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
     // deterministic name order: stable per-query numbers across rounds
     val base = SparkEntry.queries.toSeq.sortBy(_._1)
     // The dedup family's shared cache build is timed as its own entry

@@ -71,7 +71,9 @@ object Explain {
       "t_cooccurrence" -> "map-only pair generation, TakeOrdered top-50, no token self-join",
       "d_split_leakage_guard" -> "survivors map left-joined, narrow md5 bucket assignment",
       "d_dup_span" -> "gram-keyed dup aggregation + join-back, no doc self-join",
-      "g_link_pred" -> "hub-capped wedge join, left_anti adjacency, TakeOrdered top-50")
+      "g_link_pred" -> "hub-capped wedge join, left_anti adjacency, TakeOrdered top-50",
+      "d_cluster_kmeans" -> "Lloyd passes: broadcast centroids + map-side-combined argmin, k-key update shuffle",
+      "d_dedup_semantic" -> "within-cluster self-join + candidate-scoped cosine verify")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -34,13 +34,13 @@ object VectorIndex {
 
   /** Normalized view shared by every query here: vec_id, vd (doubles),
     * nrm. Kept inline (not cached) — each query is one scan. */
-  private def normed(s: SparkSession, d: String): DataFrame =
+  private[pipeline] def normed(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vd"))
       .withColumn("nrm", sqrt(GraftFunctions.array_dot(col("vd"), col("vd"))))
 
-  private val normedSql =
+  private[pipeline] val normedSql =
     """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
       |  FROM embeddings""".stripMargin
@@ -256,7 +256,7 @@ object VectorIndex {
     * construction); only recall is approximate. At production near-dup
     * thresholds (cosine >= 0.9) hyperplane collision probabilities rise
     * to 1-θ/π ≈ 0.86/plane and both paths approach full recall. */
-  private val CosThreshold = 0.45
+  private[pipeline] val CosThreshold = 0.45
 
   /** Classic banded hyperplane LSH: 6 independent sign bands; a pair is
     * a candidate if it collides in ANY band — minhash-LSH banding,
@@ -344,7 +344,7 @@ object VectorIndex {
   }
 
   /** Exact-cosine verify scoped to candidate pairs — never all-pairs. */
-  private def cosineVerify(cand: DataFrame, n: DataFrame): DataFrame =
+  private[pipeline] def cosineVerify(cand: DataFrame, n: DataFrame): DataFrame =
     cand
       .join(n.select(col("vec_id").as("a_id"), col("vd").as("va"), col("nrm").as("na")), "a_id")
       .join(n.select(col("vec_id").as("b_id"), col("vd").as("vb"), col("nrm").as("nb")), "b_id")
@@ -362,7 +362,7 @@ object VectorIndex {
     .map(b => s"SELECT a.vec_id AS a_id, c.vec_id AS b_id FROM banded a JOIN banded c ON a.b$b = c.b$b AND a.vec_id < c.vec_id")
     .mkString("\n  UNION\n  ")
 
-  private def verifySql(candCte: String) =
+  private[pipeline] def verifySql(candCte: String) =
     s"""v AS (
        |  SELECT cand.a_id, cand.b_id,
        |    round(${dotSql("a", "b")} / (a.nrm*b.nrm), 6) AS sim
@@ -434,7 +434,7 @@ object VectorIndex {
     b
   }
 
-  private def dedupCellBitsSql(nSql: String): String = {
+  private[pipeline] def dedupCellBitsSql(nSql: String): String = {
     val ladder = (2 until 16)
       .map(b => s"WHEN ($nSql) <= ${1L << (2 * b)} THEN $b")
       .mkString(" ")

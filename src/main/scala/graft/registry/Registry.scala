@@ -40,6 +40,7 @@ object Registry {
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Pii.all ++
       graft.pipeline.Quantize.all ++
+      graft.pipeline.SemanticCluster.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 
