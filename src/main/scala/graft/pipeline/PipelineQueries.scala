@@ -1339,6 +1339,72 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style importance score (Xie et al. 2023, arXiv:2302.03169):
+    * score each doc by how much its unigram distribution looks like a
+    * TARGET domain relative to the raw corpus — the data-selection
+    * signal used to pick pretraining data that matches a downstream
+    * distribution. Target here = the `lang = 'en'` slice (the
+    * highest-resource stand-in the synthetic corpus offers; any
+    * predicate works). Token weight is the exact-integer ppm form of
+    * the importance ratio p_target(t)/p_raw(t):
+    *
+    *   rho    = (Traw * 1e6) div Ttarget          (corpus-level, 1 row)
+    *   w(t)   = ((ct * 1e6 div cr) * rho) div 1e6
+    *   dsir   = sum(w(token)) div n_tokens        (per doc)
+    *
+    * The division ORDER is overflow-aware for 100-TB counts: ct*1e6
+    * stays under 2^63 for ct up to ~9e12 tokens, the inner quotient is
+    * <= 1e6 (ct <= cr), and rho is corpus-level — never a
+    * ct*Traw-style product of two corpus-sized numbers. Shared tokens
+    * weigh ~1e6, target-only tokens ~rho (> 1e6), never-in-target
+    * tokens 0 — so target-like docs score above 1e6 and off-target
+    * docs below (SplitsSpec asserts the per-lang ordering).
+    *
+    * Scale shape: t_rarity's plan with one extra filtered count — one
+    * explode, one map-side-combined vocab agg carrying (cr, ct), the
+    * 1-row rho broadcast, an equi-join back on token, one per-doc agg. */
+  val dsirScore: Q = Q(
+    "d_dsir_score",
+    Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+            |p AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t),
+            |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cr,
+            |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+            |  FROM p GROUP BY tok),
+            |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS traw,
+            |    CAST(sum(ct) AS BIGINT) AS ttgt FROM c),
+            |rho AS (SELECT CASE WHEN ttgt = 0 THEN 0
+            |    ELSE (traw * 1000000) // ttgt END AS rho FROM tot),
+            |w AS (SELECT tok,
+            |    CAST(((ct * 1000000 // cr) * rho) // 1000000 AS BIGINT) AS w
+            |  FROM c CROSS JOIN rho),
+            |s AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            |    CAST(sum(w.w) AS BIGINT) AS wsum
+            |  FROM p JOIN w USING (tok) GROUP BY p.doc_id)
+            |SELECT doc_id, n_tokens, wsum // n_tokens AS dsir
+            |FROM s ORDER BY doc_id""".stripMargin),
+    (s, d) => dsirOf(Tables.documents(s, d)))
+
+  /** d_dsir_score over any (doc_id, text, lang) frame. */
+  def dsirOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"), toks(col("text")).as("toks"))
+    val p = t.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+    val c = p.groupBy(col("tok")).agg(
+      count(lit(1)).as("cr"),
+      count_if(col("lang") === "en").as("ct"))
+    val tot = c.agg(sum(col("cr")).as("traw"), sum(col("ct")).as("ttgt"))
+    val rho = tot.select(expr(
+      "CASE WHEN ttgt = 0 THEN 0L ELSE (traw * 1000000L) div ttgt END").as("rho"))
+    val w = c.crossJoin(broadcast(rho))
+      .select(col("tok"),
+        expr("((ct * 1000000L div cr) * rho) div 1000000L").as("w"))
+    p.join(w, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("wsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("wsum div n_tokens").as("dsir"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic: argmax of marker-stopword hits (en/de/es). */
   val langId: Q = Q(
     "t_lang_id",
@@ -1777,7 +1843,7 @@ object PipelineQueries {
     pipelineE2e,
     annTopk, annLsh, annMultiprobe,
     tokenCount, tokenBpe, heavyHitters, chunking, packSequences,
-    fingerprint, quality, langId, rarity, tfidfTopTerms, vocabStats,
+    fingerprint, quality, langId, rarity, dsirScore, tfidfTopTerms, vocabStats,
     repetition, cooccurrence,
     decontaminate, dupSpan, qualityFilter)
 }

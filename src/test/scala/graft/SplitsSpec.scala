@@ -124,4 +124,29 @@ class SplitsSpec extends SparkSpec {
     assert(real.count() === Tables.documents(spark, sf()).count())
     assert(real.filter(col("rarity") < 1).count() === 0L)
   }
+
+  test("dsir: exact hand-computed weights on a disjoint-vocab toy") {
+    import spark.implicits._
+    // cr(aa)=2 ct(aa)=2; cr(bb)=2 ct(bb)=0; Traw=4 Ttgt=2 -> rho=2e6
+    // w(aa) = ((2*1e6 div 2) * 2e6) div 1e6 = 2e6; w(bb)=0
+    val docs = Seq(
+      (0L, "aa aa", "en"), (1L, "bb bb", "zh")).toDF("doc_id", "text", "lang")
+    val rows = graft.pipeline.PipelineQueries.dsirOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(0L) === ((2L, 2000000L)))
+    assert(rows(1L) === ((2L, 0L)))
+  }
+
+  test("dsir: target-language docs outrank every other language's mean") {
+    val d = graft.pipeline.PipelineQueries.dsirScore.run(spark, sf())
+      .join(Tables.documents(spark, sf()).select("doc_id", "lang"), "doc_id")
+    val means = d.groupBy(col("lang")).agg(avg(col("dsir")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    means.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(means("en") > m, s"en ${means("en")} !> $l $m")
+    }
+    // every doc scored, none negative
+    assert(d.count() === Tables.documents(spark, sf()).count())
+    assert(d.filter(col("dsir") < 0).count() === 0L)
+  }
 }
