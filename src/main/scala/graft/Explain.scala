@@ -73,7 +73,9 @@ object Explain {
       "d_dup_span" -> "gram-keyed dup aggregation + join-back, no doc self-join",
       "g_link_pred" -> "hub-capped wedge join, left_anti adjacency, TakeOrdered top-50",
       "d_cluster_kmeans" -> "Lloyd passes: broadcast centroids + map-side-combined argmin, k-key update shuffle",
-      "d_dedup_semantic" -> "within-cluster self-join + candidate-scoped cosine verify")
+      "d_dedup_semantic" -> "within-cluster self-join + candidate-scoped cosine verify",
+      "d_dsir_score" -> "one explode, map-side vocab agg, 1-row rho broadcast, token equi-join back",
+      "g_mis" -> "Luby round: co-partitioned neighbor-min agg + winner filter + anti/semi shrink")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -27,6 +27,7 @@ object Registry {
       graft.analytics.Hits.all ++
       graft.analytics.ShortestPaths.all ++
       graft.analytics.KCore.all ++
+      graft.analytics.Mis.all ++
       graft.analytics.LabelPropagation.all ++
       graft.operators.Cdc.all ++
       graft.operators.BloomPrune.all ++
