@@ -75,7 +75,10 @@ object Explain {
       "d_cluster_kmeans" -> "Lloyd passes: broadcast centroids + map-side-combined argmin, k-key update shuffle",
       "d_dedup_semantic" -> "within-cluster self-join + candidate-scoped cosine verify",
       "d_dsir_score" -> "one explode, map-side vocab agg, 1-row rho broadcast, token equi-join back",
-      "g_mis" -> "Luby round: co-partitioned neighbor-min agg + winner filter + anti/semi shrink")
+      "g_mis" -> "Luby round: co-partitioned neighbor-min agg + winner filter + anti/semi shrink",
+      "x_funnel" -> "chained filtered min-aggs, all user_id-keyed, no window/sort",
+      "x_cohort_retention" -> "(user,day) distinct + per-user min + co-keyed join, tiny output",
+      "t_gini" -> "explode + two map-side-combinable aggs, no joins")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -43,7 +43,8 @@ object ScaleTrend {
     "t_pii_redact", "m_wav_decode",
     "st_tumbling_window", "x_asof_join_native", "x_merge_upsert",
     "g_squares", "t_quality_filter", "st_enrich",
-    "d_dup_span", "g_link_pred")
+    "d_dup_span", "g_link_pred",
+    "d_cluster_kmeans", "d_dedup_semantic", "d_dsir_score", "g_mis")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1339,6 +1339,46 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-doc token-concentration (Gini/Simpson) signal: the log-free
+    * exact-integer twin of vocabulary entropy. gini_ppm =
+    * 1e6 - (1e6 * sum(c_t^2)) div n^2 — 0 for a one-token-repeated doc,
+    * approaching 1e6 for all-distinct tokens; the complement of the
+    * Simpson index, a repetition/diversity filter signal that needs no
+    * logarithm (entropy's log is an engine-parity hazard). Overflow
+    * bound: 1e6 * n^2 stays under 2^63 for docs up to ~3e6 tokens —
+    * far above any chunked-corpus doc.
+    *
+    * Scale shape: explode -> (doc, token) count -> per-doc agg, both
+    * aggregations map-side combinable; no joins at all. */
+  val gini: Q = Q(
+    "t_gini",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |p AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+            |  FROM p GROUP BY doc_id, tok),
+            |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+            |    CAST(count(*) AS BIGINT) AS n_distinct,
+            |    CAST(sum(c * c) AS BIGINT) AS ss
+            |  FROM c GROUP BY doc_id)
+            |SELECT doc_id, n_tokens, n_distinct,
+            |  1000000 - (1000000 * ss) // (n_tokens * n_tokens) AS gini_ppm
+            |FROM g ORDER BY doc_id""".stripMargin),
+    (s, d) => giniOf(Tables.documents(s, d)))
+
+  /** t_gini over any (doc_id, text) frame. */
+  def giniOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+    val p = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val c = p.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    c.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("1000000L - (1000000L * ss) div (n_tokens * n_tokens)")
+          .as("gini_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR-style importance score (Xie et al. 2023, arXiv:2302.03169):
     * score each doc by how much its unigram distribution looks like a
     * TARGET domain relative to the raw corpus — the data-selection
@@ -1843,7 +1883,8 @@ object PipelineQueries {
     pipelineE2e,
     annTopk, annLsh, annMultiprobe,
     tokenCount, tokenBpe, heavyHitters, chunking, packSequences,
-    fingerprint, quality, langId, rarity, dsirScore, tfidfTopTerms, vocabStats,
+    fingerprint, quality, langId, rarity, dsirScore, gini, tfidfTopTerms,
+    vocabStats,
     repetition, cooccurrence,
     decontaminate, dupSpan, qualityFilter)
 }

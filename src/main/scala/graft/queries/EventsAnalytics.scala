@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.registry.Q
+
+/** Event-sequence analytics over the events table: ordered-stage funnel
+  * and first-seen cohort retention — the two classic product-analytics
+  * operators (ClickHouse windowFunnel / retention shape), expressed as
+  * keyed aggregations and co-partitioned joins so every shuffle is on
+  * user_id and no per-user event window is ever sorted globally.
+  *
+  * Both outputs are BIGINT-only (stage numbers, day numbers, counts) —
+  * no timestamp or DATE column leaves the query, per the established
+  * engine-parity discipline (timestamps only feed internal MIN/compare
+  * steps, where micros agree bit-for-bit).
+  */
+object EventsAnalytics {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+
+  /** Ordered funnel view -> click -> purchase with STRICTLY-AFTER
+    * semantics: stage n+1 counts only if its earliest qualifying event
+    * is strictly after the user's stage-n completion time (a click
+    * logged before the first view is not a funnel click). stage =
+    * furthest reached, 0 for users with no view at all.
+    *
+    * Scale shape: three filtered min-aggregations chained by inner
+    * joins plus three left joins — every one keyed on user_id, so the
+    * whole funnel is one co-partitioned lineage with map-side-combined
+    * mins and no window/sort. */
+  val funnelQ: Q = Q(
+    "x_funnel",
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+           |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           |  JOIN s1 ON e.user_id = s1.user_id
+           |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           |  JOIN s2 ON e.user_id = s2.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+           |SELECT u.user_id,
+           |  CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+           |            WHEN s2.user_id IS NOT NULL THEN 2
+           |            WHEN s1.user_id IS NOT NULL THEN 1
+           |            ELSE 0 END AS BIGINT) AS stage
+           |FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+           |  LEFT JOIN s2 ON u.user_id = s2.user_id
+           |  LEFT JOIN s3 ON u.user_id = s3.user_id
+           |ORDER BY u.user_id""".stripMargin),
+    (s, d) => funnelOf(ev(s, d)))
+
+  /** x_funnel over any (user_id, event_type, ts) frame. */
+  def funnelOf(e: DataFrame): DataFrame = {
+    val users = e.select(col("user_id")).distinct()
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    users
+      .join(s1.select(col("user_id"), col("t1")), Seq("user_id"), "left")
+      .join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** First-seen cohort retention: cohort = a user's first active day
+    * (day number from the corpus epoch 2024-01-01 — BIGINT, never a
+    * DATE output), k = days since cohort, users = how many of that
+    * cohort were active on day cohort+k, horizon k <= 13. The
+    * (user, day) activity set is deduped FIRST, so the final count is
+    * a plain count, not a countDistinct.
+    *
+    * Scale shape: one distinct on (user, day), a per-user min, a
+    * co-partitioned join back, one small aggregation — cohort output
+    * is days x horizon, tiny at any corpus size. */
+  val cohortQ: Q = Q(
+    "x_cohort_retention",
+    Some("""WITH act AS (
+           |  SELECT DISTINCT user_id,
+           |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+           |  FROM events),
+           |coh AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id)
+           |SELECT coh.cohort, act.day - coh.cohort AS k,
+           |  CAST(count(*) AS BIGINT) AS users
+           |FROM act JOIN coh ON act.user_id = coh.user_id
+           |WHERE act.day - coh.cohort <= 13
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => cohortOf(ev(s, d)))
+
+  /** x_cohort_retention over any (user_id, ts) frame. */
+  def cohortOf(e: DataFrame): DataFrame = {
+    val act = e.select(col("user_id"),
+      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+        .cast(LongType).as("day")).distinct()
+    val coh = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    act.join(coh, "user_id")
+      .withColumn("k", col("day") - col("cohort"))
+      .filter(col("k") <= 13)
+      .groupBy(col("cohort"), col("k"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("cohort"), col("k"))
+  }
+
+  val all: Seq[Q] = Seq(funnelQ, cohortQ)
+}

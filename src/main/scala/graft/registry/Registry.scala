@@ -22,6 +22,7 @@ object Registry {
       graft.queries.Extended.all ++
       graft.queries.Extended2.all ++
       graft.queries.Typed.all ++
+      graft.queries.EventsAnalytics.all ++
       graft.analytics.GraphQueries.all ++
       graft.analytics.PageRank.all ++
       graft.analytics.Hits.all ++
