@@ -78,7 +78,9 @@ object Explain {
       "g_mis" -> "Luby round: co-partitioned neighbor-min agg + winner filter + anti/semi shrink",
       "x_funnel" -> "chained filtered min-aggs, all user_id-keyed, no window/sort",
       "x_cohort_retention" -> "(user,day) distinct + per-user min + co-keyed join, tiny output",
-      "t_gini" -> "explode + two map-side-combinable aggs, no joins")
+      "t_gini" -> "explode + two map-side-combinable aggs, no joins",
+      "t_bigram_lm" -> "map-only pair gen, vocab agg + derived normalizer, token equi-join back",
+      "x_incr_join" -> "four quadrant joins on custkey — delta algebra, no history rejoin")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -82,5 +82,57 @@ object Incremental {
       readout(folded, "o_orderpriority").orderBy(col("o_orderpriority"))
     })
 
-  val all: Seq[Q] = Seq(incrAggQ)
+  /** Incremental JOIN-view maintenance — the delta algebra of a
+    * materialized join: with base snapshots (Ab, Bb) and arriving
+    * deltas (Ad, Bd),
+    *
+    *   (Ab ∪ Ad) ⋈ (Bb ∪ Bd)
+    *     = (Ab ⋈ Bb) ∪ (Ad ⋈ Bb) ∪ (Ab ⋈ Bd) ∪ (Ad ⋈ Bd)
+    *
+    * so a refresh touches only the three delta quadrants — O(|delta| +
+    * |delta ⋈ view|), never a rejoin of history (the join twin of
+    * x_incr_agg's partial-state fold). The registered query
+    * materializes all four quadrants WITH their provenance tag, and the
+    * oracle recomputes the single full join deriving each row's
+    * quadrant from the split predicates — any row lost, duplicated, or
+    * misrouted by the delta algebra hash-fails.
+    *
+    * Splits: orders by order date (< 1997 = base), customer by
+    * c_custkey % 10 (nonzero = base) — both sides have base AND delta,
+    * exercising all four quadrants. Each quadrant join is keyed on
+    * custkey; o_orderkey is unique and each order matches exactly one
+    * customer, so ORDER BY o_orderkey is a total order. */
+  val incrJoinQ: Q = Q(
+    "x_incr_join",
+    Some("""SELECT o.o_orderkey, c.c_custkey,
+           |  CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+           |  CASE WHEN CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+           |    THEN (CASE WHEN c.c_custkey % 10 <> 0 THEN 'base-base' ELSE 'base-delta' END)
+           |    ELSE (CASE WHEN c.c_custkey % 10 <> 0 THEN 'delta-base' ELSE 'delta-delta' END)
+           |  END AS part
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |ORDER BY o.o_orderkey""".stripMargin),
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("odate"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val cut = lit("1997-01-01").cast("date")
+      val ab = o.filter(col("odate") < cut)
+      val ad = o.filter(col("odate") >= cut)
+      val bb = c.filter(col("c_custkey") % 10 =!= 0)
+      val bd = c.filter(col("c_custkey") % 10 === 0)
+      def quad(a: DataFrame, b: DataFrame, tag: String): DataFrame =
+        a.join(b, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_custkey"),
+            col("c_nationkey").cast(LongType).as("c_nationkey"),
+            lit(tag).as("part"))
+      quad(ab, bb, "base-base")
+        .unionByName(quad(ad, bb, "delta-base"))
+        .unionByName(quad(ab, bd, "base-delta"))
+        .unionByName(quad(ad, bd, "delta-delta"))
+        .orderBy(col("o_orderkey"))
+    })
+
+  val all: Seq[Q] = Seq(incrAggQ, incrJoinQ)
 }

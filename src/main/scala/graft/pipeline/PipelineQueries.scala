@@ -1379,6 +1379,77 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM fluency score — the order-1 conditional upgrade of
+    * t_rarity's order-0 model (the CCNet/KenLM "does this read like the
+    * corpus" filter, log-free): for each adjacent token pair (a, b),
+    * P(b | a) in exact-integer ppm = (c2(a,b) * 1e6) div c1(a), where
+    * c1(a) counts pairs STARTING with a (the proper conditional
+    * normalizer, not a's token count); doc score = mean over its pairs.
+    * High = pairs common given their left token (fluent under the
+    * corpus bigram model), low = improbable transitions (shuffled or
+    * garbled text scores low even when every unigram is common — the
+    * signal rarity cannot see). Docs with < 2 tokens report 0 pairs,
+    * score 0. Overflow: c2 * 1e6 needs c2 < 9.2e12 — a single repeated
+    * bigram at ~1e13 occurrences, far beyond any real corpus pair.
+    *
+    * Scale shape: map-only pair generation per row (indexed transform,
+    * no token self-join), one vocab-sized pair-count agg, a small
+    * left-token agg derived FROM the pair counts (never a second pass
+    * over the corpus), an equi-join back, one per-doc agg. */
+  val bigramLm: Q = Q(
+    "t_bigram_lm",
+    // pair identity = 'a b' (injective: whitespace-split tokens contain
+    // no space); split_part recovers the left token for the conditional
+    // normalizer. generate_series(1, 0) is the empty list, so 1-token
+    // docs yield no pairs.
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |p AS (SELECT doc_id, unnest(list_transform(
+            |    generate_series(1, len(toks) - 1),
+            |    i -> toks[i] || ' ' || toks[i + 1])) AS pr FROM t),
+            |c2 AS (SELECT pr, CAST(count(*) AS BIGINT) AS c2
+            |  FROM p GROUP BY pr),
+            |c1 AS (SELECT split_part(pr, ' ', 1) AS a,
+            |    CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+            |w AS (SELECT c2.pr, (c2.c2 * 1000000) // c1.c1 AS w
+            |  FROM c2 JOIN c1 ON split_part(c2.pr, ' ', 1) = c1.a),
+            |s AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+            |    CAST(sum(w.w) AS BIGINT) AS wsum
+            |  FROM p JOIN w ON p.pr = w.pr GROUP BY p.doc_id)
+            |SELECT d.doc_id,
+            |  coalesce(s.n_pairs, 0) AS n_pairs,
+            |  CAST(coalesce(s.wsum // s.n_pairs, 0) AS BIGINT) AS fluency
+            |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+            |ORDER BY d.doc_id""".stripMargin),
+    (s, d) => bigramLmOf(Tables.documents(s, d)))
+
+  /** t_bigram_lm over any (doc_id, text) frame. */
+  def bigramLmOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+    // indexed transform: pair i = (toks[i-1], toks[i]) — map-only. The
+    // filter (not sequence(1, n-1)) makes single-token docs yield zero
+    // pairs: Spark's sequence DESCENDS when start > stop, so the n=1
+    // case would otherwise fabricate null pairs
+    val p = t
+      .select(col("doc_id"), explode(expr(
+        "transform(filter(sequence(1, size(toks)), i -> i < size(toks)), " +
+          "i -> struct(toks[i - 1] AS a, toks[i] AS b))"))
+        .as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+    val c2 = p.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+    val w = c2.join(c1, "a")
+      .select(col("a"), col("b"), expr("(c2 * 1000000L) div c1").as("w"))
+    val s0 = p.join(w, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("w")).as("wsum"))
+    docs.select(col("doc_id"))
+      .join(s0, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(expr("wsum div n_pairs"), lit(0L)).as("fluency"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR-style importance score (Xie et al. 2023, arXiv:2302.03169):
     * score each doc by how much its unigram distribution looks like a
     * TARGET domain relative to the raw corpus — the data-selection
@@ -1883,8 +1954,8 @@ object PipelineQueries {
     pipelineE2e,
     annTopk, annLsh, annMultiprobe,
     tokenCount, tokenBpe, heavyHitters, chunking, packSequences,
-    fingerprint, quality, langId, rarity, dsirScore, gini, tfidfTopTerms,
-    vocabStats,
+    fingerprint, quality, langId, rarity, dsirScore, gini, bigramLm,
+    tfidfTopTerms, vocabStats,
     repetition, cooccurrence,
     decontaminate, dupSpan, qualityFilter)
 }

