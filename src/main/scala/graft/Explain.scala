@@ -80,7 +80,9 @@ object Explain {
       "x_cohort_retention" -> "(user,day) distinct + per-user min + co-keyed join, tiny output",
       "t_gini" -> "explode + two map-side-combinable aggs, no joins",
       "t_bigram_lm" -> "map-only pair gen, vocab agg + derived normalizer, token equi-join back",
-      "x_incr_join" -> "four quadrant joins on custkey — delta algebra, no history rejoin")
+      "x_incr_join" -> "four quadrant joins on custkey — delta algebra, no history rejoin",
+      "x_fuzzy_match" -> "distinct-name canonicalization + head-noun block + candidate-only levenshtein",
+      "st_stream_stream_join_outer" -> "left interval join stays sort-merge on user_id, -1 for unmatched")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -34,6 +34,7 @@ object Registry {
       graft.operators.BloomPrune.all ++
       graft.sources.ZOrderStore.all ++
       graft.operators.Incremental.all ++
+      graft.operators.FuzzyMatch.all ++
       graft.operators.Resample.all ++
       graft.operators.RangeJoin.all ++
       graft.operators.DataQuality.all ++

@@ -139,6 +139,34 @@ object StreamingQueries {
         .orderBy(col("sid"), col("bid"))
     })
 
+  /** Batch equivalent of the LEFT OUTER stream-stream interval join
+    * (Streams.intervalJoinLeftPairs): signups with no same-user event
+    * in the following hour surface as (sid, -1) — the rows the
+    * streaming form emits at watermark expiry. Unmatched ids use -1,
+    * never NULL (no NULL-bearing numeric output). */
+  val streamStreamJoinOuter: Q = Q(
+    "st_stream_stream_join_outer",
+    Some("""SELECT a.event_id AS sid,
+           |  CAST(coalesce(b.event_id, -1) AS BIGINT) AS bid
+           |FROM events a LEFT JOIN events b
+           |  ON a.user_id = b.user_id
+           |  AND epoch_us(b.ts) > epoch_us(a.ts)
+           |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+           |WHERE a.event_type = 'signup'
+           |ORDER BY sid, bid""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sid"), col("user_id"), col("ts").as("ats"))
+      val b = ev.select(col("user_id").as("uid2"), col("ts").as("bts"),
+        col("event_id").as("bid"))
+      a.join(b, col("user_id") === col("uid2")
+          && col("bts") > col("ats")
+          && col("bts") <= col("ats") + expr("interval 1 hour"), "left")
+        .select(col("sid"), coalesce(col("bid"), lit(-1L)).as("bid"))
+        .orderBy(col("sid"), col("bid"))
+    })
+
   /** Deterministic dedup survivorship over (user_id, event_type, minute):
     * the batch twin of `Streams.dedupEvents`'s
     * dropDuplicatesWithinWatermark. Streaming keeps the FIRST ARRIVAL per
@@ -178,5 +206,5 @@ object StreamingQueries {
         .orderBy(col("event_id")))
 
   val all: Seq[Q] = Seq(tumbling, sliding, sessionize, sessionWindow,
-    streamStreamJoin, dedup, enrich)
+    streamStreamJoin, streamStreamJoinOuter, dedup, enrich)
 }

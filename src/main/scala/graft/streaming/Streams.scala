@@ -104,6 +104,28 @@ object Streams {
       .select(col("sid"), col("bid"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the state-expiry-emits-
+    * null contract on top of [[intervalJoinPairs]]: a signup with no
+    * same-user event in its hour emits (sid, -1) ONCE THE JOIN
+    * WATERMARK (the min of both sides' watermarks) passes the end of
+    * its match window — the only moment the runtime can prove no match
+    * is still possible. Until then the row is held in state, which the
+    * two-sided time bound keeps finite. Unmatched rows surface as -1,
+    * not NULL, mirroring the engine-wide no-NULL-numeric-output rule of
+    * the registered batch twin. */
+  def intervalJoinLeftPairs(events: DataFrame): DataFrame = {
+    val a = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("sid"), col("user_id"), col("ts").as("ats"))
+      .withWatermark("ats", "2 hours")
+    val b = events
+      .select(col("user_id").as("uid2"), col("ts").as("bts"), col("event_id").as("bid"))
+      .withWatermark("bts", "2 hours")
+    a.join(b,
+      expr("user_id = uid2 AND bts > ats AND bts <= ats + interval 1 hour"),
+      "leftOuter")
+      .select(col("sid"), coalesce(col("bid"), lit(-1L)).as("bid"))
+  }
+
   /** Streaming dedup: at-least-once delivery → exactly-once emission per
     * (user_id, event_type, minute) key, with state bounded by the
     * watermark (a key's dedup entry is dropped once the watermark passes

@@ -217,6 +217,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("left-outer interval join: unmatched signup emits -1 only at watermark expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val input = MemoryStream[(Long, Long, String, Timestamp)]
+    val joined = Streams.intervalJoinLeftPairs(
+      input.toDF().toDF("event_id", "user_id", "event_type", "ts"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_outer_out")
+      .outputMode("append").start()
+    def emitted: Set[(Long, Long)] =
+      spark.table("ssjoin_outer_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // signup 1 (user 1) matched at 10:30; signup 3 (user 2) never matched
+      input.addData(Seq(
+        (1L, 1L, "signup", ts("2024-01-01 10:00:00")),
+        (2L, 1L, "view", ts("2024-01-01 10:30:00")),
+        (3L, 2L, "signup", ts("2024-01-01 10:00:00"))))
+      q.processAllAvailable()
+      // watermark has NOT passed 11:00 yet: no (3, -1) emitted
+      assert(!emitted.contains((3L, -1L)))
+      // advance BOTH sides' watermarks to 14:00 (the join watermark is
+      // their min, so the a-side needs a late signup too) — signup 3's
+      // [10:00, 11:00] window is then provably unmatched
+      input.addData(Seq(
+        (9L, 99L, "view", ts("2024-01-01 16:00:00")),
+        (10L, 98L, "signup", ts("2024-01-01 16:00:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = emitted
+    assert(got.contains((1L, 2L)), s"matched pair missing: $got")
+    assert(got.contains((3L, -1L)), s"expiry null-row missing: $got")
+    // the late signup's own window is still open — its outer row is held
+    assert(!got.contains((10L, -1L)), s"premature outer row: $got")
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark expires state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
