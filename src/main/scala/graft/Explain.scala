@@ -82,7 +82,8 @@ object Explain {
       "t_bigram_lm" -> "map-only pair gen, vocab agg + derived normalizer, token equi-join back",
       "x_incr_join" -> "four quadrant joins on custkey — delta algebra, no history rejoin",
       "x_fuzzy_match" -> "distinct-name canonicalization + head-noun block + candidate-only levenshtein",
-      "st_stream_stream_join_outer" -> "left interval join stays sort-merge on user_id, -1 for unmatched")
+      "st_stream_stream_join_outer" -> "left interval join stays sort-merge on user_id, -1 for unmatched",
+      "g_truss_decomp" -> "per-round shared rank-oriented triangle enum + edge-support agg, nested peels")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -255,7 +255,7 @@ object GraphQueries {
     * frame — each triangle exactly once as (u, v, w). Shared by the
     * global count and the per-vertex clustering coefficient so the
     * skew-bounded orientation cannot drift between them. */
-  private def enumTriangles(bidir: org.apache.spark.sql.DataFrame)
+  private[analytics] def enumTriangles(bidir: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val deg = bidir.groupBy(col("src").as("n")).agg(count(lit(1)).as("dg"))
     val rankLt = col("ds") < col("dd") ||

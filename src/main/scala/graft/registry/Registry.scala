@@ -29,6 +29,7 @@ object Registry {
       graft.analytics.ShortestPaths.all ++
       graft.analytics.KCore.all ++
       graft.analytics.Mis.all ++
+      graft.analytics.Truss.all ++
       graft.analytics.LabelPropagation.all ++
       graft.operators.Cdc.all ++
       graft.operators.BloomPrune.all ++

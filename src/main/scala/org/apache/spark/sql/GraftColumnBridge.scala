@@ -35,4 +35,21 @@ object GraftColumnBridge {
       case lr: execution.LogicalRDD => Some(lr.rdd)
       case _ => None
     }
+
+  /** Re-wrap a (typically localCheckpoint'ed) frame as a LogicalRDD
+    * WITHOUT origin statistics. localCheckpoint propagates the
+    * truncated plan's estimated stats into the LogicalRDD it returns;
+    * in an iterative loop whose round plan INNER-joins the state frame
+    * k times, sizeInBytes therefore compounds ~(digits x k) per round —
+    * by round ~12 the estimate is a BigInteger with millions of digits
+    * and the driver livelocks inside stats multiplication (semi-join
+    * loops like k-core never multiply sizes, which is why only the
+    * truss peel hit this). The re-wrapped frame computes from the same
+    * materialized checkpoint blocks but reports the session-default
+    * size, keeping every round's estimate constant. */
+  def statsClean(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema)
+  }
 }
