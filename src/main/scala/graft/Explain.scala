@@ -83,7 +83,13 @@ object Explain {
       "x_incr_join" -> "four quadrant joins on custkey — delta algebra, no history rejoin",
       "x_fuzzy_match" -> "distinct-name canonicalization + head-noun block + candidate-only levenshtein",
       "st_stream_stream_join_outer" -> "left interval join stays sort-merge on user_id, -1 for unmatched",
-      "g_truss_decomp" -> "per-round shared rank-oriented triangle enum + edge-support agg, nested peels")
+      "g_truss_decomp" -> "per-round shared rank-oriented triangle enum + edge-support agg, nested peels",
+      "x_mad_outliers" -> "value-histogram medians: tiny per-group windows + broadcast stats join, no corpus sort",
+      "t_cdc_chunk" -> "in-array boundary gate (map-only), per-doc window, hash-keyed dup join",
+      "g_temporal_reach" -> "time-respecting relaxation: one min-arrival exchange per round",
+      "g_walks" -> "per-step broadcast state join + seed-keyed argmin agg, edges never shuffled",
+      "x_hrw_shard" -> "rendezvous sharding as a pure narrow map — zero joins, zero shuffles",
+      "x_attribution" -> "left as-of with lookback: one key shuffle + one (ts, side) sort")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

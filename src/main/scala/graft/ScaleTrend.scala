@@ -44,11 +44,16 @@ object ScaleTrend {
     "st_tumbling_window", "x_asof_join_native", "x_merge_upsert",
     "g_squares", "t_quality_filter", "st_enrich",
     "d_dup_span", "g_link_pred",
-    "d_cluster_kmeans", "d_dedup_semantic", "d_dsir_score", "g_mis")
+    "d_cluster_kmeans", "d_dedup_semantic", "d_dsir_score", "g_mis",
+    "x_mad_outliers", "t_cdc_chunk", "g_temporal_reach", "g_walks",
+    "x_hrw_shard", "x_attribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args(1).toInt else 2
+    // trailing names restrict the run (builder-side spot trends); the
+    // family setup still runs iff any family query is selected
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -82,15 +87,17 @@ object ScaleTrend {
 
     // family build timed explicitly, once, like Bench's setup entry;
     // d_* times below are then marginal
-    time("_setup_dedup_family") {
-      graft.pipeline.PipelineQueries.warmSharedFamily(spark, sfDir)
-    }
-    for (name <- FamilySet; r <- 1 to reps)
+    val fam = FamilySet.filter(n => only.isEmpty || only(n))
+    if (fam.nonEmpty)
+      time("_setup_dedup_family") {
+        graft.pipeline.PipelineQueries.warmSharedFamily(spark, sfDir)
+      }
+    for (name <- fam; r <- 1 to reps)
       time(s"$name rep=$r") {
         SparkEntry.queries(name)(spark, sfDir).count()
       }
     graft.pipeline.PipelineQueries.releaseShared(spark)
-    for (name <- SlopeSet; r <- 1 to reps)
+    for (name <- SlopeSet.filter(n => only.isEmpty || only(n)); r <- 1 to reps)
       time(s"$name rep=$r") {
         SparkEntry.queries(name)(spark, sfDir).count()
       }

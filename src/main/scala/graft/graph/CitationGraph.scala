@@ -61,6 +61,24 @@ object CitationGraph {
       |  CAST(o_orderkey % (SELECT max(c_custkey)+1 FROM customer) AS BIGINT) AS dst
       |  FROM orders)""".stripMargin
 
+  /** Temporal edge view: the citation-style edges with the order date as
+    * the edge's activation day (BIGINT days since 1992-01-01, the TPC-H
+    * date floor) — one edge per order, times NOT collapsed: the same
+    * (src, dst) pair active on two days is two temporal edges. */
+  def temporalEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey").cast("long").as("src"),
+        (col("o_orderkey") % lit(custModulus(spark, dir))).cast("long").as("dst"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("t"))
+
+  val temporalEdgesSql: String =
+    """tedges AS (SELECT CAST(o_custkey AS BIGINT) AS src,
+      |  CAST(o_orderkey % (SELECT max(c_custkey)+1 FROM customer) AS BIGINT) AS dst,
+      |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+      |  FROM orders)""".stripMargin
+
   /** Undirected (bidirectionalized, deduped, loop-free) edge view of the
     * small hop-plot graph. Mirrors G1 (Analytics.scala:344-365). */
   def hopEdges(spark: SparkSession, dir: String): DataFrame = {

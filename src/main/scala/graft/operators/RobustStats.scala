@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.registry.Q
+
+/** Robust per-group outlier detection by median / MAD (median absolute
+  * deviation) — the classic heavy-tail-safe alternative to mean/stddev
+  * z-scores (Hampel 1974; mean and stddev are themselves dragged by the
+  * outliers they are meant to find, the median and MAD are not). A doc
+  * is flagged when |x − med| > k·MAD with the conventional k = 3.
+  *
+  * Exact integer end to end: x = n_chars (BIGINT), the LOWER median
+  * (element at 1-indexed position (n+1) div 2 of the sorted multiset) so
+  * both medians are corpus values — no float interpolation, bit-equal in
+  * DuckDB by the identical cumulative-histogram construction.
+  *
+  * Scale shape — the reason this is an operator and not a one-liner:
+  * exact per-group medians are usually written as a per-group SORT
+  * (row_number over every row), a full shuffle + sort of the corpus per
+  * statistic. Here the corpus collapses FIRST to a (group, value) →
+  * count histogram (map-side combinable agg; n_chars has bounded
+  * distinct values), medians come from a running sum over the TINY
+  * histogram (window over ~distinct-values rows per group, never corpus
+  * rows), the MAD repeats the trick on the derived |x − med| histogram,
+  * and the flag join back to the corpus is a broadcast of one 3-column
+  * row per group. Corpus passes: exactly two narrow scans + one
+  * broadcast join — no corpus-sized sort or window anywhere.
+  */
+object RobustStats {
+
+  /** Flag multiplier: |x - med| > MadK * mad. */
+  val MadK = 3L
+
+  /** Lower median of the (g, v, c) histogram `h`: per group, the
+    * smallest v whose running count reaches position (total+1) div 2. */
+  private def histMedian(h: DataFrame, out: String): DataFrame = {
+    val byG = Window.partitionBy(col("g"))
+    val cum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cumc", sum(col("c")).over(cum))
+      .withColumn("tot", sum(col("c")).over(byG))
+      .filter(col("cumc") >= expr("(tot + 1L) div 2L"))
+      .groupBy(col("g")).agg(min(col("v")).as(out))
+  }
+
+  /** (doc_id, g, v, med, mad, outlier) for any (id, group, BIGINT value)
+    * frame — the toy-corpus seam. */
+  def madOutliers(rows: DataFrame, id: String, group: String,
+      value: String, k: Long = MadK): DataFrame = {
+    val base = rows.select(col(id).as("doc_id"), col(group).as("g"),
+      col(value).cast("long").as("v"))
+    val hist = base.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val med = histMedian(hist, "med")
+    // |v - med| histogram, derived from the VALUE histogram (counts
+    // carry over) — never a second corpus aggregation
+    val adHist = hist.join(med, "g")
+      .select(col("g"), abs(col("v") - col("med")).as("v"), col("c"))
+      .groupBy(col("g"), col("v")).agg(sum(col("c")).as("c"))
+    val mad = histMedian(adHist, "mad")
+    val stats = med.join(mad, "g")
+    base.join(broadcast(stats), "g")
+      .select(col("doc_id"), col("g"), col("v"), col("med"), col("mad"),
+        (abs(col("v") - col("med")) > lit(k) * col("mad"))
+          .cast("long").as("outlier"))
+  }
+
+  private val oracleSql: String =
+    s"""WITH base AS (SELECT doc_id, lang AS g, CAST(n_chars AS BIGINT) AS v
+       |  FROM documents),
+       |hist AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+       |  FROM base GROUP BY g, v),
+       |medh AS (SELECT g, v, c,
+       |    sum(c) OVER (PARTITION BY g ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS cumc,
+       |    sum(c) OVER (PARTITION BY g) AS tot
+       |  FROM hist),
+       |med AS (SELECT g, CAST(min(v) AS BIGINT) AS med FROM medh
+       |  WHERE cumc >= (tot + 1) // 2 GROUP BY g),
+       |adh AS (SELECT h.g, abs(h.v - m.med) AS v, CAST(sum(h.c) AS BIGINT) AS c
+       |  FROM hist h JOIN med m ON h.g = m.g GROUP BY h.g, abs(h.v - m.med)),
+       |madh AS (SELECT g, v, c,
+       |    sum(c) OVER (PARTITION BY g ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS cumc,
+       |    sum(c) OVER (PARTITION BY g) AS tot
+       |  FROM adh),
+       |mad AS (SELECT g, CAST(min(v) AS BIGINT) AS mad FROM madh
+       |  WHERE cumc >= (tot + 1) // 2 GROUP BY g)
+       |SELECT b.doc_id, b.g, b.v, m.med, d.mad,
+       |  CAST(abs(b.v - m.med) > $MadK * d.mad AS BIGINT) AS outlier
+       |FROM base b JOIN med m ON b.g = m.g JOIN mad d ON b.g = d.g
+       |ORDER BY b.doc_id""".stripMargin
+
+  val madQ: Q = Q(
+    "x_mad_outliers",
+    Some(oracleSql),
+    (s, d) => madOutliers(Tables.documents(s, d), "doc_id", "lang", "n_chars")
+      .orderBy(col("doc_id")))
+
+  def all: Seq[Q] = Seq(madQ)
+}

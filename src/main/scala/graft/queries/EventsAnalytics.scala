@@ -116,5 +116,51 @@ object EventsAnalytics {
       .orderBy(col("cohort"), col("k"))
   }
 
-  val all: Seq[Q] = Seq(funnelQ, cohortQ)
+  /** Last-touch attribution: each purchase is credited to the MOST
+    * RECENT click by the same user within a 7-day lookback; purchases
+    * with no qualifying click report touch_id = -1 (never NULL). The
+    * marketing-analytics staple, and the second production use of the
+    * as-of machinery: AsOfJoin.asofLeftTol — left semantics + lookback
+    * tolerance — in the same one-shuffle one-sort plan as x_asof_join.
+    *
+    * Click ids are pre-deduped to max(event_id) per (user, ts) so the
+    * build side is unique per key+time (the as-of determinism
+    * contract). The oracle takes the classic correlated form: latest
+    * qualifying click ts per purchase, joined back for its id — equal
+    * by definition to the window-carried latest. */
+  val attributionQ: Q = Q(
+    "x_attribution",
+    Some("""WITH clicks AS (
+           |  SELECT user_id, ts, max(event_id) AS cid FROM events
+           |  WHERE event_type = 'click' GROUP BY 1, 2),
+           |pur AS (SELECT event_id, user_id, ts FROM events
+           |  WHERE event_type = 'purchase'),
+           |lastc AS (SELECT p.event_id, max(c.ts) AS cts
+           |  FROM pur p JOIN clicks c ON c.user_id = p.user_id
+           |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+           |  GROUP BY p.event_id)
+           |SELECT p.event_id, CAST(coalesce(c.cid, -1) AS BIGINT) AS touch_id
+           |FROM pur p
+           |  LEFT JOIN lastc l ON p.event_id = l.event_id
+           |  LEFT JOIN clicks c ON c.user_id = p.user_id AND c.ts = l.cts
+           |ORDER BY p.event_id""".stripMargin),
+    (s, d) => attributionOf(
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts"))))
+
+  /** x_attribution over any (event_id, user_id, event_type, ts) frame. */
+  def attributionOf(e: DataFrame): DataFrame = {
+    val probe = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val build = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("cid"))
+    graft.operators.AsOfJoin.asofLeftTol(probe, build, "user_id", "ts",
+      Seq("cid"), expr("INTERVAL 7 DAYS"))
+      .select(col("event_id"),
+        coalesce(col("cid"), lit(-1L)).as("touch_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(funnelQ, cohortQ, attributionQ)
 }

@@ -27,6 +27,8 @@ object Registry {
       graft.analytics.PageRank.all ++
       graft.analytics.Hits.all ++
       graft.analytics.ShortestPaths.all ++
+      graft.analytics.TemporalReach.all ++
+      graft.analytics.RandomWalks.all ++
       graft.analytics.KCore.all ++
       graft.analytics.Mis.all ++
       graft.analytics.Truss.all ++
@@ -39,7 +41,10 @@ object Registry {
       graft.operators.Resample.all ++
       graft.operators.RangeJoin.all ++
       graft.operators.DataQuality.all ++
+      graft.operators.RobustStats.all ++
+      graft.operators.Rendezvous.all ++
       graft.pipeline.PipelineQueries.all ++
+      graft.pipeline.CdcChunk.all ++
       graft.pipeline.VectorIndex.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Pii.all ++

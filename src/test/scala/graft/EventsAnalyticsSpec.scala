@@ -86,4 +86,44 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(real.count() === Tables.documents(spark, sf()).count())
     assert(real.filter(col("gini_ppm") < 0 || col("gini_ppm") >= 1000000).count() === 0L)
   }
+
+  test("attribution: last touch wins, stale touches age out, unmatched is -1") {
+    import spark.implicits._
+    val e = Seq(
+      // user 1: two clicks before the purchase -> the later one (id 12)
+      (11L, 1L, "click", ts("2024-01-01 10:00:00")),
+      (12L, 1L, "click", ts("2024-01-02 10:00:00")),
+      (13L, 1L, "purchase", ts("2024-01-03 10:00:00")),
+      // user 2: click 8 days before purchase -> outside lookback, -1
+      (21L, 2L, "click", ts("2024-01-01 10:00:00")),
+      (22L, 2L, "purchase", ts("2024-01-09 10:00:01")),
+      // user 3: click AFTER the purchase -> -1
+      (31L, 3L, "purchase", ts("2024-01-01 10:00:00")),
+      (32L, 3L, "click", ts("2024-01-01 11:00:00")),
+      // user 4: no clicks at all -> -1
+      (41L, 4L, "purchase", ts("2024-01-05 10:00:00")),
+      // user 5: click exactly at the 7-day boundary -> still credited
+      (51L, 5L, "click", ts("2024-01-01 10:00:00")),
+      (52L, 5L, "purchase", ts("2024-01-08 10:00:00")),
+      // user 6: same-ts click and purchase -> credited (<= semantics)
+      (61L, 6L, "click", ts("2024-01-01 10:00:00")),
+      (62L, 6L, "purchase", ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val m = EventsAnalytics.attributionOf(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(13L -> 12L, 22L -> -1L, 31L -> -1L, 41L -> -1L,
+      52L -> 51L, 62L -> 61L))
+  }
+
+  test("attribution: real corpus — one row per purchase, every touch a real click id") {
+    val ev = Tables.events(spark, sf())
+    val out = EventsAnalytics.attributionQ.run(spark, sf())
+    assert(out.count() ===
+      ev.filter(col("event_type") === "purchase").count())
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("touch_id"))
+    val badTouch = out.filter(col("touch_id") =!= -1L)
+      .join(clicks, Seq("touch_id"), "left_anti")
+    assert(badTouch.count() === 0)
+  }
 }

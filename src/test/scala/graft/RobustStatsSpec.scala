@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RobustStats
+
+/** Median/MAD outlier flagging: hand-computed toys (odd/even counts,
+  * MAD=0 degenerate), boundary semantics (= 3*MAD is NOT an outlier),
+  * and corpus invariants. */
+class RobustStatsSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String, Long)]) = {
+    import spark.implicits._
+    RobustStats.madOutliers(
+      rows.toDF("id", "g", "v"), "id", "g", "v")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+  }
+
+  test("odd count: median is the middle element, MAD exact") {
+    // values 1,2,3,4,100 -> med=3 (pos (5+1)/2=3), |d|=2,1,0,1,97
+    // sorted 0,1,1,2,97 -> mad=1; outlier iff |d| > 3: only 100.
+    val m = run(Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (4L, "a", 4L), (5L, "a", 100L)))
+    assert(m(1L) === ((3L, 1L, 0L)))
+    assert(m(5L) === ((3L, 1L, 1L)))
+    assert(m.values.map(_._3).sum === 1L)
+  }
+
+  test("even count: LOWER median (position (n+1) div 2)") {
+    // values 1,2,3,10 -> pos (4+1) div 2 = 2 -> med=2
+    // |d| = 1,0,1,8 sorted 0,1,1,8 -> pos 2 -> mad=1
+    val m = run(Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (4L, "a", 10L)))
+    assert(m(1L)._1 === 2L)
+    assert(m(1L)._2 === 1L)
+    assert(m(4L)._3 === 1L) // |10-2|=8 > 3
+  }
+
+  test("boundary: exactly k*MAD is not an outlier, one past is") {
+    // med=10, mad=2 by construction: values 8,10,12 give |d|=2,0,2,
+    // mad = sorted(0,2,2) pos 2 = 2. 16 is exactly med+3*mad -> not
+    // flagged; 17 is -> flagged.
+    val base = Seq((1L, "a", 8L), (2L, "a", 10L), (3L, "a", 12L))
+    val atEdge = run(base :+ ((4L, "a", 16L)))
+    // adding the probe shifts stats: recompute expectation directly
+    // values 8,10,12,16: med pos 2 -> 10; |d| 2,0,2,6 sorted 0,2,2,6
+    // pos 2 -> mad=2; 16: |6| <= 6 -> not outlier
+    assert(atEdge(4L) === ((10L, 2L, 0L)))
+    val past = run(base :+ ((4L, "a", 17L)))
+    // values 8,10,12,17: med=10, |d| 2,0,2,7 -> mad=2; 7 > 6 -> outlier
+    assert(past(4L) === ((10L, 2L, 1L)))
+  }
+
+  test("MAD=0 degenerate: any deviation from the median is an outlier") {
+    // majority at one value -> mad=0; v=5 deviates by 4 > 0 = 3*0
+    val m = run(Seq((1L, "a", 1L), (2L, "a", 1L), (3L, "a", 1L),
+      (4L, "a", 5L)))
+    assert(m(1L) === ((1L, 0L, 0L)))
+    assert(m(4L) === ((1L, 0L, 1L)))
+  }
+
+  test("groups are independent") {
+    val m = run(Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (10L, "b", 100L), (11L, "b", 200L), (12L, "b", 300L)))
+    assert(m(2L)._1 === 2L)
+    assert(m(11L)._1 === 200L)
+  }
+
+  test("corpus: every row reported once, median within group range, outliers a minority") {
+    val docs = Tables.documents(spark, sf())
+    val out = RobustStats.madOutliers(docs, "doc_id", "lang", "n_chars")
+    assert(out.count() === docs.count())
+    val bad = out.groupBy("g")
+      .agg(min("v").as("lo"), max("v").as("hi"),
+        min("med").as("m1"), max("med").as("m2"),
+        sum("outlier").as("nout"), count(lit(1)).as("n"))
+      .filter(col("m1") =!= col("m2") || col("m1") < col("lo") ||
+        col("m1") > col("hi") || col("nout") * 2 >= col("n"))
+    assert(bad.count() === 0)
+  }
+}
