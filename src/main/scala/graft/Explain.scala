@@ -89,7 +89,9 @@ object Explain {
       "g_temporal_reach" -> "time-respecting relaxation: one min-arrival exchange per round",
       "g_walks" -> "per-step broadcast state join + seed-keyed argmin agg, edges never shuffled",
       "x_hrw_shard" -> "rendezvous sharding as a pure narrow map — zero joins, zero shuffles",
-      "x_attribution" -> "left as-of with lookback: one key shuffle + one (ts, side) sort")
+      "x_attribution" -> "left as-of with lookback: one key shuffle + one (ts, side) sort",
+      "t_bpe_merge" -> "word-TYPE pair counting (never corpus tokens), alphabet-sized agg, TakeOrdered top-20",
+      "g_scc" -> "coloring SCC: per-round co-partitioned max-flood + class-restricted backward flood")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

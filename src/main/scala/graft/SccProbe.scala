@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints g_scc's convergence depths per scale factor — the evidence
+  * behind Scc's unrolled-oracle depth constants. */
+object SccProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (d <- dirs) {
+      val t0 = System.nanoTime()
+      val n = graft.analytics.Scc.scc(spark,
+        graft.graph.CitationGraph.edges(spark, d)).count()
+      graft.analytics.CheckpointRegistry.releaseAll(spark)
+      println(f"SCCPROBE $d rows=$n outer=${graft.analytics.Scc.lastOuterRounds} " +
+        f"fwd=${graft.analytics.Scc.lastMaxFwdRounds} " +
+        f"bwd=${graft.analytics.Scc.lastMaxBwdRounds} " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,211 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.registry.Q
+
+/** Strongly connected components by forward-max coloring (Orzan 2004;
+  * the Pregel/BSP "Coloring" SCC algorithm) — the directed closure of
+  * g_components' undirected min-label propagation, and the classic
+  * missing piece next to it: u and v share an SCC iff each reaches the
+  * other ALONG edge directions.
+  *
+  * Per outer round, on the still-unassigned subgraph:
+  *   1. forward flood: color(v) = max vertex id that reaches v
+  *      (max-propagation along edges to its fixpoint);
+  *   2. roots: vertices with color(v) == v — each root's SCC is exactly
+  *      the vertices that can reach it WITHIN its color class;
+  *   3. backward flood inside each color class from its root; members
+  *      get scc_id = root id and leave the graph.
+  * Every vertex is assigned after finitely many rounds (each round
+  * assigns at least every root).
+  *
+  * All three levels are monotone and IDEMPOTENT past their fixpoints
+  * (extra rounds change nothing), so the unrolled DuckDB twin runs each
+  * flood at a FIXED depth ≥ the measured fixpoint and the outer loop at
+  * a fixed round count — with require gates exporting the ACTUAL
+  * convergence depths, the k-core/Mis discipline, so a dataset that
+  * outgrows the unrolled depths fails loudly, never silently wrong.
+  *
+  * Scale shape: each flood round is one co-partitioned max/any
+  * aggregation over the edge frame + a join back to state (the PageRank
+  * exchange budget); subgraph shrink is two semi-joins; state and edges
+  * localCheckpoint per round with eager release (Mis's layout). Rounds
+  * measured on the citation graph: see the require gates.
+  */
+object Scc {
+
+  /** Unrolled oracle depths, asserted ≥ the measured fixpoints at run
+    * time. Measured on the citation graph (SccProbe): sf0.001 → outer 1,
+    * fwd 4, bwd 4; sf0.01 → outer 1, fwd 5, bwd 6; sf0.1 → outer 2,
+    * fwd 7, bwd 7 (the graph is one giant SCC plus a small periphery,
+    * so the coloring converges fast). Depths carry ~2x headroom, the
+    * established fixpoint-oracle discipline. */
+  val OuterDepth = 3
+  val FwdDepth = 14
+  val BwdDepth = 12
+
+  @volatile private[graft] var lastOuterRounds: Int = -1
+  @volatile private[graft] var lastMaxFwdRounds: Int = -1
+  @volatile private[graft] var lastMaxBwdRounds: Int = -1
+
+  def scc(spark: SparkSession, edgesRaw: DataFrame): DataFrame =
+    LoopConf.pinned(spark, edgesRaw.count()) { sccPinned(spark, edgesRaw) }
+
+  private def sccPinned(spark: SparkSession, edgesRaw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def free(df: DataFrame): Unit =
+      GraftColumnBridge.checkpointRdd(df).foreach(_.unpersist(false))
+
+    var edges = ckpt(
+      edgesRaw.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .repartition(col("dst")))
+    var verts = ckpt(
+      edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .repartition(col("id")))
+
+    val sccFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var nActive = verts.count()
+    var outer = 0
+    var maxFwd = 0
+    var maxBwd = 0
+    while (nActive > 0) {
+      outer += 1
+      // 1. forward max flood to fixpoint
+      var color = ckpt(verts.select(col("id"), col("id").as("c")))
+      var changed = 1L
+      var fwd = 0
+      while (changed > 0) {
+        fwd += 1
+        val incoming = color.join(edges, col("id") === col("src"))
+          .groupBy(col("dst")).agg(max(col("c")).as("mc"))
+          .select(col("dst").as("id"), col("mc"))
+        val nextC = ckpt(color.join(incoming.hint("shuffle_hash"),
+            Seq("id"), "left")
+          .select(col("id"), greatest(col("c"), coalesce(col("mc"),
+            col("c"))).as("c")))
+        changed = nextC.join(color.select(col("id"), col("c").as("pc")),
+          "id").filter(col("c") =!= col("pc")).count()
+        free(color); color = nextC
+      }
+      maxFwd = math.max(maxFwd, fwd)
+      // 2+3. backward flood inside color classes from the roots
+      var member = ckpt(color.filter(col("id") === col("c"))
+        .select(col("id"), col("c")))
+      changed = 1L
+      var bwd = 0
+      while (changed > 0) {
+        bwd += 1
+        // u joins when some edge u->w has w a member and color(u)==color(w)
+        val newFrontier = member.select(col("id").as("dst"), col("c"))
+          .join(edges, "dst")
+          .select(col("src").as("id"), col("c"))
+          .join(color.withColumnRenamed("c", "uc"), "id")
+          .filter(col("c") === col("uc"))
+          .select(col("id"), col("c"))
+        val nextM = ckpt(member.union(newFrontier).distinct())
+        val nNext = nextM.count()
+        changed = nNext - member.count()
+        free(member); member = nextM
+      }
+      maxBwd = math.max(maxBwd, bwd)
+      val assigned = ckpt(member.select(col("id"), col("c").as("scc_id")))
+      sccFrames += assigned
+      CheckpointRegistry.trackFinal(spark, assigned)
+      free(member); free(color)
+      // 4. shrink the live subgraph
+      val nextVerts = ckpt(verts.join(assigned.select(col("id")),
+        Seq("id"), "left_anti"))
+      val nextEdges = ckpt(edges
+        .join(nextVerts.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(nextVerts.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")))
+      free(verts); free(edges)
+      verts = nextVerts; edges = nextEdges
+      nActive = verts.count()
+    }
+    free(verts); free(edges)
+    lastOuterRounds = outer
+    lastMaxFwdRounds = maxFwd
+    lastMaxBwdRounds = maxBwd
+    if (sccFrames.isEmpty)
+      spark.range(0).select(col("id"), col("id").as("scc_id"))
+    else sccFrames.reduce(_ union _)
+  }
+
+  // ---- registry entry ---------------------------------------------------
+
+  /** Unrolled (outer × (fwd + bwd)) DuckDB twin. Idempotence past each
+    * fixpoint makes fixed depths sound; the require gates make them
+    * honest. */
+  private def oracleSql(outer: Int, fwdD: Int, bwdD: Int): String = {
+    import graft.graph.CitationGraph.edgesSql
+    val sb = new StringBuilder
+    sb.append(s"""WITH $edgesSql,
+      |e1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+      |v1 AS MATERIALIZED (SELECT DISTINCT id FROM
+      |  (SELECT src AS id FROM e1 UNION ALL SELECT dst FROM e1))""".stripMargin)
+    for (o <- 1 to outer) {
+      // forward flood
+      sb.append(s""",
+        |c${o}_0 AS (SELECT id, id AS c FROM v$o)""".stripMargin)
+      for (f <- 1 to fwdD) {
+        sb.append(s""",
+          |c${o}_$f AS MATERIALIZED (
+          |  SELECT p.id, CAST(CASE WHEN m.mc IS NOT NULL AND m.mc > p.c
+          |    THEN m.mc ELSE p.c END AS BIGINT) AS c
+          |  FROM c${o}_${f - 1} p LEFT JOIN (
+          |    SELECT e.dst AS id, max(q.c) AS mc
+          |    FROM c${o}_${f - 1} q JOIN e$o e ON e.src = q.id
+          |    GROUP BY e.dst) m ON m.id = p.id)""".stripMargin)
+      }
+      // backward flood from roots within color classes
+      sb.append(s""",
+        |m${o}_0 AS (SELECT id, c FROM c${o}_$fwdD WHERE id = c)""".stripMargin)
+      for (b <- 1 to bwdD) {
+        sb.append(s""",
+          |m${o}_$b AS MATERIALIZED (
+          |  SELECT id, c FROM m${o}_${b - 1}
+          |  UNION
+          |  SELECT cu.id, m.c
+          |  FROM m${o}_${b - 1} m
+          |    JOIN e$o e ON e.dst = m.id
+          |    JOIN c${o}_$fwdD cu ON cu.id = e.src AND cu.c = m.c)""".stripMargin)
+      }
+      sb.append(s""",
+        |a$o AS MATERIALIZED (SELECT id, c AS scc_id FROM m${o}_$bwdD)""".stripMargin)
+      // shrink
+      sb.append(s""",
+        |v${o + 1} AS MATERIALIZED (SELECT id FROM v$o
+        |  WHERE id NOT IN (SELECT id FROM a$o)),
+        |e${o + 1} AS MATERIALIZED (SELECT src, dst FROM e$o
+        |  WHERE src IN (SELECT id FROM v${o + 1})
+        |    AND dst IN (SELECT id FROM v${o + 1}))""".stripMargin)
+    }
+    val union = (1 to outer).map(o => s"SELECT id, scc_id FROM a$o")
+      .mkString("\n  UNION ALL ")
+    sb.append(s"\nSELECT id, scc_id FROM (\n  $union)\nORDER BY id")
+    sb.toString
+  }
+
+  val sccQ: Q = Q(
+    "g_scc",
+    Some(oracleSql(OuterDepth, FwdDepth, BwdDepth)),
+    (s, d) => {
+      val out = scc(s, graft.graph.CitationGraph.edges(s, d))
+        .orderBy(col("id"))
+      require(lastOuterRounds <= OuterDepth &&
+        lastMaxFwdRounds <= FwdDepth && lastMaxBwdRounds <= BwdDepth,
+        s"g_scc converged in (outer=$lastOuterRounds, fwd=$lastMaxFwdRounds, " +
+          s"bwd=$lastMaxBwdRounds) but the unrolled oracle is " +
+          s"($OuterDepth, $FwdDepth, $BwdDepth) — raise Scc depths")
+      out
+    })
+
+  def all: Seq[Q] = Seq(sccQ)
+}

@@ -29,6 +29,7 @@ object Registry {
       graft.analytics.ShortestPaths.all ++
       graft.analytics.TemporalReach.all ++
       graft.analytics.RandomWalks.all ++
+      graft.analytics.Scc.all ++
       graft.analytics.KCore.all ++
       graft.analytics.Mis.all ++
       graft.analytics.Truss.all ++
@@ -45,6 +46,7 @@ object Registry {
       graft.operators.Rendezvous.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.pipeline.CdcChunk.all ++
+      graft.pipeline.BpeTrain.all ++
       graft.pipeline.VectorIndex.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Pii.all ++
