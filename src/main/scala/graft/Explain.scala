@@ -91,7 +91,8 @@ object Explain {
       "x_hrw_shard" -> "rendezvous sharding as a pure narrow map — zero joins, zero shuffles",
       "x_attribution" -> "left as-of with lookback: one key shuffle + one (ts, side) sort",
       "t_bpe_merge" -> "word-TYPE pair counting (never corpus tokens), alphabet-sized agg, TakeOrdered top-20",
-      "g_scc" -> "coloring SCC: per-round co-partitioned max-flood + class-restricted backward flood")
+      "g_scc" -> "coloring SCC: per-round co-partitioned max-flood + class-restricted backward flood",
+      "m_png_decode" -> "codegen'd GRFT1 deframe + big-endian CRC-verified IHDR parse, narrow")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

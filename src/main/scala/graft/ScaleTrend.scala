@@ -46,7 +46,8 @@ object ScaleTrend {
     "d_dup_span", "g_link_pred",
     "d_cluster_kmeans", "d_dedup_semantic", "d_dsir_score", "g_mis",
     "x_mad_outliers", "t_cdc_chunk", "g_temporal_reach", "g_walks",
-    "x_hrw_shard", "x_attribution", "t_bpe_merge", "g_scc")
+    "x_hrw_shard", "x_attribution", "t_bpe_merge", "g_scc",
+    "m_png_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

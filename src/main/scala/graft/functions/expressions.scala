@@ -242,6 +242,57 @@ object ParseWavHeader {
     StructField("byte_rate", LongType, nullable = false)))
 }
 
+/** Synthesize a structurally complete PNG (PngCodec.encode) from
+  * (width, height, colorType, seed) — the big-endian "media producer"
+  * of the codec family. NULL for invalid geometry/color type. */
+case class EncodePng(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(w: Any, h: Any, ct: Any, s: Any): Any =
+    PngCodec.encode(w.asInstanceOf[Int], h.asInstanceOf[Int],
+      ct.asInstanceOf[Int], s.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, ct, s) => s"""
+       |${ev.value} = graft.functions.PngCodec.encode($w, $h, $ct, $s);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): EncodePng =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
+/** Parse a PNG IHDR (PngCodec.parseHeaderRaw) from the first >= 33
+  * bytes of a blob — signature, IHDR-first, CRC-32 verified BEFORE any
+  * field is trusted, then bit-depth/color-type legality.
+  * struct(width, height, bit_depth, color_type); NULL on any
+  * violation. */
+case class ParsePngHeader(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ParsePngHeader.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    PngCodec.parseHeader(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.PngCodec.parseHeader($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ParsePngHeader =
+    copy(child = newChild)
+}
+
+object ParsePngHeader {
+  val schema: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("bit_depth", LongType, nullable = false),
+    StructField("color_type", LongType, nullable = false)))
+}
+
 /** Dot product of two double arrays as a strict left-to-right fold —
   * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but
   * codegen'd: Spark's higher-order functions run interpreted per element
@@ -358,6 +409,17 @@ object GraftFunctions {
   def parse_wav_header(bytes: Column): Column =
     GraftColumnBridge.column(ParseWavHeader(GraftColumnBridge.expression(bytes)))
 
+  def encode_png(width: Column, height: Column, colorType: Column,
+      seed: Column): Column =
+    GraftColumnBridge.column(EncodePng(
+      GraftColumnBridge.expression(width),
+      GraftColumnBridge.expression(height),
+      GraftColumnBridge.expression(colorType),
+      GraftColumnBridge.expression(seed)))
+
+  def parse_png_header(bytes: Column): Column =
+    GraftColumnBridge.column(ParsePngHeader(GraftColumnBridge.expression(bytes)))
+
   def array_dot_long(a: Column, b: Column): Column =
     GraftColumnBridge.column(ArrayDotLong(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -380,6 +442,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("parse_bmp_header", es => ParseBmpHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_wav", es => EncodeWav(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_wav_header", es => ParseWavHeader(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_png", es => EncodePng(es(0), es(1), es(2), es(3)), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_png_header", es => ParsePngHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("array_dot_long", es => ArrayDotLong(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cms_sketch",
       es => CmsSketchAgg(es.head).toAggregateExpression(), "scala_udf")

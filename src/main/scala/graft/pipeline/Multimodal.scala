@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{byte_histogram, encode_bmp, encode_wav, pack_frames, parse_bmp_header, parse_frames, parse_wav_header, sample_bytes}
+import graft.functions.GraftFunctions.{byte_histogram, encode_bmp, encode_png, encode_wav, pack_frames, parse_bmp_header, parse_frames, parse_png_header, parse_wav_header, sample_bytes}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -283,6 +283,62 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- PNG-in-GRFT1 decode (big-endian + CRC member of the family) ------
+
+  /** documents -> (doc_id, container BINARY): a structurally complete
+    * PNG per document (signature, CRC'd IHDR/IDAT/IEND chunks;
+    * dimensions from the text, color type from doc_id), framed into a
+    * GRFT1 container. frameSize=64 so the signature + whole IHDR chunk
+    * (33 bytes) land in the first frame. */
+  def withPngContainers(docs: DataFrame, frameSize: Int = 64): DataFrame =
+    docs.select(
+      col("doc_id"),
+      pack_frames(
+        encode_png(
+          (length(col("text")) % 80 + 1).cast("int"),
+          (length(col("text")) % 60 + 1).cast("int"),
+          (col("doc_id") % 2 * 4 + 2).cast("int"), // 2 or 6 (truecolor±alpha)
+          col("doc_id").cast(LongType)),
+        lit(frameSize)).as("container"))
+
+  /** Expression-path decode: deframe, slice the FIRST frame, parse the
+    * IHDR (CRC-verified) out of it — all codegen'd. */
+  def parsePngHeaders(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"),
+        parse_png_header(
+          expr("substring(f.payload, 1, cast(f.frame_lens[0] as int))")).as("h"))
+      .select(col("doc_id"),
+        col("h.width").as("width"), col("h.height").as("height"),
+        col("h.bit_depth").as("bit_depth"),
+        col("h.color_type").as("color_type"))
+
+  final case class PngHeaderRow(doc_id: Long, width: Long, height: Long,
+      bit_depth: Long, color_type: Long)
+
+  /** Batched decode path (one dispatch per batch, like the BMP/WAV
+    * twins): deframe, slice first frames, batch-parse headers. */
+  def parsePngHeadersBatch(containers: DataFrame, batchSize: Int = 512): DataFrame = {
+    val spark = containers.sparkSession
+    import spark.implicits._
+    containers.select(col("doc_id"), col("container")).as[Container]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val deframed = FrameCodec.parseBatch(batch.map(_.container).toArray)
+          val firstFrames: Array[Array[Byte]] = deframed.map { r =>
+            if (r == null || r._1.isEmpty) null
+            else java.util.Arrays.copyOfRange(r._2, 0, r._1(0).toInt)
+          }
+          val headers = graft.functions.PngCodec.parseBatch(firstFrames)
+          batch.iterator.zip(headers.iterator).collect {
+            case (c, h) if h != null =>
+              PngHeaderRow(c.doc_id, h(0), h(1), h(2), h(3))
+          }
+        }
+      }
+      .toDF()
+  }
+
   // ---- registry entries -------------------------------------------------
 
   private def histBinsSql: String =
@@ -434,7 +490,38 @@ object Multimodal {
       parseWavHeadersBatch(withWavContainers(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
+  /** Decode the BIG-ENDIAN format inside GRFT1 frames: each document
+    * carries a structurally complete PNG (signature + CRC-verified IHDR)
+    * packed into a GRFT1 container; the query deframes, takes the first
+    * frame, and parses width/height/bit-depth/color-type out of the
+    * big-endian header — the parse REFUSES the row unless the IHDR's
+    * CRC-32 matches, so the checked result pins the CRC computation on
+    * every document, not just the corruption specs. The oracle
+    * recomputes every field from text/doc_id. */
+  private val PngOracleSql =
+    """SELECT doc_id,
+      |  CAST(length(text) % 80 + 1 AS BIGINT) AS width,
+      |  CAST(length(text) % 60 + 1 AS BIGINT) AS height,
+      |  CAST(8 AS BIGINT) AS bit_depth,
+      |  CAST(doc_id % 2 * 4 + 2 AS BIGINT) AS color_type
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val pngDecodeQ: Q = Q(
+    "m_png_decode",
+    Some(PngOracleSql),
+    (s, d) =>
+      parsePngHeaders(withPngContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** Same oracle through the batched (one-dispatch-per-batch) path. */
+  val pngDecodeBatchQ: Q = Q(
+    "m_png_decode_batch",
+    Some(PngOracleSql),
+    (s, d) =>
+      parsePngHeadersBatch(withPngContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
   val all: Seq[Q] = Seq(decodeQ, frameSampleQ, decodeBatchQ,
     containerDecodeQ, containerDecodeBatchQ, bmpDecodeQ, bmpDecodeBatchQ,
-    wavDecodeQ, wavDecodeBatchQ)
+    wavDecodeQ, wavDecodeBatchQ, pngDecodeQ, pngDecodeBatchQ)
 }

@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.functions.{BmpCodec, FrameCodec, WavCodec}
+import graft.functions.{BmpCodec, FrameCodec, PngCodec, WavCodec}
 
 /** Fuzz the binary codecs' never-throw contract: for ARBITRARY bytes —
   * random blobs, random mutations of valid files, random truncations —
@@ -25,7 +25,8 @@ class CodecFuzzSpec extends SparkSpec {
   private def parsers: Seq[(String, Array[Byte] => Any)] = Seq(
     "grft1" -> (b => FrameCodec.parseRaw(b)),
     "bmp" -> (b => BmpCodec.parseHeaderRaw(b)),
-    "wav" -> (b => WavCodec.parseHeaderRaw(b)))
+    "wav" -> (b => WavCodec.parseHeaderRaw(b)),
+    "png" -> (b => PngCodec.parseHeaderRaw(b)))
 
   test("random blobs never throw through any codec parse (200 seeded cases)") {
     (1L to 200L).foreach { seed =>
@@ -43,9 +44,10 @@ class CodecFuzzSpec extends SparkSpec {
     val valids = Seq(
       FrameCodec.pack("the quick brown fox jumps over it".getBytes("UTF-8"), 7),
       BmpCodec.encode(13, 9, 42L),
-      WavCodec.encode(16000, 2, 50, 7L))
+      WavCodec.encode(16000, 2, 50, 7L),
+      PngCodec.encode(13, 9, 2, 42L))
     (1L to 300L).foreach { seed =>
-      val v = valids((seed % 3).toInt)
+      val v = valids((seed % 4).toInt)
       val pos = sample(Gen.chooseNum(0, v.length - 1), seed)
       val nb = sample(byteGen, seed + 1000)
       val mutated = v.clone(); mutated(pos) = nb
@@ -70,9 +72,10 @@ class CodecFuzzSpec extends SparkSpec {
     val valids = Seq(
       FrameCodec.pack("a slightly longer payload for frames".getBytes("UTF-8"), 5),
       BmpCodec.encode(7, 5, 3L),
-      WavCodec.encode(8000, 1, 20, 1L))
+      WavCodec.encode(8000, 1, 20, 1L),
+      PngCodec.encode(7, 5, 6, 3L))
     (1L to 150L).foreach { seed =>
-      val v = valids((seed % 3).toInt)
+      val v = valids((seed % 4).toInt)
       val cut = sample(Gen.chooseNum(0, v.length), seed)
       val t = java.util.Arrays.copyOf(v, cut)
       parsers.foreach { case (name, p) =>
