@@ -92,7 +92,11 @@ object Explain {
       "x_attribution" -> "left as-of with lookback: one key shuffle + one (ts, side) sort",
       "t_bpe_merge" -> "word-TYPE pair counting (never corpus tokens), alphabet-sized agg, TakeOrdered top-20",
       "g_scc" -> "coloring SCC: per-round co-partitioned max-flood + class-restricted backward flood",
-      "m_png_decode" -> "codegen'd GRFT1 deframe + big-endian CRC-verified IHDR parse, narrow")
+      "m_png_decode" -> "codegen'd GRFT1 deframe + big-endian CRC-verified IHDR parse, narrow",
+      "x_cusum_changepoint" -> "corpus collapses to (type, day) histogram; windows over days, tiny argmax",
+      "t_ngram_novelty" -> "in-array gram build, gram-keyed min agg, equi-join back — dup_span's budget",
+      "g_condensation" -> "corpus joins once to SCC ids; depth loop runs on the contracted DAG only",
+      "x_percentile_rank" -> "histogram mid-rank percentiles: tiny per-group windows, (group, value) join back")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

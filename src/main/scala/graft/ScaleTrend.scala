@@ -47,7 +47,8 @@ object ScaleTrend {
     "d_cluster_kmeans", "d_dedup_semantic", "d_dsir_score", "g_mis",
     "x_mad_outliers", "t_cdc_chunk", "g_temporal_reach", "g_walks",
     "x_hrw_shard", "x_attribution", "t_bpe_merge", "g_scc",
-    "m_png_decode")
+    "m_png_decode", "x_cusum_changepoint", "t_ngram_novelty",
+    "g_condensation", "x_percentile_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -28,6 +28,13 @@ object SccProbe {
         f"fwd=${graft.analytics.Scc.lastMaxFwdRounds} " +
         f"bwd=${graft.analytics.Scc.lastMaxBwdRounds} " +
         f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val t1 = System.nanoTime()
+      val nc = graft.analytics.Condensation.condensation(spark,
+        graft.graph.CitationGraph.edges(spark, d)).count()
+      graft.analytics.CheckpointRegistry.releaseAll(spark)
+      println(f"CONDPROBE $d comps=$nc depthRounds=" +
+        f"${graft.analytics.Condensation.lastDepthRounds} " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2fs")
     }
     spark.stop()
   }

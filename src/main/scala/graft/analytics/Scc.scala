@@ -142,11 +142,12 @@ object Scc {
 
   /** Unrolled (outer × (fwd + bwd)) DuckDB twin. Idempotence past each
     * fixpoint makes fixed depths sound; the require gates make them
-    * honest. */
-  private def oracleSql(outer: Int, fwdD: Int, bwdD: Int): String = {
+    * honest. Split as (CTE body, assignment union) so g_condensation
+    * can build on the same assignment without duplicating the unroll. */
+  private[analytics] def oracleCtes(outer: Int, fwdD: Int, bwdD: Int): (String, String) = {
     import graft.graph.CitationGraph.edgesSql
     val sb = new StringBuilder
-    sb.append(s"""WITH $edgesSql,
+    sb.append(s"""$edgesSql,
       |e1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
       |v1 AS MATERIALIZED (SELECT DISTINCT id FROM
       |  (SELECT src AS id FROM e1 UNION ALL SELECT dst FROM e1))""".stripMargin)
@@ -189,8 +190,12 @@ object Scc {
     }
     val union = (1 to outer).map(o => s"SELECT id, scc_id FROM a$o")
       .mkString("\n  UNION ALL ")
-    sb.append(s"\nSELECT id, scc_id FROM (\n  $union)\nORDER BY id")
-    sb.toString
+    (sb.toString, union)
+  }
+
+  private def oracleSql(outer: Int, fwdD: Int, bwdD: Int): String = {
+    val (ctes, union) = oracleCtes(outer, fwdD, bwdD)
+    s"WITH $ctes\nSELECT id, scc_id FROM (\n  $union)\nORDER BY id"
   }
 
   val sccQ: Q = Q(

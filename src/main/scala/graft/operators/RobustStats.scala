@@ -101,5 +101,54 @@ object RobustStats {
     (s, d) => madOutliers(Tables.documents(s, d), "doc_id", "lang", "n_chars")
       .orderBy(col("doc_id")))
 
-  def all: Seq[Q] = Seq(madQ)
+  /** Per-group percentile-rank normalization — the calibration step
+    * that makes a quality score comparable ACROSS groups (a "good"
+    * length for German is not a "good" length for English): each row's
+    * value is replaced by its within-group mid-rank percentile in exact
+    * ppm, pct = (1e6·(below + (ties+1) div 2)) div n, where below
+    * counts strictly-smaller rows and ties the rows sharing the value
+    * (the mid-rank convention keeps a constant column at ~500000, not
+    * 0 or 1e6). Same histogram discipline as the MAD operator: the
+    * corpus collapses to (group, value) counts, the rank accumulates
+    * over the TINY histogram, and rows join their value's percentile
+    * back by (group, value) — no corpus-wide sort at any point. */
+  def percentileRank(rows: DataFrame, id: String, group: String,
+      value: String): DataFrame = {
+    val base = rows.select(col(id).as("doc_id"), col(group).as("g"),
+      col(value).cast("long").as("v"))
+    val hist = base.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byG = Window.partitionBy(col("g"))
+    val ranked = hist
+      .withColumn("below", sum(col("c")).over(cum) - col("c"))
+      .withColumn("n", sum(col("c")).over(byG))
+      .select(col("g"), col("v"),
+        expr("(1000000L * (below + (c + 1L) div 2L)) div n").as("pct_ppm"))
+    base.join(ranked, Seq("g", "v"))
+      .select(col("doc_id"), col("g"), col("v"), col("pct_ppm"))
+  }
+
+  private val pctOracleSql: String =
+    """WITH base AS (SELECT doc_id, lang AS g, CAST(n_chars AS BIGINT) AS v
+      |  FROM documents),
+      |hist AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      |  FROM base GROUP BY g, v),
+      |ranked AS (SELECT g, v,
+      |    (1000000 * ((sum(c) OVER (PARTITION BY g ORDER BY v
+      |        ROWS UNBOUNDED PRECEDING) - c) + (c + 1) // 2))
+      |      // (sum(c) OVER (PARTITION BY g)) AS pct_ppm
+      |  FROM hist)
+      |SELECT b.doc_id, b.g, b.v, CAST(r.pct_ppm AS BIGINT) AS pct_ppm
+      |FROM base b JOIN ranked r ON b.g = r.g AND b.v = r.v
+      |ORDER BY b.doc_id""".stripMargin
+
+  val pctQ: Q = Q(
+    "x_percentile_rank",
+    Some(pctOracleSql),
+    (s, d) => percentileRank(Tables.documents(s, d), "doc_id", "lang", "n_chars")
+      .orderBy(col("doc_id")))
+
+  def all: Seq[Q] = Seq(madQ, pctQ)
 }

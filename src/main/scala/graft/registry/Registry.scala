@@ -30,6 +30,7 @@ object Registry {
       graft.analytics.TemporalReach.all ++
       graft.analytics.RandomWalks.all ++
       graft.analytics.Scc.all ++
+      graft.analytics.Condensation.all ++
       graft.analytics.KCore.all ++
       graft.analytics.Mis.all ++
       graft.analytics.Truss.all ++
@@ -44,9 +45,11 @@ object Registry {
       graft.operators.DataQuality.all ++
       graft.operators.RobustStats.all ++
       graft.operators.Rendezvous.all ++
+      graft.operators.Changepoint.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.pipeline.CdcChunk.all ++
       graft.pipeline.BpeTrain.all ++
+      graft.pipeline.Novelty.all ++
       graft.pipeline.VectorIndex.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Pii.all ++

@@ -68,6 +68,39 @@ class RobustStatsSpec extends SparkSpec {
     assert(m(11L)._1 === 200L)
   }
 
+  test("percentile rank: mid-rank convention on hand values") {
+    import spark.implicits._
+    // group a: values 10,20,20,30 (n=4)
+    // 10: below=0 ties=1 -> (0 + 1)*1e6/4 = 250000
+    // 20: below=1 ties=2 -> (1 + 1)*1e6/4 = 500000
+    // 30: below=3 ties=1 -> (3 + 1)*1e6/4 = 1000000
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L),
+      (4L, "a", 30L)).toDF("id", "g", "v")
+    val m = RobustStats.percentileRank(df, "id", "g", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m === Map(1L -> 250000L, 2L -> 500000L, 3L -> 500000L,
+      4L -> 1000000L))
+  }
+
+  test("percentile rank: a constant column sits at the mid-rank, not the extremes") {
+    import spark.implicits._
+    val df = (1L to 5L).map(i => (i, "a", 7L)).toDF("id", "g", "v")
+    val m = RobustStats.percentileRank(df, "id", "g", "v")
+      .collect().map(_.getLong(3)).toSet
+    assert(m === Set(600000L)) // (0 + (5+1) div 2) * 1e6 / 5
+  }
+
+  test("percentile rank: groups calibrate independently") {
+    import spark.implicits._
+    // the same absolute value lands at different percentiles per group
+    val df = Seq((1L, "a", 10L), (2L, "a", 90L),
+      (3L, "b", 10L), (4L, "b", 5L)).toDF("id", "g", "v")
+    val m = RobustStats.percentileRank(df, "id", "g", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m(1L) === 500000L) // lower half of a
+    assert(m(3L) === 1000000L) // top of b
+  }
+
   test("corpus: every row reported once, median within group range, outliers a minority") {
     val docs = Tables.documents(spark, sf())
     val out = RobustStats.madOutliers(docs, "doc_id", "lang", "n_chars")
