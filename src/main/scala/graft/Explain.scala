@@ -96,7 +96,8 @@ object Explain {
       "x_cusum_changepoint" -> "corpus collapses to (type, day) histogram; windows over days, tiny argmax",
       "t_ngram_novelty" -> "in-array gram build, gram-keyed min agg, equi-join back — dup_span's budget",
       "g_condensation" -> "corpus joins once to SCC ids; depth loop runs on the contracted DAG only",
-      "x_percentile_rank" -> "histogram mid-rank percentiles: tiny per-group windows, (group, value) join back")
+      "x_percentile_rank" -> "histogram mid-rank percentiles: tiny per-group windows, (group, value) join back",
+      "st_topk_window" -> "windowed heavy hitters via k-bounded TopKByAgg — no per-window sort")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -205,6 +205,30 @@ object StreamingQueries {
         Tables.events(s, d), Tables.customer(s, d))
         .orderBy(col("event_id")))
 
+  /** Batch twin of the streaming windowed top-k (Streams
+    * .topEventsPerHour, runtime equality proven in StreamingSpec): per
+    * hourly window, the 3 highest-value events under the total
+    * (cents DESC, event_id ASC) order, through the SAME k-bounded
+    * TopKByAgg aggregate the stream uses — per-window state is k pairs,
+    * never a window sort. The corpus values carry exactly two decimals,
+    * so the DECIMAL(18,2)*100 cents are integer-identical on both
+    * engines and real ties exist (8 hour-cent pairs at sf0.01) —
+    * the event_id tiebreak is exercised, not theoretical. */
+  val topkWindow: Q = Q(
+    "st_topk_window",
+    Some("""SELECT hstart, event_id, cents, rnk FROM (
+           |  SELECT date_trunc('hour', ts) AS hstart, event_id,
+           |    CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT) AS cents,
+           |    CAST(row_number() OVER (
+           |      PARTITION BY date_trunc('hour', ts)
+           |      ORDER BY CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT) DESC,
+           |        event_id) AS BIGINT) AS rnk
+           |  FROM events)
+           |WHERE rnk <= 3 ORDER BY hstart, rnk""".stripMargin),
+    (s, d) =>
+      graft.streaming.Streams.topEventsPerHour(Tables.events(s, d))
+        .orderBy(col("hstart"), col("rnk")))
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionize, sessionWindow,
-    streamStreamJoin, streamStreamJoinOuter, dedup, enrich)
+    streamStreamJoin, streamStreamJoinOuter, dedup, enrich, topkWindow)
 }
