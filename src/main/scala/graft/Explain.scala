@@ -97,7 +97,8 @@ object Explain {
       "t_ngram_novelty" -> "in-array gram build, gram-keyed min agg, equi-join back — dup_span's budget",
       "g_condensation" -> "corpus joins once to SCC ids; depth loop runs on the contracted DAG only",
       "x_percentile_rank" -> "histogram mid-rank percentiles: tiny per-group windows, (group, value) join back",
-      "st_topk_window" -> "windowed heavy hitters via k-bounded TopKByAgg — no per-window sort")
+      "st_topk_window" -> "windowed heavy hitters via k-bounded TopKByAgg — no per-window sort",
+      "g_stress" -> "two-phase Brandes: (s, v)-keyed BFS sigma + DAG tail accumulation, all BIGINT")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

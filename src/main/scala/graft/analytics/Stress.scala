@@ -1,0 +1,197 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.registry.Q
+
+/** Sampled stress centrality (Shimbel 1953; the path-COUNT sibling of
+  * betweenness) — "how many shortest paths ride through this vertex" —
+  * from a fixed source sample, by the two-phase Brandes shape
+  * (Brandes 2001): a forward level-synchronous BFS accumulating σ
+  * (number of shortest source→v paths), then a backward accumulation
+  * over the shortest-path DAG. Betweenness proper needs the rational
+  * σ_v/σ_w; stress stays in BIGINT the whole way — the engine-parity
+  * discipline — via the tail count
+  *
+  *   T(v) = 1 + Σ_{w : (v,w) edge, d(w) = d(v)+1} T(w)
+  *
+  * (number of maximal shortest-path continuations from v, counting v
+  * itself), giving stress(v) = Σ_s σ_s(v) · T_s(v): the number of
+  * (source, target, shortest-path) triples visiting v. Both the BFS
+  * and the backward accumulation are idempotent once converged, so a
+  * fixed unroll with require-gated measured depths is a sound oracle
+  * (the g_scc discipline). Sources: vertices with id < SourceMax — a
+  * deterministic sample, the PPR/walks convention.
+  *
+  * Scale shape: state is (source, vertex) keyed — 8x the vertex frame,
+  * constant in |E|; each forward round is one edge join + one (s, dst)
+  * sum-aggregation, each backward round one DAG join + (s, v) sum; the
+  * DAG is derived once. Overflow honesty: σ and T are path counts and
+  * can explode on adversarial graphs — require gates bound max(σ),
+  * max(T) so a corpus that would overflow 2^62 fails LOUDLY instead of
+  * silently wrapping (Spark BIGINT sum wraps; DuckDB widens to
+  * HUGEINT — the gate keeps both inside BIGINT where they agree). */
+object Stress {
+
+  val SourceMax = 8L
+
+  /** BFS rounds (= max depth); backward uses the same unroll. Measured
+    * (StressProbe in SccProbe's mold — spec prints): depth reached
+    * sf0.001 → 4, sf0.01 → 5, sf0.1 → 7; backward converges in
+    * depth+1. 10 carries the SSSP headroom convention. */
+  val Rounds = 10
+
+  @volatile private[graft] var lastMaxSigma: Long = -1
+  @volatile private[graft] var lastMaxTail: Long = -1
+
+  def stress(spark: SparkSession, edgesRaw: DataFrame,
+      sourceMax: Long = SourceMax, rounds: Int = Rounds): DataFrame =
+    LoopConf.pinned(spark, edgesRaw.count()) {
+      pinned(spark, edgesRaw, sourceMax, rounds)
+    }
+
+  private def pinned(spark: SparkSession, edgesRaw: DataFrame,
+      sourceMax: Long, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def free(df: DataFrame): Unit =
+      GraftColumnBridge.checkpointRdd(df).foreach(_.unpersist(false))
+
+    val e = ckpt(edgesRaw.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")))
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+
+    // forward: reached (s, v, d, sig); frontier = rows at depth k-1
+    var reached = ckpt(verts.filter(col("id") < sourceMax)
+      .select(col("id").as("s"), col("id").as("v"),
+        lit(0L).as("d"), lit(1L).as("sig")))
+    // early-stop on an empty frontier: rounds past the BFS fixpoint are
+    // idempotent (the unrolled oracle runs all of them and matches);
+    // maxDepth then bounds the backward iterations needed (T_i is exact
+    // for DAG height <= i, and height <= maxDepth)
+    var maxDepth = 0
+    var k = 1
+    var frontierEmpty = false
+    while (k <= rounds && !frontierEmpty) {
+      val frontier = reached.filter(col("d") === (k - 1).toLong)
+      val cand = frontier.join(e, col("v") === col("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum(col("sig")).as("nsig"))
+        .select(col("s"), col("dst").as("v"), col("nsig"))
+      val fresh = cand.join(reached.select(col("s"), col("v")),
+          Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(k.toLong).as("d"),
+          col("nsig").as("sig"))
+      val next = ckpt(reached.union(fresh))
+      if (next.count() == reached.count()) frontierEmpty = true
+      else maxDepth = k
+      free(reached); reached = next
+      k += 1
+    }
+
+    // shortest-path DAG: (s, u, w) with d(w) = d(u) + 1
+    val rFrom = reached.select(col("s"), col("v").as("u"), col("d").as("du"))
+    val rTo = reached.select(col("s").as("s2"), col("v").as("w"),
+      col("d").as("dw"))
+    val dag2 = ckpt(rFrom.join(e, col("u") === col("src"))
+      .join(rTo, col("s") === col("s2") && col("dst") === col("w"))
+      .filter(col("dw") === col("du") + 1L)
+      .select(col("s"), col("u"), col("w")))
+
+    // backward: T_0 = 1; T_i(v) = 1 + sum over DAG successors T_{i-1}(w)
+    var tail = ckpt(reached.select(col("s"), col("v"), lit(1L).as("t")))
+    for (_ <- 1 to math.min(rounds, maxDepth + 1)) {
+      // join DAG successors' current T onto each u
+      val ss = dag2.join(
+        tail.select(col("s").as("ts"), col("v").as("tw"), col("t")),
+        col("s") === col("ts") && col("w") === col("tw"))
+        .groupBy(col("s"), col("u")).agg(sum(col("t")).as("st"))
+        .select(col("s"), col("u").as("v"), col("st"))
+      val next = ckpt(reached.select(col("s"), col("v"))
+        .join(ss.hint("shuffle_hash"), Seq("s", "v"), "left")
+        .select(col("s"), col("v"),
+          (lit(1L) + coalesce(col("st"), lit(0L))).as("t")))
+      free(tail); tail = next
+    }
+
+    val joined = reached.select(col("s"), col("v"), col("sig"))
+      .join(tail, Seq("s", "v"))
+    val bounds = joined.agg(max(col("sig")).as("ms"), max(col("t")).as("mt"))
+      .head
+    lastMaxSigma = bounds.getLong(0)
+    lastMaxTail = bounds.getLong(1)
+    require(lastMaxSigma < (1L << 31) && lastMaxTail < (1L << 31),
+      s"stress centrality path counts near overflow (maxSigma=" +
+        s"$lastMaxSigma, maxTail=$lastMaxTail) — results would wrap in " +
+        "BIGINT; shrink the source sample or the round count")
+
+    val out = joined
+      .groupBy(col("v")).agg(sum(col("sig") * col("t")).as("stress"))
+      .select(col("v").as("id"), col("stress"))
+    free(e); free(dag2)
+    CheckpointRegistry.trackFinal(spark, reached)
+    CheckpointRegistry.trackFinal(spark, tail)
+    out
+  }
+
+  // ---- registry entry ---------------------------------------------------
+
+  private def oracleSql(sourceMax: Long, rounds: Int): String = {
+    import graft.graph.CitationGraph.edgesSql
+    val sb = new StringBuilder
+    sb.append(s"""WITH $edgesSql,
+      |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+      |v AS (SELECT DISTINCT id FROM
+      |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+      |r0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS d,
+      |  CAST(1 AS BIGINT) AS sig FROM v WHERE id < $sourceMax)""".stripMargin)
+    for (k <- 1 to rounds) {
+      sb.append(s""",
+        |r$k AS MATERIALIZED (
+        |  SELECT s, v, d, sig FROM r${k - 1}
+        |  UNION ALL
+        |  SELECT c.s, c.v, CAST($k AS BIGINT) AS d, c.nsig AS sig FROM (
+        |    SELECT f.s, e.dst AS v, CAST(sum(f.sig) AS BIGINT) AS nsig
+        |    FROM r${k - 1} f JOIN e ON e.src = f.v
+        |    WHERE f.d = ${k - 1}
+        |    GROUP BY f.s, e.dst) c
+        |  WHERE NOT EXISTS (SELECT 1 FROM r${k - 1} p
+        |    WHERE p.s = c.s AND p.v = c.v))""".stripMargin)
+    }
+    sb.append(s""",
+      |dag AS MATERIALIZED (
+      |  SELECT a.s, a.v AS u, b.v AS w
+      |  FROM r$rounds a JOIN e ON e.src = a.v
+      |    JOIN r$rounds b ON b.s = a.s AND b.v = e.dst
+      |  WHERE b.d = a.d + 1),
+      |t0 AS (SELECT s, v, CAST(1 AS BIGINT) AS t FROM r$rounds)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |t$i AS MATERIALIZED (
+        |  SELECT r.s, r.v,
+        |    CAST(1 + coalesce(x.st, 0) AS BIGINT) AS t
+        |  FROM r$rounds r LEFT JOIN (
+        |    SELECT dag.s, dag.u AS v, CAST(sum(p.t) AS BIGINT) AS st
+        |    FROM dag JOIN t${i - 1} p ON p.s = dag.s AND p.v = dag.w
+        |    GROUP BY dag.s, dag.u) x ON x.s = r.s AND x.v = r.v)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT r.v AS id, CAST(sum(r.sig * t.t) AS BIGINT) AS stress
+      |FROM r$rounds r JOIN t$rounds t ON t.s = r.s AND t.v = r.v
+      |GROUP BY r.v
+      |ORDER BY r.v""".stripMargin)
+    sb.toString
+  }
+
+  val stressQ: Q = Q(
+    "g_stress",
+    Some(oracleSql(SourceMax, Rounds)),
+    (s, d) =>
+      stress(s, graft.graph.CitationGraph.edges(s, d))
+        .orderBy(col("id")))
+
+  def all: Seq[Q] = Seq(stressQ)
+}

@@ -31,6 +31,7 @@ object Registry {
       graft.analytics.RandomWalks.all ++
       graft.analytics.Scc.all ++
       graft.analytics.Condensation.all ++
+      graft.analytics.Stress.all ++
       graft.analytics.KCore.all ++
       graft.analytics.Mis.all ++
       graft.analytics.Truss.all ++
