@@ -121,8 +121,10 @@ object Stress {
       .join(tail, Seq("s", "v"))
     val bounds = joined.agg(max(col("sig")).as("ms"), max(col("t")).as("mt"))
       .head
-    lastMaxSigma = bounds.getLong(0)
-    lastMaxTail = bounds.getLong(1)
+    // empty source set (no vertex under SourceMax / empty graph): max()
+    // is NULL and there is nothing to overflow
+    lastMaxSigma = if (bounds.isNullAt(0)) 0L else bounds.getLong(0)
+    lastMaxTail = if (bounds.isNullAt(1)) 0L else bounds.getLong(1)
     require(lastMaxSigma < (1L << 31) && lastMaxTail < (1L << 31),
       s"stress centrality path counts near overflow (maxSigma=" +
         s"$lastMaxSigma, maxTail=$lastMaxTail) — results would wrap in " +

@@ -143,4 +143,63 @@ class DegenerateInputSpec extends SparkSpec {
     assert(h != null && h(3) === 0L)
     assert(graft.functions.WavCodec.parseHeaderRaw(Array.emptyByteArray) == null)
   }
+
+  // ---- round-7 continuation operators ------------------------------------
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  test("SCC / condensation / stress / walks / temporal reach of an empty graph are empty") {
+    import spark.implicits._
+    assert(graft.analytics.Scc.scc(spark, emptyEdges).count() === 0)
+    assert(graft.analytics.Condensation.condensation(spark, emptyEdges).count() === 0)
+    assert(graft.analytics.Stress.stress(spark, emptyEdges).count() === 0)
+    assert(graft.analytics.RandomWalks.walks(spark, emptyEdges).count() === 0)
+    val te = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "t")
+    assert(graft.analytics.TemporalReach
+      .earliestArrival(spark, te, source = 1L).count() === 0)
+  }
+
+  test("self-loop-only graphs behave like empty ones for the new graph ops") {
+    import spark.implicits._
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(graft.analytics.Scc.scc(spark, loops).count() === 0)
+    assert(graft.analytics.Stress.stress(spark, loops).count() === 0)
+  }
+
+  test("MAD / percentile rank / CDC chunking / novelty / BPE of an empty corpus are empty") {
+    assert(graft.operators.RobustStats
+      .madOutliers(emptyDocs.withColumnRenamed("text", "g")
+        .withColumn("v", org.apache.spark.sql.functions.lit(1L)),
+        "doc_id", "g", "v").count() === 0)
+    assert(graft.pipeline.CdcChunk.chunkStats(emptyDocs).count() === 0)
+    assert(graft.pipeline.Novelty.noveltyOf(emptyDocs).count() === 0)
+    assert(graft.pipeline.BpeTrain.mergeCandidates(emptyDocs).count() === 0)
+  }
+
+  test("attribution with no clicks at all still reports every purchase at -1") {
+    import spark.implicits._
+    val e = Seq((1L, 7L, "purchase", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.queries.EventsAnalytics.attributionOf(e).collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(1L -> -1L))
+  }
+
+  test("CUSUM of a single-day single-type stream is day 0 score 0") {
+    import spark.implicits._
+    val e = Seq(("x", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("event_type", "ts")
+    val out = graft.operators.Changepoint.cusum(e).collect()
+    assert(out.length === 1 && out.head.getLong(1) === 0L &&
+      out.head.getLong(2) === 0L)
+  }
+
+  test("PNG with zero-length IDAT is still structurally valid; truncated signature is null") {
+    // encode always emits >= 8 IDAT bytes; hand-build the minimal case
+    val png = graft.functions.PngCodec.encode(1, 1, 0, 0L)
+    assert(graft.functions.PngCodec.parseHeaderRaw(png) != null)
+    assert(graft.functions.PngCodec.parseHeaderRaw(png.take(7)) == null)
+  }
 }
