@@ -48,7 +48,8 @@ object ScaleTrend {
     "x_mad_outliers", "t_cdc_chunk", "g_temporal_reach", "g_walks",
     "x_hrw_shard", "x_attribution", "t_bpe_merge", "g_scc",
     "m_png_decode", "x_cusum_changepoint", "t_ngram_novelty",
-    "g_condensation", "x_percentile_rank", "st_topk_window", "g_stress")
+    "g_condensation", "x_percentile_rank", "st_topk_window", "g_stress",
+    "x_table_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

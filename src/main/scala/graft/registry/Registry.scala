@@ -47,6 +47,7 @@ object Registry {
       graft.operators.RobustStats.all ++
       graft.operators.Rendezvous.all ++
       graft.operators.Changepoint.all ++
+      graft.operators.TableStats.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.pipeline.CdcChunk.all ++
       graft.pipeline.BpeTrain.all ++
