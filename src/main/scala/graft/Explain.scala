@@ -99,7 +99,8 @@ object Explain {
       "x_percentile_rank" -> "histogram mid-rank percentiles: tiny per-group windows, (group, value) join back",
       "st_topk_window" -> "windowed heavy hitters via k-bounded TopKByAgg — no per-window sort",
       "g_stress" -> "two-phase Brandes: (s, v)-keyed BFS sigma + DAG tail accumulation, all BIGINT",
-      "x_table_stats" -> "ANALYZE profile in ONE scan: Expand multi-distinct, no joins, no re-scan")
+      "x_table_stats" -> "ANALYZE profile in ONE scan: Expand multi-distinct, no joins, no re-scan",
+      "g_mst" -> "Borůvka round: component-keyed min-edge agg + log-depth pointer jumping")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -35,6 +35,13 @@ object SccProbe {
       println(f"CONDPROBE $d comps=$nc depthRounds=" +
         f"${graft.analytics.Condensation.lastDepthRounds} " +
         f"${(System.nanoTime() - t1) / 1e9}%.2fs")
+      val t2 = System.nanoTime()
+      val nm = graft.analytics.Mst.mst(spark,
+        graft.graph.CitationGraph.edges(spark, d)).count()
+      graft.analytics.CheckpointRegistry.releaseAll(spark)
+      println(f"MSTPROBE $d edges=$nm rounds=${graft.analytics.Mst.lastRounds} " +
+        f"jumpsOk=${graft.analytics.Mst.lastJumpsConverged} " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2fs")
     }
     spark.stop()
   }

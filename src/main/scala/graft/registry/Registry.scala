@@ -32,6 +32,7 @@ object Registry {
       graft.analytics.Scc.all ++
       graft.analytics.Condensation.all ++
       graft.analytics.Stress.all ++
+      graft.analytics.Mst.all ++
       graft.analytics.KCore.all ++
       graft.analytics.Mis.all ++
       graft.analytics.Truss.all ++
