@@ -35,15 +35,24 @@ object Condensation {
   @volatile private[graft] var lastDepthRounds: Int = -1
 
   def condensation(spark: SparkSession, edgesRaw: DataFrame): DataFrame = {
+    // g_scc's assignment, materialized so its pinned loop fully exits
+    // before ours starts; this ad-hoc path (specs, arbitrary edge
+    // frames) registry-tracks its own checkpoint for release
+    val a = Scc.scc(spark, edgesRaw).localCheckpoint(true)
+    CheckpointRegistry.trackFinal(spark, a)
+    condensationWith(spark, a, edgesRaw)
+  }
+
+  /** Condensation over a PRECOMPUTED (id, scc_id) assignment — the seam
+    * the registry query uses with Scc.assignmentFor's session cache, so
+    * g_scc and g_condensation in one session pay the SCC loop once. */
+  def condensationWith(spark: SparkSession, assign: DataFrame,
+      edgesRaw: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
 
     def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
     def free(df: DataFrame): Unit =
       GraftColumnBridge.checkpointRdd(df).foreach(_.unpersist(false))
-
-    // g_scc's assignment, materialized so its pinned loop fully exits
-    // before ours starts
-    val assign = ckpt(Scc.scc(spark, edgesRaw))
     val e = edgesRaw.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     val ce = ckpt(e
@@ -85,8 +94,10 @@ object Condensation {
     free(ce)
     val res = out.join(sizes, "scc_id")
       .select(col("scc_id"), col("depth"), col("size"))
+    // `assign` is NOT tracked here: the caller owns its lifetime (the
+    // registry query passes Scc.assignmentFor's session-pinned cache,
+    // which a post-query release would make unrecomputable)
     CheckpointRegistry.trackFinal(spark, out)
-    CheckpointRegistry.trackFinal(spark, assign)
     res
   }
 
@@ -126,7 +137,8 @@ object Condensation {
     "g_condensation",
     Some(oracleSql(DepthUnroll)),
     (s, d) => {
-      val out = condensation(s, graft.graph.CitationGraph.edges(s, d))
+      val out = condensationWith(s, Scc.assignmentFor(s, d),
+        graft.graph.CitationGraph.edges(s, d))
         .orderBy(col("scc_id"))
       require(lastDepthRounds <= DepthUnroll,
         s"g_condensation depth fixpoint took $lastDepthRounds rounds but " +
