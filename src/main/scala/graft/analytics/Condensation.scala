@@ -63,8 +63,9 @@ object Condensation {
     val sizes = assign.groupBy(col("scc_id")).agg(count(lit(1)).as("size"))
 
     val out = LoopConf.pinned(spark, ce.count()) {
-      var depth = ckpt(assign.select(col("scc_id")).distinct()
-        .select(col("scc_id"), lit(0L).as("depth")))
+      var depthFull = ckpt(assign.select(col("scc_id")).distinct()
+        .select(col("scc_id"), lit(0L).as("depth"), lit(false).as("chg")))
+      var depth = depthFull.select(col("scc_id"), col("depth"))
       var changed = 1L
       var rounds = 0
       // the condensation is a DAG by SCC correctness, so this always
@@ -75,20 +76,25 @@ object Condensation {
         val relax = depth.join(ce, col("scc_id") === col("src"))
           .groupBy(col("dst")).agg(max(col("depth") + 1L).as("cand"))
           .select(col("dst").as("scc_id"), col("cand"))
-        val next = ckpt(depth.join(relax.hint("shuffle_hash"),
+        // relaxation and its changed flag in one checkpoint job; the
+        // convergence count is a cached scan (the Scc/Mst fusion)
+        val nextFull = ckpt(depth.join(relax.hint("shuffle_hash"),
             Seq("scc_id"), "left")
           .select(col("scc_id"),
             greatest(col("depth"), coalesce(col("cand"), col("depth")))
-              .as("depth")))
-        changed = next.join(
-          depth.select(col("scc_id"), col("depth").as("pd")), "scc_id")
-          .filter(col("depth") =!= col("pd")).count()
-        free(depth); depth = next
+              .as("depth"),
+            (col("cand").isNotNull && col("cand") > col("depth")).as("chg")))
+        changed = nextFull.filter(col("chg")).count()
+        free(depthFull); depthFull = nextFull
+        depth = depthFull.select(col("scc_id"), col("depth"))
       }
       require(changed == 0,
         "condensation depth relaxation did not converge in 64 rounds — " +
           "the contracted graph is not acyclic (SCC assignment bug)")
       lastDepthRounds = rounds
+      // the result is a projection of depthFull — register the BACKING
+      // checkpoint (checkpointRdd only matches a bare LogicalRDD)
+      CheckpointRegistry.trackFinal(spark, depthFull)
       depth
     }
     free(ce)

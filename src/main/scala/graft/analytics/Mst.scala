@@ -125,16 +125,22 @@ object Mst {
           q.select(col("c").as("pc"), col("p").as("pp")).as("y"),
           col("p") === col("pc"))
           .select(col("c"), col("pp").as("p"))
-      var p = ckpt(p0)
+      var pFull = ckpt(p0.withColumn("chg", lit(true)))
+      var p = pFull.select(col("c"), col("p"))
       free(sel)
       var jumping = true
       var jumps = 0
       while (jumping && jumps < JumpsUnroll) {
         jumps += 1
-        val p2 = ckpt(jump(p))
-        val moved = p2.join(p.select(col("c"), col("p").as("old")), "c")
-          .filter(col("p") =!= col("old")).count()
-        free(p); p = p2
+        // the jump and its convergence flag materialize in ONE
+        // checkpoint job; the moved count is then a cached scan (the
+        // separate join+count per jump was a full extra shuffle job)
+        val nextFull = ckpt(jump(p).as("n")
+          .join(p.select(col("c"), col("p").as("old")), "c")
+          .select(col("c"), col("p"), (col("p") =!= col("old")).as("chg")))
+        val moved = nextFull.filter(col("chg")).count()
+        free(pFull); pFull = nextFull
+        p = pFull.select(col("c"), col("p"))
         if (moved == 0) jumping = false
       }
       // the loop only exits converged (moved == 0) or at the unroll
@@ -149,7 +155,7 @@ object Mst {
           col("w"), col("ou"), col("ov"))
         .filter(col("ca") =!= col("cb"))
         .distinct())
-      free(p); free(live)
+      free(pFull); free(live)
       live = nextLive
       nLive = live.count()
     }

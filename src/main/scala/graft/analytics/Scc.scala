@@ -77,7 +77,9 @@ object Scc {
     while (nActive > 0) {
       outer += 1
       // 1. forward max flood to fixpoint
-      var color = ckpt(verts.select(col("id"), col("id").as("c")))
+      var colorFull = ckpt(verts.select(col("id"), col("id").as("c"),
+        lit(false).as("chg")))
+      var color = colorFull.select(col("id"), col("c"))
       var changed = 1L
       var fwd = 0
       while (changed > 0) {
@@ -85,13 +87,17 @@ object Scc {
         val incoming = color.join(edges, col("id") === col("src"))
           .groupBy(col("dst")).agg(max(col("c")).as("mc"))
           .select(col("dst").as("id"), col("mc"))
-        val nextC = ckpt(color.join(incoming.hint("shuffle_hash"),
+        // flood step and its changed flag in ONE checkpoint job; the
+        // convergence count is then a cached scan (the separate
+        // join+count per round was a full extra shuffle job)
+        val nextFull = ckpt(color.join(incoming.hint("shuffle_hash"),
             Seq("id"), "left")
-          .select(col("id"), greatest(col("c"), coalesce(col("mc"),
-            col("c"))).as("c")))
-        changed = nextC.join(color.select(col("id"), col("c").as("pc")),
-          "id").filter(col("c") =!= col("pc")).count()
-        free(color); color = nextC
+          .select(col("id"),
+            greatest(col("c"), coalesce(col("mc"), col("c"))).as("c"),
+            (col("mc").isNotNull && col("mc") > col("c")).as("chg")))
+        changed = nextFull.filter(col("chg")).count()
+        free(colorFull); colorFull = nextFull
+        color = colorFull.select(col("id"), col("c"))
       }
       maxFwd = math.max(maxFwd, fwd)
       // 2+3. backward flood inside color classes from the roots
@@ -117,7 +123,7 @@ object Scc {
       val assigned = ckpt(member.select(col("id"), col("c").as("scc_id")))
       sccFrames += assigned
       CheckpointRegistry.trackFinal(spark, assigned)
-      free(member); free(color)
+      free(member); free(colorFull)
       // 4. shrink the live subgraph
       val nextVerts = ckpt(verts.join(assigned.select(col("id")),
         Seq("id"), "left_anti"))
