@@ -100,7 +100,8 @@ object Explain {
       "st_topk_window" -> "windowed heavy hitters via k-bounded TopKByAgg — no per-window sort",
       "g_stress" -> "two-phase Brandes: (s, v)-keyed BFS sigma + DAG tail accumulation, all BIGINT",
       "x_table_stats" -> "ANALYZE profile in ONE scan: Expand multi-distinct, no joins, no re-scan",
-      "g_mst" -> "Borůvka round: component-keyed min-edge agg + log-depth pointer jumping")
+      "g_mst" -> "Borůvka round: component-keyed min-edge agg + log-depth pointer jumping",
+      "x_dow_seasonality" -> "corpus collapses to <=7 rows per type in one map-side count")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -81,5 +81,48 @@ object Changepoint {
     (s, d) => cusum(Tables.events(s, d).select(col("event_type"), col("ts")))
       .orderBy(col("event_type")))
 
-  def all: Seq[Q] = Seq(cusumQ)
+  /** Day-of-week seasonality profile per event type — the periodic
+    * companion to the CUSUM level-shift detector: per (type, weekday)
+    * the event count and its deviation from uniform, dev = |7·cnt −
+    * total| (the integer-exact chi-square numerator — no division, no
+    * floats). Weekday = day-number % 7 anchored at the 2024-01-01
+    * corpus epoch (a Monday): pure integer arithmetic on both engines,
+    * immune to the Sunday-0 / Monday-1 weekday-function disagreements.
+    *
+    * Scale shape: the corpus collapses to ≤ 7 rows per type in one
+    * map-side-combinable count; everything after is constant-size. */
+  def dowProfile(events: DataFrame): DataFrame = {
+    val daily = events.select(col("event_type"),
+      (datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long") % 7L).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("total"))
+    daily.join(totals, "event_type")
+      .select(col("event_type"), col("dow"), col("cnt"),
+        abs(lit(7L) * col("cnt") - col("total")).as("dev"))
+  }
+
+  private val dowOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) % 7
+      |      AS dow,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
+      |  FROM daily GROUP BY 1)
+      |SELECT d.event_type, d.dow, d.cnt,
+      |  abs(7 * d.cnt - t.total) AS dev
+      |FROM daily d JOIN tot t ON d.event_type = t.event_type
+      |ORDER BY d.event_type, d.dow""".stripMargin
+
+  val dowQ: Q = Q(
+    "x_dow_seasonality",
+    Some(dowOracleSql),
+    (s, d) => dowProfile(Tables.events(s, d).select(col("event_type"), col("ts")))
+      .orderBy(col("event_type"), col("dow")))
+
+  def all: Seq[Q] = Seq(cusumQ, dowQ)
 }

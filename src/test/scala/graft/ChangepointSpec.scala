@@ -47,6 +47,33 @@ class ChangepointSpec extends SparkSpec {
     assert(m("b") === ((0L, 2L)))
   }
 
+  test("DOW profile: exact deviation arithmetic and epoch anchoring") {
+    import spark.implicits._
+    // 2024-01-01 is day 0 (dow 0); 2024-01-02 dow 1; 2024-01-08 dow 0
+    val rows = Seq(("a", "2024-01-01"), ("a", "2024-01-08"),
+      ("a", "2024-01-02"))
+      .map { case (t, d) => (t, java.sql.Timestamp.valueOf(d + " 09:00:00")) }
+      .toDF("event_type", "ts")
+    val m = Changepoint.dowProfile(rows).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // dow0: cnt 2, dev |14-3|=11; dow1: cnt 1, dev |7-3|=4
+    assert(m === Map(0L -> ((2L, 11L)), 1L -> ((1L, 4L))))
+  }
+
+  test("DOW profile: corpus has <= 7 rows per type, counts sum to type totals") {
+    val e = Tables.events(spark, sf())
+    val out = Changepoint.dowProfile(e.select(col("event_type"), col("ts")))
+    val perType = out.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cnt").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val totals = e.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perType.foreach { case (t, (n, s)) =>
+      assert(n <= 7L)
+      assert(s === totals(t))
+    }
+  }
+
   test("corpus: one row per event type, day within the observed range") {
     val e = Tables.events(spark, sf())
     val out = Changepoint.cusum(e.select(col("event_type"), col("ts")))

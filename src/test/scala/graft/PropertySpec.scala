@@ -78,4 +78,92 @@ class PropertySpec extends SparkSpec {
       assert(ed >= 1.0 && ed <= (n - 1).toDouble, s"n=$n ed=$ed")
     }
   }
+
+  test("histogram median/MAD equals the sort-based reference on random groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    (1L to 8L).foreach { seed =>
+      val rows = sample(Gen.listOfN(80, Gen.zip(
+        Gen.oneOf("g1", "g2", "g3"), Gen.chooseNum(0L, 30L))), seed)
+        .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      val out = graft.operators.RobustStats
+        .madOutliers(rows.toDF("id", "g", "v"), "id", "g", "v")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      // reference: lower median by explicit sort
+      def lowerMedian(xs: Seq[Long]): Long =
+        xs.sorted.apply(((xs.size + 1) / 2) - 1)
+      rows.groupBy(_._2).foreach { case (g, grp) =>
+        val vs = grp.map(_._3)
+        val med = lowerMedian(vs)
+        val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+        grp.foreach { case (id, _, v) =>
+          val (m, d, o) = out(id)
+          assert(m === med && d === mad, s"seed=$seed g=$g")
+          assert(o === (if (math.abs(v - med) > 3 * mad) 1L else 0L))
+        }
+      }
+    }
+  }
+
+  test("percentile ranks are monotone in the value and bounded (random groups)") {
+    import spark.implicits._
+    (1L to 8L).foreach { seed =>
+      val rows = sample(Gen.listOfN(60, Gen.zip(
+        Gen.oneOf("a", "b"), Gen.chooseNum(0L, 20L))), seed)
+        .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      val out = graft.operators.RobustStats
+        .percentileRank(rows.toDF("id", "g", "v"), "id", "g", "v")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      out.groupBy(_._1).foreach { case (_, grp) =>
+        val byV = grp.distinct.sortBy(_._2).toSeq
+        byV.sliding(2).foreach {
+          case Seq(x, y) => assert(x._3 < y._3, s"seed=$seed: $x !< $y")
+          case _ =>
+        }
+        assert(byV.forall(p => p._3 > 0 && p._3 <= 1000000L))
+      }
+    }
+  }
+
+  test("CDC chunks reassemble losslessly for random token lists") {
+    import spark.implicits._
+    (1L to 6L).foreach { seed =>
+      val texts = sample(Gen.listOfN(5, Gen.listOfN(40,
+        Gen.oneOf((1 to 30).map(i => s"w$i")))), seed)
+        .zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val stats = graft.pipeline.CdcChunk
+        .chunkStats(texts.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      texts.foreach { case (id, t) =>
+        assert(stats(id) === t.split("\\s+").length.toLong, s"seed=$seed doc=$id")
+      }
+    }
+  }
+
+  test("HRW sharding: the movement law holds for random key sets") {
+    import spark.implicits._
+    (1L to 6L).foreach { seed =>
+      val ids = sample(Gen.listOfN(80, Gen.chooseNum(0L, 1L << 40)), seed)
+        .distinct
+      val out = graft.operators.Rendezvous.assign(ids.toDF("doc_id"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      out.foreach { case (s8, s9, moved) =>
+        assert(s8 >= 0 && s8 < 8 && s9 >= 0 && s9 < 9)
+        if (moved == 1L) assert(s9 === 8L, s"seed=$seed moved to $s9")
+        else assert(s8 === s9)
+      }
+    }
+  }
+
+  test("PNG encode/parse round-trips for random geometry") {
+    (1L to 30L).foreach { seed =>
+      val w = sample(Gen.chooseNum(1, 1 << 24), seed)
+      val h = sample(Gen.chooseNum(1, 1 << 20), seed + 50)
+      val ct = sample(Gen.oneOf(0, 2, 3, 4, 6), seed + 100)
+      val hd = graft.functions.PngCodec.parseHeaderRaw(
+        graft.functions.PngCodec.encode(w, h, ct, seed))
+      assert(hd != null && hd.toSeq === Seq(w.toLong, h.toLong, 8L, ct.toLong))
+    }
+  }
 }
