@@ -101,7 +101,8 @@ object Explain {
       "g_stress" -> "two-phase Brandes: (s, v)-keyed BFS sigma + DAG tail accumulation, all BIGINT",
       "x_table_stats" -> "ANALYZE profile in ONE scan: Expand multi-distinct, no joins, no re-scan",
       "g_mst" -> "Borůvka round: component-keyed min-edge agg + log-depth pointer jumping",
-      "x_dow_seasonality" -> "corpus collapses to <=7 rows per type in one map-side count")
+      "x_dow_seasonality" -> "corpus collapses to <=7 rows per type in one map-side count",
+      "d_corpus_report" -> "composition capstone: scalar aggs + hash dup + MAD + novelty, one row per metric")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -53,6 +53,7 @@ object Registry {
       graft.pipeline.CdcChunk.all ++
       graft.pipeline.BpeTrain.all ++
       graft.pipeline.Novelty.all ++
+      graft.pipeline.CorpusReport.all ++
       graft.pipeline.VectorIndex.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Pii.all ++
