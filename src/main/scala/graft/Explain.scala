@@ -102,7 +102,9 @@ object Explain {
       "x_table_stats" -> "ANALYZE profile in ONE scan: Expand multi-distinct, no joins, no re-scan",
       "g_mst" -> "Borůvka round: component-keyed min-edge agg + log-depth pointer jumping",
       "x_dow_seasonality" -> "corpus collapses to <=7 rows per type in one map-side count",
-      "d_corpus_report" -> "composition capstone: scalar aggs + hash dup + MAD + novelty, one row per metric")
+      "d_corpus_report" -> "composition capstone: scalar aggs + hash dup + MAD + novelty, one row per metric",
+      "g_harmonic" -> "sampled BFS like g_stress's forward phase; (s,v) state, frontier-edge join + min-dedup",
+      "d_coreset_kcenter" -> "k-center rounds: narrow map vs 1-row broadcast center + two scalar aggs, O(n·k)")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

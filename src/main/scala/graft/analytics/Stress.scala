@@ -45,26 +45,32 @@ object Stress {
   @volatile private[graft] var lastMaxSigma: Long = -1
   @volatile private[graft] var lastMaxTail: Long = -1
 
-  def stress(spark: SparkSession, edgesRaw: DataFrame,
-      sourceMax: Long = SourceMax, rounds: Int = Rounds): DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) {
-      pinned(spark, edgesRaw, sourceMax, rounds)
-    }
-
-  private def pinned(spark: SparkSession, edgesRaw: DataFrame,
-      sourceMax: Long, rounds: Int): DataFrame = {
+  private def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  private def free(df: DataFrame): Unit = {
     import org.apache.spark.sql.GraftColumnBridge
-    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    def free(df: DataFrame): Unit =
-      GraftColumnBridge.checkpointRdd(df).foreach(_.unpersist(false))
+    GraftColumnBridge.checkpointRdd(df).foreach(_.unpersist(false))
+  }
 
-    val e = ckpt(edgesRaw.select(col("src"), col("dst"))
+  /** Deduped, self-loop-free, src-repartitioned edge frame — the layout
+    * every phase joins against. NOT checkpointed here (callers decide
+    * whether it is transient or session-pinned). */
+  private[analytics] def prep(edgesRaw: DataFrame): DataFrame =
+    edgesRaw.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")))
+      .repartition(col("src"))
+
+  /** Forward level-synchronous BFS from the id < sourceMax sample over
+    * a prepped (checkpointed) edge frame: returns the checkpointed
+    * (s, v, d, sig) level frame and the max depth reached. Shared by
+    * stress (which continues with the backward phase) and harmonic
+    * centrality (which only needs the levels) — one implementation, one
+    * session-cached materialization ([[levelsFor]]). */
+  private[analytics] def forward(spark: SparkSession, e: DataFrame,
+      sourceMax: Long, rounds: Int): (DataFrame, Int) = {
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
 
-    // forward: reached (s, v, d, sig); frontier = rows at depth k-1
+    // reached (s, v, d, sig); frontier = rows at depth k-1
     var reached = ckpt(verts.filter(col("id") < sourceMax)
       .select(col("id").as("s"), col("id").as("v"),
         lit(0L).as("d"), lit(1L).as("sig")))
@@ -91,7 +97,25 @@ object Stress {
       free(reached); reached = next
       k += 1
     }
+    (reached, maxDepth)
+  }
 
+  def stress(spark: SparkSession, edgesRaw: DataFrame,
+      sourceMax: Long = SourceMax, rounds: Int = Rounds): DataFrame =
+    LoopConf.pinned(spark, edgesRaw.count()) {
+      val e = ckpt(prep(edgesRaw))
+      val (reached, maxDepth) = forward(spark, e, sourceMax, rounds)
+      val out = backward(spark, e, reached, maxDepth, rounds)
+      free(e)
+      CheckpointRegistry.trackFinal(spark, reached)
+      out
+    }
+
+  /** DAG derivation + backward tail accumulation + overflow gate. The
+    * level frame is read, never freed, here — the caller owns it (it
+    * may be the session-pinned cache). */
+  private def backward(spark: SparkSession, e: DataFrame,
+      reached: DataFrame, maxDepth: Int, rounds: Int): DataFrame = {
     // shortest-path DAG: (s, u, w) with d(w) = d(u) + 1
     val rFrom = reached.select(col("s"), col("v").as("u"), col("d").as("du"))
     val rTo = reached.select(col("s").as("s2"), col("v").as("w"),
@@ -133,10 +157,41 @@ object Stress {
     val out = joined
       .groupBy(col("v")).agg(sum(col("sig") * col("t")).as("stress"))
       .select(col("v").as("id"), col("stress"))
-    free(e); free(dag2)
-    CheckpointRegistry.trackFinal(spark, reached)
+    free(dag2)
     CheckpointRegistry.trackFinal(spark, tail)
     out
+  }
+
+  /** Session-scoped sampled-BFS cache, keyed (session, dataset):
+    * g_stress and g_harmonic both consume the (s, v, d, sig) level
+    * frame, and a session composing several centrality analytics
+    * should pay the BFS ONCE (the [[Scc.assignmentFor]] discipline).
+    * Both frames are eager localCheckpoints — |sample| × |V| rows of
+    * four longs plus the deduped edges — small enough to pin for the
+    * session, and deliberately NOT CheckpointRegistry-tracked (the
+    * registry releases after every query; a released truncated
+    * checkpoint would be unrecomputable for the next caller). */
+  private val levelsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame, Int, Long)]()
+
+  private[analytics] def levelsFor(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, Int, Long) =
+    levelsCache.computeIfAbsent((graft.SessionKey(spark), dir), _ => {
+      val raw = graft.graph.CitationGraph.edges(spark, dir)
+      val eCnt = raw.count()
+      LoopConf.pinned(spark, eCnt) {
+        val e = ckpt(prep(raw))
+        val (reached, maxDepth) = forward(spark, e, SourceMax, Rounds)
+        (e, reached, maxDepth, eCnt)
+      }
+    })
+
+  /** Registry path: backward phase over the session-cached levels. */
+  def stressFor(spark: SparkSession, dir: String): DataFrame = {
+    val (e, reached, maxDepth, eCnt) = levelsFor(spark, dir)
+    LoopConf.pinned(spark, eCnt) {
+      backward(spark, e, reached, maxDepth, Rounds)
+    }
   }
 
   // ---- registry entry ---------------------------------------------------
@@ -191,9 +246,7 @@ object Stress {
   val stressQ: Q = Q(
     "g_stress",
     Some(oracleSql(SourceMax, Rounds)),
-    (s, d) =>
-      stress(s, graft.graph.CitationGraph.edges(s, d))
-        .orderBy(col("id")))
+    (s, d) => stressFor(s, d).orderBy(col("id")))
 
   def all: Seq[Q] = Seq(stressQ)
 }

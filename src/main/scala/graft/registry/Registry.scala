@@ -32,6 +32,7 @@ object Registry {
       graft.analytics.Scc.all ++
       graft.analytics.Condensation.all ++
       graft.analytics.Stress.all ++
+      graft.analytics.Harmonic.all ++
       graft.analytics.Mst.all ++
       graft.analytics.KCore.all ++
       graft.analytics.Mis.all ++
@@ -54,6 +55,7 @@ object Registry {
       graft.pipeline.BpeTrain.all ++
       graft.pipeline.Novelty.all ++
       graft.pipeline.CorpusReport.all ++
+      graft.pipeline.Coreset.all ++
       graft.pipeline.VectorIndex.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Pii.all ++
