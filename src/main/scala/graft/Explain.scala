@@ -104,7 +104,8 @@ object Explain {
       "x_dow_seasonality" -> "corpus collapses to <=7 rows per type in one map-side count",
       "d_corpus_report" -> "composition capstone: scalar aggs + hash dup + MAD + novelty, one row per metric",
       "g_harmonic" -> "sampled BFS like g_stress's forward phase; (s,v) state, frontier-edge join + min-dedup",
-      "d_coreset_kcenter" -> "k-center rounds: narrow map vs 1-row broadcast center + two scalar aggs, O(n·k)")
+      "d_coreset_kcenter" -> "k-center rounds: narrow map vs 1-row broadcast center + two scalar aggs, O(n·k)",
+      "g_modularity" -> "arc set labeled by two vertex-keyed joins vs cached assignment; label-keyed sums, 1-row A broadcast")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -80,10 +80,13 @@ object LabelPropagation {
 
   // ---- registry entry ---------------------------------------------------
 
-  private def oracleSql(rounds: Int): String = {
+  /** The WITH-body CTE chain ending in `lab<rounds>` — shared with the
+    * modularity oracle ([[Modularity]]), which scores this exact
+    * assignment, so the two oracles can never drift. */
+  private[analytics] def oracleCtes(rounds: Int): String = {
     import graft.graph.CitationGraph.edgesSql
     val head =
-      s"""WITH $edgesSql,
+      s"""$edgesSql,
          |e AS (SELECT src, dst FROM edges WHERE src <> dst
          |  UNION SELECT dst, src FROM edges WHERE src <> dst),
          |lab0 AS (SELECT DISTINCT src AS id, src AS lab FROM e)""".stripMargin
@@ -94,16 +97,31 @@ object LabelPropagation {
          |  SELECT id, lab, row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rk
          |  FROM h$r) WHERE rk = 1)""".stripMargin
     }
-    (head +: levels).mkString(",\n") +
-      s"\nSELECT id, lab FROM lab$rounds ORDER BY id"
+    (head +: levels).mkString(",\n")
   }
+
+  private def oracleSql(rounds: Int): String =
+    s"WITH ${oracleCtes(rounds)}\nSELECT id, lab FROM lab$rounds ORDER BY id"
+
+  /** Session-scoped assignment cache, keyed (session, dataset):
+    * g_labelprop and g_modularity both need the assignment, and a
+    * session composing community analytics should pay the propagation
+    * loop once (the [[Scc.assignmentFor]] discipline). Eager
+    * localCheckpoint of |V| 2-column rows, deliberately NOT
+    * CheckpointRegistry-tracked — the registry releases after every
+    * query, which would truncate the cache for the next caller. */
+  private val assignCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def assignmentFor(spark: SparkSession, dir: String): DataFrame =
+    assignCache.computeIfAbsent((graft.SessionKey(spark), dir), _ =>
+      labelProp(spark, graft.graph.CitationGraph.edges(spark, dir))
+        .localCheckpoint(true))
 
   val labelPropQ: Q = Q(
     "g_labelprop",
     Some(oracleSql(Rounds)),
-    (s, d) =>
-      labelProp(s, graft.graph.CitationGraph.edges(s, d))
-        .orderBy(col("id")))
+    (s, d) => assignmentFor(s, d).orderBy(col("id")))
 
   def all: Seq[Q] = Seq(labelPropQ)
 }

@@ -38,6 +38,7 @@ object Registry {
       graft.analytics.Mis.all ++
       graft.analytics.Truss.all ++
       graft.analytics.LabelPropagation.all ++
+      graft.analytics.Modularity.all ++
       graft.operators.Cdc.all ++
       graft.operators.BloomPrune.all ++
       graft.sources.ZOrderStore.all ++
