@@ -105,7 +105,8 @@ object Explain {
       "d_corpus_report" -> "composition capstone: scalar aggs + hash dup + MAD + novelty, one row per metric",
       "g_harmonic" -> "sampled BFS like g_stress's forward phase; (s,v) state, frontier-edge join + min-dedup",
       "d_coreset_kcenter" -> "k-center rounds: narrow map vs 1-row broadcast center + two scalar aggs, O(n·k)",
-      "g_modularity" -> "arc set labeled by two vertex-keyed joins vs cached assignment; label-keyed sums, 1-row A broadcast")
+      "g_modularity" -> "arc set labeled by two vertex-keyed joins vs cached assignment; label-keyed sums, 1-row A broadcast",
+      "d_dedup_ppjoin" -> "prefix-filtered set-similarity: doc-keyed prefix window, rare-token equi-join, candidate-scoped verify")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -57,6 +57,7 @@ object Registry {
       graft.pipeline.Novelty.all ++
       graft.pipeline.CorpusReport.all ++
       graft.pipeline.Coreset.all ++
+      graft.pipeline.PpJoin.all ++
       graft.pipeline.VectorIndex.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Pii.all ++

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.PpJoin
+
+/** Prefix-filtered set-similarity join: hand-computed Jaccard pairs,
+  * the completeness law vs an in-test brute force, boundary and
+  * hot-token behavior, and corpus sanity. */
+class PpJoinSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def run(df: DataFrame): Seq[(Long, Long, Long, Long, Long, Long)] =
+    PpJoin.similarPairs(spark, df).orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+
+  /** All-pairs reference: exact token-set Jaccard >= 1/2, driver-side. */
+  private def brute(rows: Seq[(Long, String)]): Set[(Long, Long)] = {
+    val sets = rows.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      c = (sa & sb).size
+      if c * PpJoin.TauDen >= PpJoin.TauNum * (sa.size + sb.size - c)
+    } yield (a, b)).toSet
+  }
+
+  test("identical docs: J = 1, ppm = 1000000") {
+    val t = run(docs(1L -> "alpha beta gamma", 2L -> "gamma alpha beta"))
+    assert(t === Seq((1L, 2L, 3L, 3L, 3L, 1000000L)))
+  }
+
+  test("exact threshold boundary: J = 19/20 qualifies, just below does not") {
+    val twenty = (0 until 20).map(i => s"w$i")
+    // 19-token subset of a 20-token doc: c=19, union 20 -> J = 19/20
+    val in = run(docs(
+      1L -> twenty.mkString(" "), 2L -> twenty.take(19).mkString(" ")))
+    assert(in === Seq((1L, 2L, 19L, 20L, 19L, 950000L)))
+    // swap one token instead: c=19, union 21 -> J = 19/21 < 19/20
+    assert(run(docs(
+      1L -> twenty.mkString(" "),
+      2L -> (twenty.take(19) :+ "other").mkString(" "))).isEmpty)
+  }
+
+  test("duplicate tokens collapse to sets before scoring") {
+    // repeated words change nothing: {x,y} vs {x,y}
+    val t = run(docs(1L -> "x x x y", 2L -> "y x y"))
+    assert(t === Seq((1L, 2L, 2L, 2L, 2L, 1000000L)))
+  }
+
+  test("empty and whitespace-only docs never pair") {
+    assert(run(docs(1L -> "", 2L -> "   ", 3L -> "solo words here")).isEmpty)
+  }
+
+  test("completeness vs brute force on an adversarial hot-token corpus") {
+    // every doc shares 20 hot boilerplate tokens; paired docs (2k-1, 2k)
+    // differ only in one rare token — the overlap a df-cap path could
+    // drop from generation is exactly what qualifies here
+    val boiler = (0 until 20).map(i => s"common$i").mkString(" ")
+    val rows: Seq[(Long, String)] = (1L to 30L).map { i =>
+      i -> s"$boiler pair${(i + 1) / 2}"
+    }
+    val got = run(docs(rows: _*)).map(p => (p._1, p._2)).toSet
+    assert(got === brute(rows))
+    // each (2k-1, 2k) pair is identical -> J = 1
+    assert(got.size >= 15)
+  }
+
+  test("completeness vs brute force on graded-overlap vocabulary") {
+    // doc i holds a 40-token sliding window over a shared sequence —
+    // adjacent docs overlap 39/41 < tau, identical-window repeats hit 1
+    val rows: Seq[(Long, String)] = (1L to 50L).map { i =>
+      val start = (i.toInt % 25) * 1 // repeats every 25 docs
+      i -> (start until start + 40).map(j => s"w$j").mkString(" ")
+    }
+    val got = run(docs(rows: _*)).map(p => (p._1, p._2)).toSet
+    assert(got === brute(rows))
+    assert(got.nonEmpty)
+  }
+
+  test("deterministic across layouts") {
+    val d = docs((1L to 40L).map(i =>
+      i -> (0 until 6).map(j => s"t${(i * 5 + j * 11) % 17}").mkString(" ")): _*)
+    assert(run(d) === run(d.repartition(9)))
+  }
+
+  test("corpus: near-dup pairs surface and every reported pair is exact") {
+    val t = run(Tables.documents(spark, sf()))
+    assert(t.nonEmpty)
+    t.foreach { case (a, b, c, na, nb, ppm) =>
+      assert(a < b)
+      assert(c >= 1 && c <= math.min(na, nb))
+      assert(c * PpJoin.TauDen >= PpJoin.TauNum * (na + nb - c))
+      assert(ppm === 1000000L * c / (na + nb - c))
+    }
+  }
+}
