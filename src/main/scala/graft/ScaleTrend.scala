@@ -50,7 +50,8 @@ object ScaleTrend {
     "m_png_decode", "x_cusum_changepoint", "t_ngram_novelty",
     "g_condensation", "x_percentile_rank", "st_topk_window", "g_stress",
     "x_table_stats", "g_mst", "x_dow_seasonality", "d_corpus_report",
-    "g_harmonic", "d_coreset_kcenter", "g_modularity", "d_dedup_ppjoin")
+    "g_harmonic", "d_coreset_kcenter", "g_modularity", "d_dedup_ppjoin",
+    "m_wav_loudness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -141,4 +141,52 @@ object WavCodec {
     else new GenericInternalRow(
       Array[Any](raw(0), raw(1), raw(2), raw(3), raw(4)))
   }
+
+  /** PCM sample statistics over a COMPLETE canonical WAV — the first
+    * decode here that reads the DATA, not just a header: every
+    * interleaved 16-bit sample is sign-extended and folded into
+    * loudness features. Returns [n_samples_total, sum_sq, peak]
+    * (sum_sq is the exact integer energy — RMS² · n — so no float
+    * crosses an engine boundary; peak = max |s|). Null on any header
+    * violation, a non-16-bit stream (the only depth this family
+    * encodes), a payload shorter than the declared dataSize, or
+    * trailing bytes — the null-on-ANY-violation contract. Overflow:
+    * sum_sq ≤ (dataSize/2) · 2³⁰ < 2⁶¹ for the u32-bounded dataSize. */
+  def pcmStatsRaw(b: Array[Byte]): Array[Long] = {
+    val h = parseHeaderRaw(b)
+    if (h == null) return null
+    if (h(2) != 16L) return null
+    val dataSize = getIntLE(b, 40)
+    if (b.length != HeaderLen + dataSize) return null
+    val n = dataSize / 2
+    var sumSq = 0L
+    var peak = 0L
+    var k = 0
+    while (k < n) {
+      val s = (getShortLE(b, HeaderLen + 2 * k) << 16) >> 16 // sign-extend
+      sumSq += s.toLong * s
+      val a = if (s < 0) -s.toLong else s.toLong
+      if (a > peak) peak = a
+      k += 1
+    }
+    Array[Long](n.toLong, sumSq, peak)
+  }
+
+  /** Batched PCM stats — one dispatch per batch of full payloads. */
+  def pcmStatsBatch(wavs: Array[Array[Byte]]): Array[Array[Long]] = {
+    val out = new Array[Array[Long]](wavs.length)
+    var i = 0
+    while (i < wavs.length) {
+      out(i) = pcmStatsRaw(wavs(i))
+      i += 1
+    }
+    out
+  }
+
+  /** Expression adapter: struct(n_samples, sum_sq, peak) or null. */
+  def pcmStats(b: Array[Byte]): InternalRow = {
+    val raw = pcmStatsRaw(b)
+    if (raw == null) null
+    else new GenericInternalRow(Array[Any](raw(0), raw(1), raw(2)))
+  }
 }

@@ -242,6 +242,31 @@ object ParseWavHeader {
     StructField("byte_rate", LongType, nullable = false)))
 }
 
+/** Decode every 16-bit PCM sample of a complete WAV into exact-integer
+  * loudness features (WavCodec.pcmStatsRaw): struct(n_samples, sum_sq,
+  * peak); NULL on any structural violation or non-16-bit stream. */
+case class ParseWavPcm(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ParseWavPcm.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    WavCodec.pcmStats(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.WavCodec.pcmStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ParseWavPcm =
+    copy(child = newChild)
+}
+
+object ParseWavPcm {
+  val schema: StructType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false)))
+}
+
 /** Synthesize a structurally complete PNG (PngCodec.encode) from
   * (width, height, colorType, seed) — the big-endian "media producer"
   * of the codec family. NULL for invalid geometry/color type. */
@@ -408,6 +433,9 @@ object GraftFunctions {
 
   def parse_wav_header(bytes: Column): Column =
     GraftColumnBridge.column(ParseWavHeader(GraftColumnBridge.expression(bytes)))
+
+  def parse_wav_pcm(bytes: Column): Column =
+    GraftColumnBridge.column(ParseWavPcm(GraftColumnBridge.expression(bytes)))
 
   def encode_png(width: Column, height: Column, colorType: Column,
       seed: Column): Column =

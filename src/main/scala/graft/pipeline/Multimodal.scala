@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{byte_histogram, encode_bmp, encode_png, encode_wav, pack_frames, parse_bmp_header, parse_frames, parse_png_header, parse_wav_header, sample_bytes}
+import graft.functions.GraftFunctions.{byte_histogram, encode_bmp, encode_png, encode_wav, pack_frames, parse_bmp_header, parse_frames, parse_png_header, parse_wav_header, parse_wav_pcm, sample_bytes}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -283,6 +283,45 @@ object Multimodal {
       .toDF()
   }
 
+  /** Full-payload PCM decode: deframe (parse_frames already yields the
+    * concatenated payload, i.e. the complete WAV), then fold EVERY
+    * interleaved 16-bit sample into exact-integer loudness features —
+    * the first decode in the family that reads sample DATA, not just a
+    * header: n_samples, sum_sq (energy = RMS²·n, so no float crosses
+    * the engine boundary) and peak amplitude. */
+  def wavLoudness(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"), parse_wav_pcm(col("f.payload")).as("s"))
+      .select(col("doc_id"),
+        col("s.n_samples").as("n_samples"),
+        col("s.sum_sq").as("sum_sq"),
+        col("s.peak").as("peak"))
+
+  final case class WavPcmRow(doc_id: Long, n_samples: Long, sum_sq: Long,
+      peak: Long)
+
+  /** Batched loudness path — unlike the header twins this one hands the
+    * FULL reassembled payload to the batch kernel, one dispatch per
+    * batch. */
+  def wavLoudnessBatch(containers: DataFrame, batchSize: Int = 512): DataFrame = {
+    val spark = containers.sparkSession
+    import spark.implicits._
+    containers.select(col("doc_id"), col("container")).as[Container]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val deframed = FrameCodec.parseBatch(batch.map(_.container).toArray)
+          val wavs: Array[Array[Byte]] =
+            deframed.map(r => if (r == null) null else r._2)
+          val stats = graft.functions.WavCodec.pcmStatsBatch(wavs)
+          batch.iterator.zip(stats.iterator).collect {
+            case (c, s) if s != null =>
+              WavPcmRow(c.doc_id, s(0), s(1), s(2))
+          }
+        }
+      }
+      .toDF()
+  }
+
   // ---- PNG-in-GRFT1 decode (big-endian + CRC member of the family) ------
 
   /** documents -> (doc_id, container BINARY): a structurally complete
@@ -521,7 +560,50 @@ object Multimodal {
       parsePngHeadersBatch(withPngContainers(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
+  /** The WAV data bytes are (i·7 + seed) % 251 (WavCodec.encode), so
+    * the oracle re-derives every 16-bit LE sample from doc_id and the
+    * text length alone and recomputes the exact energy/peak — the
+    * checked result pins the sign-extension and the full sample walk
+    * on every document. COALESCE(…, 0): an empty text is a valid
+    * 0-sample WAV, and the empty list_sum/list_max would otherwise
+    * emit NULL where the Spark side has exact zeros. */
+  private val WavPcmOracleSql: String = {
+    val raw = "((2*k*7 + doc_id) % 251) + 256*(((2*k+1)*7 + doc_id) % 251)"
+    s"""WITH geo AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) * (doc_id % 2 + 1) AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n,
+       |    list_transform(generate_series(0, n - 1),
+       |      k -> CASE WHEN $raw >= 32768 THEN $raw - 65536
+       |           ELSE $raw END) AS ss
+       |  FROM geo)
+       |SELECT doc_id, n AS n_samples,
+       |  CAST(COALESCE(list_sum(list_transform(ss, x -> x*x)), 0)
+       |    AS BIGINT) AS sum_sq,
+       |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0)
+       |    AS BIGINT) AS peak
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  val wavLoudnessQ: Q = Q(
+    "m_wav_loudness",
+    Some(WavPcmOracleSql),
+    (s, d) =>
+      wavLoudness(withWavContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** Same oracle through the batched full-payload path. */
+  val wavLoudnessBatchQ: Q = Q(
+    "m_wav_loudness_batch",
+    Some(WavPcmOracleSql),
+    (s, d) =>
+      wavLoudnessBatch(withWavContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
   val all: Seq[Q] = Seq(decodeQ, frameSampleQ, decodeBatchQ,
     containerDecodeQ, containerDecodeBatchQ, bmpDecodeQ, bmpDecodeBatchQ,
-    wavDecodeQ, wavDecodeBatchQ, pngDecodeQ, pngDecodeBatchQ)
+    wavDecodeQ, wavDecodeBatchQ, wavLoudnessQ, wavLoudnessBatchQ,
+    pngDecodeQ, pngDecodeBatchQ)
 }

@@ -109,4 +109,69 @@ class WavCodecSpec extends SparkSpec {
     assert(!exprIds.contains(3L))
     assert(exprIds.nonEmpty)
   }
+
+  // ---- PCM loudness decode ----------------------------------------------
+
+  test("pcm stats: hand-computed energy and peak over known sample bytes") {
+    // seed=0, 2 samples mono: bytes (i*7)%251 for i=0..3 -> 0,7,14,21
+    // s0 = 0 + 7*256 = 1792; s1 = 14 + 21*256 = 5390 (both positive)
+    val wav = WavCodec.encode(8000, 1, 2, seed = 0L)
+    val st = WavCodec.pcmStatsRaw(wav)
+    assert(st.toSeq === Seq[Long](2L,
+      1792L * 1792L + 5390L * 5390L, 5390L))
+  }
+
+  test("pcm stats: sign extension — a high byte >= 0x80 goes negative") {
+    // craft a 1-sample mono WAV then overwrite the sample with 0x00 0x80
+    // -> raw 0x8000 = -32768
+    val wav = WavCodec.encode(8000, 1, 1, seed = 0L)
+    wav(WavCodec.HeaderLen) = 0x00.toByte
+    wav(WavCodec.HeaderLen + 1) = 0x80.toByte
+    val st = WavCodec.pcmStatsRaw(wav)
+    assert(st.toSeq === Seq[Long](1L, 32768L * 32768L, 32768L))
+  }
+
+  test("pcm stats: zero samples is a valid silent WAV, not null") {
+    val st = WavCodec.pcmStatsRaw(WavCodec.encode(8000, 2, 0, seed = 5L))
+    assert(st.toSeq === Seq[Long](0L, 0L, 0L))
+  }
+
+  test("pcm stats null on truncated data, trailing bytes, bad header") {
+    val wav = WavCodec.encode(8000, 1, 4, seed = 1L)
+    assert(WavCodec.pcmStatsRaw(
+      java.util.Arrays.copyOf(wav, wav.length - 1)) == null)
+    assert(WavCodec.pcmStatsRaw(
+      java.util.Arrays.copyOf(wav, wav.length + 1)) == null)
+    val bad = wav.clone(); bad(0) = 'X'
+    assert(WavCodec.pcmStatsRaw(bad) == null)
+    assert(WavCodec.pcmStatsRaw(null) == null)
+    assert(WavCodec.pcmStatsRaw(Array.emptyByteArray) == null)
+  }
+
+  test("expression and batched loudness agree and match a driver recompute") {
+    val docs = Tables.documents(spark, sf()).limit(32)
+    val containers = Multimodal.withWavContainers(docs)
+    val viaExpr = Multimodal.wavLoudness(containers)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    val viaBatch = Multimodal.wavLoudnessBatch(containers, batchSize = 5)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(viaExpr.nonEmpty)
+    assert(viaExpr.toSeq == viaBatch.toSeq)
+    // independent recompute from the geometry formula for one doc
+    import spark.implicits._
+    val (id, len) = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")))
+      .as[(Long, Int)].head()
+    val nBytes = len * ((id % 2) + 1).toInt * 2
+    val samples = (0 until nBytes / 2).map { k =>
+      val lo = ((2L * k * 7 + id) % 251).toInt
+      val hi = (((2L * k + 1) * 7 + id) % 251).toInt
+      val r = lo | (hi << 8)
+      if (r >= 32768) r - 65536 else r
+    }
+    val expect = Seq(samples.size.toLong,
+      samples.map(s => s.toLong * s).sum, samples.map(s => math.abs(s).toLong).max)
+    val got = viaExpr.find(_.head == id).get.drop(1)
+    assert(got === expect)
+  }
 }
