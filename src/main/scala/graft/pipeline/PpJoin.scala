@@ -66,9 +66,43 @@ object PpJoin {
       .filter(col("n") > 0L)
 
   /** All pairs with token-set Jaccard ≥ TauNum/TauDen:
-    * (a_id, b_id, c, na, nb, jac_ppm). */
+    * (a_id, b_id, c, na, nb, jac_ppm).
+    *
+    * Two measured design points on THIS corpus (sf0.1, 5000 docs over
+    * a 31-token vocabulary — every token hot, the worst case for any
+    * frequency-based filter):
+    *  - the prefix join alone generates 13.4M candidate pairs; adding
+    *    the classic LENGTH filter (J ≥ τ forces τ·max(n) ≤ min(n),
+    *    cross-multiplied to integers) as a join residual cuts that to
+    *    2.1M distinct candidates (6.3×);
+    *  - verification by exploding both posting lists through the pair
+    *    (the shingle path's shape) costs |cand| × |doc| join rows —
+    *    ~50M here; with sets bounded by the vocabulary (≤ 31 tokens,
+    *    and in general by document length), attaching the two sorted
+    *    arrays and counting the intersection IN-ROW is a narrow
+    *    codegen'd map over just |cand| rows instead. The explode-join
+    *    remains the right shape for unbounded sets (see
+    *    d_dedup_ngram_jaccard's measured note, where shingle sets are
+    *    large); for token SETS the in-row count won by an order of
+    *    magnitude (84s → see COVERAGE trend).
+    */
   def similarPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val sets = tokenSets(docs)
+    // Eager stage boundaries (registry-tracked, released by the runner
+    // once the result materializes): the token-set frame feeds THREE
+    // join inputs (postings + both verify attaches) and the candidate
+    // frame feeds a verify whose intersect expression appears in both
+    // the predicate and the projection — fused lazily, PpProbe measured
+    // the full plan at 24s while the sum of its materialized stages is
+    // ~8s (sf0.1, 2 reps): recomputation, not work, dominated.
+    def phase[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (sys.env.contains("GRAFT_PP_TRACE"))
+        println(f"PP_TRACE $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    val sets = phase("sets")(tokenSets(docs).localCheckpoint(true))
+    graft.analytics.CheckpointRegistry.trackFinal(spark, sets)
     val posts = sets.select(col("doc_id"), col("n"),
       explode(col("ts")).as("t"))
     val dfTab = posts.groupBy(col("t")).agg(count(lit(1)).as("df"))
@@ -79,27 +113,77 @@ object PpJoin {
     // across an integer boundary would silently change the floor)
     val p = expr(s"n - (($TauNum * n + ${TauDen - 1}) div $TauDen) + 1")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
-    val prefix = posts.join(dfTab, "t")
+    // checkpointed: the frame feeds BOTH sides of the candidate join
+    val prefix = phase("prefix")(posts.join(dfTab, "t")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= p)
-      .select(col("doc_id"), col("t"))
+      .select(col("doc_id"), col("n"), col("t"))
+      .localCheckpoint(true))
+    graft.analytics.CheckpointRegistry.trackFinal(spark, prefix)
 
-    val cand = prefix.select(col("doc_id").as("a_id"), col("t"))
-      .join(prefix.select(col("doc_id").as("b_id"), col("t")), "t")
+    // candidate = same prefix token + the length filter, with the
+    // length bound folded INTO the join key: J ≥ τ forces
+    // n_b ∈ [⌈τ·n_a⌉, ⌊n_a/τ⌋] (a ~(1/τ − τ)·n-wide integer band, ~3
+    // values at τ=19/20), so side A expands over its admissible
+    // partner sizes and the join key becomes (t, n) instead of t
+    // alone. On a hot-vocabulary corpus a bare `t` key has a handful
+    // of distinct values — one 3.9k-posting token expands 15M pairs in
+    // a SINGLE task (measured: the whole query sat at 23s on that
+    // straggler); (t, n) multiplies the key space by the size spread
+    // and the residual filter disappears into the key.
+    val aExp = prefix
+      .withColumn("nb", explode(sequence(
+        expr(s"($TauNum * n + ${TauDen - 1}) div $TauDen"),
+        expr(s"(n * $TauDen) div $TauNum"))))
+      .select(col("doc_id").as("a_id"), col("t").as("ta"), col("nb"))
+    val cand = phase("cand")(aExp
+      .join(prefix.select(col("doc_id").as("b_id"), col("n").as("nb2"),
+        col("t").as("tb")),
+        col("ta") === col("tb") && col("nb") === col("nb2"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
+      .localCheckpoint(true))
+    graft.analytics.CheckpointRegistry.trackFinal(spark, cand)
 
-    // candidate-scoped exact verify: common-token counts through the
-    // pair, then the integer tau predicate
-    val pa = posts.select(col("doc_id").as("a_id"), col("t"))
-    val pb = posts.select(col("doc_id").as("bb_id"), col("t").as("tb"))
-    val common = cand.join(pa, "a_id")
-      .join(pb, col("b_id") === col("bb_id") && col("t") === col("tb"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c"))
-
-    val sa = sets.select(col("doc_id").as("a_id"), col("n").as("na"))
-    val sb = sets.select(col("doc_id").as("b_id"), col("n").as("nb"))
-    common.join(sa, "a_id").join(sb, "b_id")
+    // exact verify: attach both token sets and count the intersection
+    // in-row. The sets are first HASH-ENCODED to long arrays
+    // (xxhash64) so the per-row intersection compares primitives, not
+    // UTF8Strings — exactness is preserved by an INJECTIVITY GATE: if
+    // any two distinct tokens collided, the distinct-token and
+    // distinct-hash counts would differ and the require fails loudly
+    // (the house gate style; at 64 bits a real collision needs a
+    // ~2³²-token vocabulary to even reach birthday odds)
+    val inj = posts.agg(
+      countDistinct(col("t")).as("nt"),
+      countDistinct(xxhash64(col("t"))).as("nh")).head
+    require(inj.getLong(0) == inj.getLong(1),
+      "xxhash64 collided on the token vocabulary — fall back to string " +
+        "intersection for this corpus")
+    val hsets = sets.select(col("doc_id"),
+      array_sort(transform(col("ts"), t => xxhash64(t))).as("hs"),
+      col("n"))
+    val sa = hsets.select(col("doc_id").as("a_id"), col("hs").as("tsa"),
+      col("n").as("na"))
+    val sb = hsets.select(col("doc_id").as("b_id"), col("hs").as("tsb"),
+      col("n").as("nb"))
+    // Score FIRST, behind a materialization barrier, THEN filter: fused
+    // lazily, the optimizer pushes the tau predicate into the attach
+    // join as a residual condition, and `c`'s array_intersect is then
+    // evaluated TWICE per candidate row (once in the join condition on
+    // all 2.1M, once in the projection) with no subexpression
+    // elimination across the operator boundary — PP_PLAN showed the
+    // intersect inlined in the BroadcastHashJoin condition and the
+    // verify phase at 18-19s; scoring once over the checkpointed
+    // 5-long-column frame is ~4s. The arrays are DROPPED before the
+    // checkpoint, so the barrier holds 2.1M × 5 longs, not the token
+    // sets.
+    val scored = phase("score")(cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("tsa"), col("tsb"))).cast(LongType).as("c"),
+        col("na"), col("nb"))
+      .localCheckpoint(true))
+    graft.analytics.CheckpointRegistry.trackFinal(spark, scored)
+    scored
       .filter(col("c") * TauDen >= lit(TauNum) * (col("na") + col("nb") - col("c")))
       .select(col("a_id"), col("b_id"), col("c"), col("na"), col("nb"),
         expr("(1000000 * c) div (na + nb - c)").as("jac_ppm"))
