@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.registry.Q
@@ -150,5 +151,68 @@ object RobustStats {
     (s, d) => percentileRank(Tables.documents(s, d), "doc_id", "lang", "n_chars")
       .orderBy(col("doc_id")))
 
-  def all: Seq[Q] = Seq(madQ, pctQ)
+  /** Equi-depth (decile) histogram boundaries per group — the
+    * ANALYZE-style twin of x_width_bucket_hist's equal-WIDTH buckets,
+    * and what a cost model or skew-aware partitioner actually wants:
+    * boundary_i = the smallest value whose cumulative count reaches
+    * ⌈i·n/B⌉ (lower-value convention, exact integer ceil via div), so
+    * decile 10 is the group max and ties collapse boundaries onto the
+    * repeated value instead of splitting it. Same histogram discipline
+    * as the MAD/percentile operators: the corpus collapses map-side to
+    * (group, value) counts, targets explode to B rows per group, and
+    * the boundary argmin runs over the group-keyed histogram — no
+    * corpus-wide sort. */
+  def equiDepth(rows: DataFrame, group: String, cents: Column,
+      buckets: Int = 10): DataFrame = {
+    val base = rows.select(col(group).as("g"), cents.as("v"))
+    val hist = base.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byG = Window.partitionBy(col("g"))
+    val ranked = hist
+      .withColumn("cumc", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(byG))
+    val targets = ranked.select(col("g"), col("n")).distinct()
+      .withColumn("decile", explode(sequence(lit(1L), lit(buckets.toLong))))
+      .select(col("g"), col("decile"),
+        expr(s"(decile * n + ${buckets - 1}) div $buckets").as("target"),
+        col("n"))
+    targets.join(
+        ranked.select(col("g"), col("v"), col("cumc")), Seq("g"))
+      .filter(col("cumc") >= col("target"))
+      .groupBy(col("g"), col("decile"), col("n"))
+      .agg(min(col("v")).as("boundary"))
+      .select(col("g"), col("decile"), col("boundary"), col("n"))
+  }
+
+  private def equiDepthOracleSql(buckets: Int): String =
+    s"""WITH base AS (SELECT event_type AS g,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM events),
+       |hist AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+       |  FROM base GROUP BY g, v),
+       |ranked AS (SELECT g, v,
+       |    sum(c) OVER (PARTITION BY g ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS cumc,
+       |    sum(c) OVER (PARTITION BY g) AS n
+       |  FROM hist),
+       |targets AS (SELECT g, n, CAST(decile AS BIGINT) AS decile,
+       |    (decile * n + ${buckets - 1}) // $buckets AS target
+       |  FROM (SELECT DISTINCT g, n FROM ranked),
+       |    generate_series(1, $buckets) AS t(decile))
+       |SELECT t.g, t.decile, CAST(min(r.v) AS BIGINT) AS boundary,
+       |  CAST(t.n AS BIGINT) AS n
+       |FROM targets t JOIN ranked r ON r.g = t.g AND r.cumc >= t.target
+       |GROUP BY t.g, t.decile, t.n
+       |ORDER BY t.g, t.decile""".stripMargin
+
+  val equiDepthQ: Q = Q(
+    "x_equidepth_hist",
+    Some(equiDepthOracleSql(10)),
+    (s, d) => equiDepth(Tables.events(s, d), "event_type",
+        (col("value").cast("decimal(18,2)") * 100).cast(LongType))
+      .orderBy(col("g"), col("decile")))
+
+  def all: Seq[Q] = Seq(madQ, pctQ, equiDepthQ)
 }

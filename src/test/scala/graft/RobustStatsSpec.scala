@@ -113,4 +113,54 @@ class RobustStatsSpec extends SparkSpec {
         col("m1") > col("hi") || col("nout") * 2 >= col("n"))
     assert(bad.count() === 0)
   }
+
+  // ---- equi-depth boundaries ---------------------------------------------
+
+  private def equiDepthOf(rows: Seq[(String, Long)],
+      buckets: Int = 10): Map[(String, Long), (Long, Long)] = {
+    import spark.implicits._
+    RobustStats.equiDepth(rows.toDF("g", "cents"), "g", col("cents"), buckets)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("equi-depth: uniform 1..10 puts decile i at value i") {
+    val m = equiDepthOf((1L to 10L).map(v => "a" -> v))
+    for (i <- 1L to 10L) assert(m(("a", i)) === ((i, 10L)))
+  }
+
+  test("equi-depth: a constant column collapses every boundary onto it") {
+    val m = equiDepthOf(Seq.fill(7)("a" -> 42L))
+    for (i <- 1L to 10L) assert(m(("a", i)) === ((42L, 7L)))
+  }
+
+  test("equi-depth: one heavy value absorbs the lower deciles") {
+    // nine 1s and one 100: targets 1..9 land on 1, decile 10 on 100
+    val m = equiDepthOf(Seq.fill(9)("a" -> 1L) :+ ("a" -> 100L))
+    for (i <- 1L to 9L) assert(m(("a", i))._1 === 1L)
+    assert(m(("a", 10L))._1 === 100L)
+  }
+
+  test("equi-depth: groups are independent, decile B is the group max") {
+    val m = equiDepthOf(
+      (1L to 4L).map(v => "a" -> v) ++ (10L to 12L).map(v => "b" -> v * 100))
+    assert(m(("a", 10L))._1 === 4L)
+    assert(m(("b", 10L))._1 === 1200L)
+    assert(m(("a", 1L))._1 === 1L)
+    assert(m(("b", 1L))._1 === 1000L)
+  }
+
+  test("equi-depth: corpus boundaries are nondecreasing within each type") {
+    val df = RobustStats.equiDepth(Tables.events(spark, sf()), "event_type",
+      (col("value").cast("decimal(18,2)") * 100)
+        .cast(org.apache.spark.sql.types.LongType))
+    val rows = df.orderBy(col("g"), col("decile")).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val bs = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(bs.zip(bs.tail).forall { case (a, b) => a <= b })
+      assert(rs.map(_.getLong(1)).toSet === (1L to 10L).toSet)
+    }
+  }
 }

@@ -33,9 +33,12 @@ import duckdb
 import random
 import os
 
+import sys
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1"
-K = 10
+# optional args: K DST  (default 10 copies -> /tmp/sf1; e.g. "100 /tmp/sf10"
+# builds the 100x corpus for the second slope point)
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
@@ -64,13 +67,13 @@ copies(lambda k: f"""
   FROM '{SRC}/customer.parquet'""", "customer")
 
 copies(lambda k: f"""
-  SELECT (o_orderkey % {C}) + {k * C} + {10 * C}::BIGINT * o_orderkey AS o_orderkey,
+  SELECT (o_orderkey % {C}) + {k * C} + {K * C}::BIGINT * o_orderkey AS o_orderkey,
          o_custkey + {k * C} AS o_custkey,
          * EXCLUDE (o_orderkey, o_custkey)
   FROM '{SRC}/orders.parquet'""", "orders")
 
 copies(lambda k: f"""
-  SELECT (l_orderkey % {C}) + {k * C} + {10 * C}::BIGINT * l_orderkey AS l_orderkey,
+  SELECT (l_orderkey % {C}) + {k * C} + {K * C}::BIGINT * l_orderkey AS l_orderkey,
          * EXCLUDE (l_orderkey)
   FROM '{SRC}/lineitem.parquet'""", "lineitem")
 
