@@ -107,7 +107,9 @@ object Explain {
       "d_coreset_kcenter" -> "k-center rounds: narrow map vs 1-row broadcast center + two scalar aggs, O(n·k)",
       "g_modularity" -> "arc set labeled by two vertex-keyed joins vs cached assignment; label-keyed sums, 1-row A broadcast",
       "d_dedup_ppjoin" -> "prefix-filtered set-similarity: doc-keyed prefix window, rare-token equi-join, candidate-scoped verify",
-      "m_wav_loudness" -> "full-payload PCM decode: deframe + codegen'd per-sample energy/peak fold, pure narrow map")
+      "m_wav_loudness" -> "full-payload PCM decode: deframe + codegen'd per-sample energy/peak fold, pure narrow map",
+      "x_equidepth_hist" -> "decile boundaries from (group, value) histograms — map-side collapse, no corpus sort",
+      "d_dedup_ppjoin_incremental" -> "batch prefixes probe the standing (t,n) index — O(batch), corpus never self-joins")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -86,73 +86,54 @@ object PpJoin {
     *    large); for token SETS the in-row count won by an order of
     *    magnitude (84s → see COVERAGE trend).
     */
-  def similarPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
-    // Eager stage boundaries (registry-tracked, released by the runner
-    // once the result materializes): the token-set frame feeds THREE
-    // join inputs (postings + both verify attaches) and the candidate
-    // frame feeds a verify whose intersect expression appears in both
-    // the predicate and the projection — fused lazily, PpProbe measured
-    // the full plan at 24s while the sum of its materialized stages is
-    // ~8s (sf0.1, 2 reps): recomputation, not work, dominated.
-    def phase[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      if (sys.env.contains("GRAFT_PP_TRACE"))
-        println(f"PP_TRACE $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      r
-    }
-    val sets = phase("sets")(tokenSets(docs).localCheckpoint(true))
-    graft.analytics.CheckpointRegistry.trackFinal(spark, sets)
+  private def phase[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.contains("GRAFT_PP_TRACE"))
+      println(f"PP_TRACE $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
+  /** Per-doc prefix (doc_id, n, t): the p = n − ⌈τn⌉ + 1 rarest tokens
+    * under the (df ASC, t ASC) total order given by `dfTab`. LEFT join
+    * + df 0 for unseen tokens: completeness needs only that BOTH sides
+    * of a join use ONE consistent total order — frequencies affect
+    * efficiency, never correctness — so an incremental batch can rank
+    * its tokens under the STANDING corpus's df order and tokens the
+    * corpus has never seen sort rarest. Integer `div` for the ceil (a
+    * double quotient that rounds up across an integer boundary would
+    * silently change the floor). Checkpointed: every caller feeds it
+    * to at least two join sides. */
+  private def prefixOf(spark: SparkSession, sets: DataFrame,
+      dfTab: DataFrame, label: String): DataFrame = {
     val posts = sets.select(col("doc_id"), col("n"),
       explode(col("ts")).as("t"))
-    val dfTab = posts.groupBy(col("t")).agg(count(lit(1)).as("df"))
-
-    // prefix = the p rarest tokens of each doc under the global total
-    // order (df ASC, t ASC); p = n - ceil(tau*n) + 1, all integer
-    // (`div`, not float division — a double quotient that rounds up
-    // across an integer boundary would silently change the floor)
     val p = expr(s"n - (($TauNum * n + ${TauDen - 1}) div $TauDen) + 1")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
-    // checkpointed: the frame feeds BOTH sides of the candidate join
-    val prefix = phase("prefix")(posts.join(dfTab, "t")
+    val pref = phase(label)(posts.join(dfTab, Seq("t"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= p)
       .select(col("doc_id"), col("n"), col("t"))
       .localCheckpoint(true))
-    graft.analytics.CheckpointRegistry.trackFinal(spark, prefix)
+    graft.analytics.CheckpointRegistry.trackFinal(spark, pref)
+    pref
+  }
 
-    // candidate = same prefix token + the length filter, with the
-    // length bound folded INTO the join key: J ≥ τ forces
-    // n_b ∈ [⌈τ·n_a⌉, ⌊n_a/τ⌋] (a ~(1/τ − τ)·n-wide integer band, ~3
-    // values at τ=19/20), so side A expands over its admissible
-    // partner sizes and the join key becomes (t, n) instead of t
-    // alone. On a hot-vocabulary corpus a bare `t` key has a handful
-    // of distinct values — one 3.9k-posting token expands 15M pairs in
-    // a SINGLE task (measured: the whole query sat at 23s on that
-    // straggler); (t, n) multiplies the key space by the size spread
-    // and the residual filter disappears into the key.
-    val aExp = prefix
-      .withColumn("nb", explode(sequence(
+  /** Expand a prefix side over its admissible partner sizes so the
+    * candidate join key is (t, n) — see similarPairs' skew note. */
+  private def expandSizes(prefix: DataFrame): DataFrame =
+    prefix.withColumn("nb", explode(sequence(
         expr(s"($TauNum * n + ${TauDen - 1}) div $TauDen"),
         expr(s"(n * $TauDen) div $TauNum"))))
       .select(col("doc_id").as("a_id"), col("t").as("ta"), col("nb"))
-    val cand = phase("cand")(aExp
-      .join(prefix.select(col("doc_id").as("b_id"), col("n").as("nb2"),
-        col("t").as("tb")),
-        col("ta") === col("tb") && col("nb") === col("nb2"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-      .localCheckpoint(true))
-    graft.analytics.CheckpointRegistry.trackFinal(spark, cand)
 
-    // exact verify: attach both token sets and count the intersection
-    // in-row. The sets are first HASH-ENCODED to long arrays
-    // (xxhash64) so the per-row intersection compares primitives, not
-    // UTF8Strings — exactness is preserved by an INJECTIVITY GATE: if
-    // any two distinct tokens collided, the distinct-token and
-    // distinct-hash counts would differ and the require fails loudly
-    // (the house gate style; at 64 bits a real collision needs a
-    // ~2³²-token vocabulary to even reach birthday odds)
+  /** Exact verify over hash-encoded sets — see similarPairs' measured
+    * notes (injectivity gate, score-then-filter barrier). `sets` must
+    * cover every doc_id appearing in `cand`. */
+  private def verifyPairs(spark: SparkSession, cand: DataFrame,
+      sets: DataFrame): DataFrame = {
+    val posts = sets.select(explode(col("ts")).as("t"))
     val inj = posts.agg(
       countDistinct(col("t")).as("nt"),
       countDistinct(xxhash64(col("t"))).as("nh")).head
@@ -166,17 +147,11 @@ object PpJoin {
       col("n").as("na"))
     val sb = hsets.select(col("doc_id").as("b_id"), col("hs").as("tsb"),
       col("n").as("nb"))
-    // Score FIRST, behind a materialization barrier, THEN filter: fused
-    // lazily, the optimizer pushes the tau predicate into the attach
-    // join as a residual condition, and `c`'s array_intersect is then
-    // evaluated TWICE per candidate row (once in the join condition on
-    // all 2.1M, once in the projection) with no subexpression
-    // elimination across the operator boundary — PP_PLAN showed the
-    // intersect inlined in the BroadcastHashJoin condition and the
-    // verify phase at 18-19s; scoring once over the checkpointed
-    // 5-long-column frame is ~4s. The arrays are DROPPED before the
-    // checkpoint, so the barrier holds 2.1M × 5 longs, not the token
-    // sets.
+    // Join strategy at the 100x point was A/B'd (reps=1, 48g driver):
+    // planner default 311s, forced shuffle_hash on both attaches 413s
+    // — the sort is NOT the bend; the run is O(candidates) (210M at
+    // sf10, 100x sf0.1's 2.1M, wall 54x — sublinear per candidate),
+    // so the default plan stays
     val scored = phase("score")(cand.join(sa, "a_id").join(sb, "b_id")
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("tsa"), col("tsb"))).cast(LongType).as("c"),
@@ -189,12 +164,94 @@ object PpJoin {
         expr("(1000000 * c) div (na + nb - c)").as("jac_ppm"))
   }
 
+  def similarPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // Eager stage boundaries (registry-tracked, released by the runner
+    // once the result materializes): the token-set frame feeds THREE
+    // join inputs (postings + both verify attaches) and the candidate
+    // frame feeds a verify whose intersect expression appears in both
+    // the predicate and the projection — fused lazily, PpProbe measured
+    // the full plan at 24s while the sum of its materialized stages is
+    // ~8s (sf0.1, 2 reps): recomputation, not work, dominated.
+    val sets = phase("sets")(tokenSets(docs).localCheckpoint(true))
+    graft.analytics.CheckpointRegistry.trackFinal(spark, sets)
+    val posts = sets.select(col("doc_id"), col("n"),
+      explode(col("ts")).as("t"))
+    val dfTab = posts.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val prefix = prefixOf(spark, sets, dfTab, "prefix")
+
+    // candidate = same prefix token + the length filter, with the
+    // length bound folded INTO the join key: J ≥ τ forces
+    // n_b ∈ [⌈τ·n_a⌉, ⌊n_a/τ⌋] (a ~(1/τ − τ)·n-wide integer band, ~3
+    // values at τ=19/20), so side A expands over its admissible
+    // partner sizes and the join key becomes (t, n) instead of t
+    // alone. On a hot-vocabulary corpus a bare `t` key has a handful
+    // of distinct values — one 3.9k-posting token expands 15M pairs in
+    // a SINGLE task (measured: the whole query sat at 23s on that
+    // straggler); (t, n) multiplies the key space by the size spread
+    // and the residual filter disappears into the key.
+    //
+    // Verify (in verifyPairs): sets are hash-encoded to sorted long
+    // arrays under an injectivity gate, and the score runs behind a
+    // materialization barrier before the tau filter — each choice is
+    // PpProbe-measured (see the scaladoc above and COVERAGE).
+    val cand = phase("cand")(expandSizes(prefix)
+      .join(prefix.select(col("doc_id").as("b_id"), col("n").as("nb2"),
+        col("t").as("tb")),
+        col("ta") === col("tb") && col("nb") === col("nb2"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .localCheckpoint(true))
+    graft.analytics.CheckpointRegistry.trackFinal(spark, cand)
+    verifyPairs(spark, cand, sets)
+  }
+
+  /** Incremental near-dup detection: the pairs of the FULL similarity
+    * join restricted to those touching an ingest batch (doc_id % 10 ==
+    * 7, the d_dedup_incremental convention) — batch-internal pairs
+    * included — at O(batch) probe cost: only batch prefixes join the
+    * standing index; the corpus never self-joins. Batch tokens rank
+    * under the STANDING corpus's df order (unseen tokens df 0 →
+    * rarest), which is sound because prefix completeness needs one
+    * CONSISTENT total order on both sides, not up-to-date frequencies
+    * — the order affects candidate count, never the result (the
+    * verify is exact either way). Like the banded-minhash incremental
+    * path, the standing index is rebuilt here for the registered
+    * query; in production it is the maintained artifact. */
+  def incrementalPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val sets = phase("sets")(tokenSets(docs).localCheckpoint(true))
+    graft.analytics.CheckpointRegistry.trackFinal(spark, sets)
+    val corpus = sets.filter(col("doc_id") % 10 =!= 7)
+    val batch = sets.filter(col("doc_id") % 10 === 7)
+    val dfTab = corpus.select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val corpusPrefix = prefixOf(spark, corpus, dfTab, "corpus_prefix")
+    val batchPrefix = prefixOf(spark, batch, dfTab, "batch_prefix")
+
+    // probe: batch prefixes (size-expanded) against standing + batch
+    // index; canonicalize a<b afterwards since the probe side may hold
+    // either endpoint of a pair
+    val index = corpusPrefix.union(batchPrefix)
+      .select(col("doc_id").as("b_id"), col("n").as("nb2"),
+        col("t").as("tb"))
+    val cand = phase("cand")(expandSizes(batchPrefix)
+      .join(index, col("ta") === col("tb") && col("nb") === col("nb2"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+      .localCheckpoint(true))
+    graft.analytics.CheckpointRegistry.trackFinal(spark, cand)
+    verifyPairs(spark, cand, sets)
+  }
+
   // ---- registry entry ---------------------------------------------------
 
   /** Independent brute-force oracle: all-pairs list_intersect — a
     * different construction than the prefix filter, so a completeness
-    * bug in the filter (not just a scoring bug) hash-fails. */
-  private val oracleSql: String =
+    * bug in the filter (not just a scoring bug) hash-fails. The
+    * `restrict` clause narrows the incremental variant to pairs
+    * touching the ingest batch. */
+  private def oracleSql(restrict: String): String =
     s"""WITH tk AS (
        |  SELECT doc_id,
        |    list_distinct(list_filter(
@@ -211,14 +268,20 @@ object PpJoin {
        |SELECT a_id, b_id, c, na, nb,
        |  CAST(1000000 * c // (na + nb - c) AS BIGINT) AS jac_ppm
        |FROM p
-       |WHERE c * $TauDen >= $TauNum * (na + nb - c)
+       |WHERE c * $TauDen >= $TauNum * (na + nb - c)$restrict
        |ORDER BY a_id, b_id""".stripMargin
 
   val ppjoinQ: Q = Q(
     "d_dedup_ppjoin",
-    Some(oracleSql),
+    Some(oracleSql("")),
     (s, d) => similarPairs(s, Tables.documents(s, d))
       .orderBy(col("a_id"), col("b_id")))
 
-  def all: Seq[Q] = Seq(ppjoinQ)
+  val ppjoinIncrementalQ: Q = Q(
+    "d_dedup_ppjoin_incremental",
+    Some(oracleSql("\n  AND (a_id % 10 = 7 OR b_id % 10 = 7)")),
+    (s, d) => incrementalPairs(s, Tables.documents(s, d))
+      .orderBy(col("a_id"), col("b_id")))
+
+  def all: Seq[Q] = Seq(ppjoinQ, ppjoinIncrementalQ)
 }

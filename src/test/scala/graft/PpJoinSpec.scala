@@ -91,6 +91,46 @@ class PpJoinSpec extends SparkSpec {
     assert(run(d) === run(d.repartition(9)))
   }
 
+  private def runInc(df: DataFrame): Seq[(Long, Long)] =
+    PpJoin.incrementalPairs(spark, df).orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("incremental equals the full join restricted to batch-touching pairs") {
+    // ids 7, 17, 27 are the batch (id % 10 == 7); craft qualifying pairs
+    // batch-corpus (7~1), batch-batch (17~27), corpus-corpus (2~3,
+    // which must NOT appear)
+    val twenty = (0 until 20).map(i => s"w$i").mkString(" ")
+    val other = (100 until 120).map(i => s"v$i").mkString(" ")
+    val d = docs(
+      1L -> twenty, 7L -> twenty,
+      17L -> other, 27L -> other,
+      2L -> "z1 z2 z3", 3L -> "z1 z2 z3",
+      5L -> "q1 q2 q3 q4 q5")
+    val full = run(d).map(p => (p._1, p._2))
+      .filter(p => p._1 % 10 == 7 || p._2 % 10 == 7)
+    assert(runInc(d) === full)
+    assert(runInc(d).toSet === Set((1L, 7L), (17L, 27L)))
+  }
+
+  test("incremental: batch tokens unseen by the corpus rank rarest and still pair") {
+    // both batch docs are entirely outside the corpus vocabulary
+    val novel = (0 until 20).map(i => s"novel$i").mkString(" ")
+    val d = docs(1L -> "a b c d e", 7L -> novel, 17L -> novel)
+    assert(runInc(d).toSet === Set((7L, 17L)))
+  }
+
+  test("incremental: empty batch yields no pairs") {
+    val d = docs(1L -> "a b c", 2L -> "a b c")
+    assert(runInc(d).isEmpty)
+  }
+
+  test("corpus: incremental equals brute force restricted to the batch") {
+    val t = runInc(Tables.documents(spark, sf()))
+    assert(t.nonEmpty)
+    assert(t.forall(p => p._1 % 10 == 7 || p._2 % 10 == 7))
+    assert(t.forall(p => p._1 < p._2))
+  }
+
   test("corpus: near-dup pairs surface and every reported pair is exact") {
     val t = run(Tables.documents(spark, sf()))
     assert(t.nonEmpty)
