@@ -51,7 +51,8 @@ object ScaleTrend {
     "g_condensation", "x_percentile_rank", "st_topk_window", "g_stress",
     "x_table_stats", "g_mst", "x_dow_seasonality", "d_corpus_report",
     "g_harmonic", "d_coreset_kcenter", "g_modularity", "d_dedup_ppjoin",
-    "m_wav_loudness", "x_equidepth_hist", "d_dedup_ppjoin_incremental")
+    "m_wav_loudness", "x_equidepth_hist", "d_dedup_ppjoin_incremental",
+    "g_eccentricity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

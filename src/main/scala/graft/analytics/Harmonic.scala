@@ -66,10 +66,14 @@ object Harmonic {
 
   // ---- registry entry ---------------------------------------------------
 
-  private def oracleSql(sourceMax: Long, rounds: Int): String = {
+  /** The sampled-BFS CTE chain ending in `r<rounds>` (s, v, d) —
+    * shared with the eccentricity oracle ([[Eccentricity]]) exactly as
+    * the Spark sides share [[Stress.levelsFor]], so the two oracles
+    * replay the SAME traversal. */
+  private[analytics] def bfsCtes(sourceMax: Long, rounds: Int): String = {
     import graft.graph.CitationGraph.edgesSql
     val sb = new StringBuilder
-    sb.append(s"""WITH $edgesSql,
+    sb.append(s"""$edgesSql,
       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
       |v AS (SELECT DISTINCT id FROM
       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
@@ -87,13 +91,15 @@ object Harmonic {
         |  WHERE NOT EXISTS (SELECT 1 FROM r${k - 1} p
         |    WHERE p.s = c.s AND p.v = c.v))""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT v AS id, CAST(sum($ScalePpm // d) AS BIGINT) AS harmonic_ppm
-      |FROM r$rounds WHERE d > 0
-      |GROUP BY v
-      |ORDER BY v""".stripMargin)
     sb.toString
   }
+
+  private def oracleSql(sourceMax: Long, rounds: Int): String =
+    s"""WITH ${bfsCtes(sourceMax, rounds)}
+       |SELECT v AS id, CAST(sum($ScalePpm // d) AS BIGINT) AS harmonic_ppm
+       |FROM r$rounds WHERE d > 0
+       |GROUP BY v
+       |ORDER BY v""".stripMargin
 
   val harmonicQ: Q = Q(
     "g_harmonic",

@@ -33,6 +33,7 @@ object Registry {
       graft.analytics.Condensation.all ++
       graft.analytics.Stress.all ++
       graft.analytics.Harmonic.all ++
+      graft.analytics.Eccentricity.all ++
       graft.analytics.Mst.all ++
       graft.analytics.KCore.all ++
       graft.analytics.Mis.all ++
