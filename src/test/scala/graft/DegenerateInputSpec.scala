@@ -202,4 +202,66 @@ class DegenerateInputSpec extends SparkSpec {
     assert(graft.functions.PngCodec.parseHeaderRaw(png) != null)
     assert(graft.functions.PngCodec.parseHeaderRaw(png.take(7)) == null)
   }
+
+  // ---- eighth/ninth-pass operators --------------------------------------
+
+  test("harmonic and eccentricity of an empty graph are empty") {
+    assert(graft.analytics.Harmonic.harmonic(spark, emptyEdges).count() === 0)
+    assert(graft.analytics.Eccentricity.eccentricity(spark, emptyEdges)
+      .count() === 0)
+  }
+
+  test("harmonic with only self-loops is empty (loops are dropped)") {
+    import spark.implicits._
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(graft.analytics.Harmonic.harmonic(spark, loops).count() === 0)
+  }
+
+  test("modularity of an empty graph or an empty assignment is empty") {
+    import spark.implicits._
+    val asg = Seq((1L, 1L)).toDF("id", "lab")
+    assert(graft.analytics.Modularity.modularityOf(spark, emptyEdges, asg)
+      .count() === 0)
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val emptyAsg = Seq.empty[(Long, Long)].toDF("id", "lab")
+    assert(graft.analytics.Modularity.modularityOf(spark, e, emptyAsg)
+      .count() === 0)
+  }
+
+  test("ppjoin incremental with a corpus-only frame (no batch docs) is empty") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(graft.pipeline.PpJoin.incrementalPairs(spark, d).count() === 0)
+  }
+
+  test("equi-depth of an empty frame is empty; single row fills all deciles") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("g", "cents")
+    assert(graft.operators.RobustStats.equiDepth(empty, "g",
+      org.apache.spark.sql.functions.col("cents")).count() === 0)
+    val one = Seq(("a", 5L)).toDF("g", "cents")
+    val rows = graft.operators.RobustStats.equiDepth(one, "g",
+      org.apache.spark.sql.functions.col("cents")).collect()
+    assert(rows.length === 10 && rows.forall(_.getLong(2) === 5L))
+  }
+
+  test("k-center with duplicate-only input selects every distinct id once") {
+    import spark.implicits._
+    val dups = Seq((1L, Seq(0.5)), (2L, Seq(0.5)), (3L, Seq(0.5)))
+      .toDF("vec_id", "embedding")
+    val t = graft.pipeline.Coreset.kcenter(spark, dups, 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(t.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(t.drop(1).forall(_._2 === 0L))
+  }
+
+  test("wav loudness on an empty-document corpus row survives as silence") {
+    import spark.implicits._
+    val d = Seq((4L, "")).toDF("doc_id", "text")
+    val out = graft.pipeline.Multimodal.wavLoudness(
+      graft.pipeline.Multimodal.withWavContainers(d)).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 0L && out.head.getLong(2) === 0L &&
+      out.head.getLong(3) === 0L)
+  }
 }

@@ -85,6 +85,21 @@ class PpJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("seeded sweep: completeness holds across random vocab regimes") {
+    // tiny (every token hot) through wide (near-unique) vocabularies,
+    // fixed seed — the regimes where prefix pruning behaves differently
+    val rng = new scala.util.Random(12345)
+    for (round <- 1 to 3) {
+      val vocab = 5 + rng.nextInt(40)
+      val rows: Seq[(Long, String)] = (1L to 40L).map { i =>
+        val len = 3 + rng.nextInt(25)
+        i -> (0 until len).map(_ => s"w${rng.nextInt(vocab)}").mkString(" ")
+      }
+      assert(run(docs(rows: _*)).map(p => (p._1, p._2)).toSet === brute(rows),
+        s"round $round vocab $vocab")
+    }
+  }
+
   test("deterministic across layouts") {
     val d = docs((1L to 40L).map(i =>
       i -> (0 until 6).map(j => s"t${(i * 5 + j * 11) % 17}").mkString(" ")): _*)
