@@ -1,6 +1,66 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** A session cache timed as its own named bench entry, inserted
+    * before its first consumer in name-sorted order (VERDICT r7 #1 /
+    * ADVICE r7 #2): consumer queries then report MARGINAL cost, the
+    * build cost lands in an explicitly-named `_setup_*` slot, and the
+    * JSON's `cold_carrier` map records which setup each consumer leans
+    * on. Between reps the cache is CLEARED so every rep times a real
+    * build (min-of-N means "a build", never "a warm no-op"); after the
+    * last consumer's slot the cache is dropped so its blocks don't pin
+    * for the rest of the run. */
+  private final case class SetupDef(
+      name: String,
+      cacheKey: String,
+      build: (SparkSession, String) => Unit,
+      isConsumer: String => Boolean,
+      // cold_carrier REPORTING set when narrower than the placement
+      // span: the dedup family cache LIVES across the whole d_* block
+      // (placement + release use isConsumer) but only the queries that
+      // actually read the shared postings/sketches/survivors should be
+      // labeled as leaning on the setup — an embedding query tagged
+      // with the family build would be a false attribution.
+      reportConsumers: Option[Set[String]] = None)
+
+  /** The d_* queries that actually read the shared family cache
+    * (postings / fused sketches / ngram pair cache / survivors) —
+    * audited against the cachedDf call sites in PipelineQueries. */
+  private val DedupFamilyReaders = Set(
+    "d_dedup_ngram_jaccard", "d_dedup_containment", "d_minhash_signature",
+    "d_dedup_minhash_lsh", "d_dedup_incremental", "d_simhash",
+    "d_dedup_simhash", "d_dedup_survivors", "d_split_leakage_guard",
+    "d_pipeline_e2e", "d_curate_e2e", "d_curate_write",
+    "d_curate_incremental")
+
+  private val setups: Seq[SetupDef] = Seq(
+    SetupDef("_setup_dedup_family", "dedup_family",
+      (s, d) => graft.pipeline.PipelineQueries.warmSharedFamily(s, d),
+      _.startsWith("d_"), Some(DedupFamilyReaders)),
+    SetupDef("_setup_bfs_levels", "bfs_levels",
+      (s, d) => graft.analytics.Stress.warmLevels(s, d),
+      Set("g_eccentricity", "g_harmonic", "g_stress")),
+    SetupDef("_setup_scc", "scc",
+      (s, d) => { graft.analytics.Scc.assignmentFor(s, d); () },
+      Set("g_condensation", "g_scc")),
+    SetupDef("_setup_labelprop", "labelprop",
+      (s, d) => { graft.analytics.LabelPropagation.assignmentFor(s, d); () },
+      Set("g_labelprop", "g_modularity")),
+    SetupDef("_setup_hopplot", "hopplot",
+      (s, d) => { graft.analytics.HopPlot.hopPlotRowsCached(
+        s, graft.graph.CitationGraph.hopEdges(s, d), d); () },
+      Set("g_eff_diameter", "g_eff_diameter_approx_tol", "g_hopplot",
+        "g_hopplot_approx_tol")),
+    SetupDef("_setup_hyperanf", "hyperanf",
+      (s, d) => { graft.analytics.HyperANF.approxHopPlotRowsCached(
+        s, graft.graph.CitationGraph.hopEdges(s, d), d); () },
+      Set("g_eff_diameter_approx", "g_eff_diameter_approx_tol",
+        "g_hopplot_approx", "g_hopplot_approx_tol")),
+    SetupDef("_setup_embed_exact", "embed_exact",
+      (s, d) => graft.pipeline.ExactBaselines.warm(s, d),
+      Set("d_dedup_embedding_cosine", "sim_ann_topk", "sim_ann_recall_tol")))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,17 +105,22 @@ object Bench {
     catch { case _: Throwable => () }
     // deterministic name order: stable per-query numbers across rounds
     val base = SparkEntry.queries.toSeq.sortBy(_._1)
-    // The dedup family's shared cache build is timed as its own entry
-    // right before the first d_* query, so every d_* number is MARGINAL
-    // cost (VERDICT r5 #3: the build previously hid inside whichever
-    // family member sorted first). Bench-only: not a registry query, no
-    // oracle — it produces no result, only cache state.
-    val setup: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
-      (s, dir) => { graft.pipeline.PipelineQueries.warmSharedFamily(s, dir); s.range(1).toDF("ok") }
-    val firstD = base.indexWhere(_._1.startsWith("d_"))
-    val names =
-      if (firstD < 0) base
-      else base.patch(firstD, Seq("_setup_dedup_family" -> setup), 0)
+    val baseNames = base.map(_._1)
+    // Insert each _setup_* entry right before its FIRST consumer; record
+    // which cache(s) to drop after each LAST consumer's slot.
+    val insertBefore: Map[String, Seq[SetupDef]] = setups
+      .flatMap(su => baseNames.find(su.isConsumer).map(n => n -> su))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val clearAfter: Map[String, Seq[String]] = setups
+      .flatMap(su => baseNames.findLast(su.isConsumer).map(n => n -> su.cacheKey))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val setupFn: SetupDef => (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      su => (s, dir) => { su.build(s, dir); s.range(1).toDF("ok") }
+    val names: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      base.flatMap { case (n, fn) =>
+        insertBefore.getOrElse(n, Nil).map(su => su.name -> setupFn(su)) :+ (n -> fn)
+      }
+    val setupByName = setups.map(su => su.name -> su).toMap
     // The stdout headline subset (the driver's ~2 KB tail window cuts
     // long lines — full detail always goes to BENCH_LOCAL.json).
     // Refreshed round 6 (VERDICT r5 #4): heavy movers in, 3-round-stable
@@ -69,16 +134,41 @@ object Bench {
       "x_asof_join_native", "x_merge_upsert")
     // Headline queries run 3x at their slot (VERDICT r6 #2: single-shot
     // numbers made a 3x swing on unchanged code indistinguishable from a
-    // regression) — repeating IN PLACE keeps the dedup family's caches
-    // warm across its reps (marginal attribution intact) and leaves the
-    // release ordering untouched. _setup_dedup_family stays single-shot:
-    // a repeat would time a warm no-op, not the build. g_triangles and
-    // x_merge_nullsafe join the repeat set as the round-6 watch items.
+    // regression) — repeating IN PLACE keeps session caches warm across
+    // reps (marginal attribution intact) and leaves release ordering
+    // untouched.
     val repeatSet = HeadlineSet - "_setup_dedup_family" ++
       Seq("g_triangles", "x_merge_nullsafe")
+    // VERDICT r7 #1: every entry whose r7 single-shot cost exceeded ~2s
+    // gets min-of-2, so expensive-tail numbers separate plan cost from
+    // cold-position cost. (Setup entries rep separately, with a cache
+    // clear between reps so each rep is a real build.)
+    val tailSet = Set(
+      "a5_collect_list_sorted", "a_cube", "d_cluster_kmeans",
+      "d_corpus_report", "d_coreset_kcenter", "d_curate_incremental",
+      "d_curate_write", "d_dedup_embedding_cosine",
+      "d_dedup_embedding_lsh", "d_dedup_ppjoin",
+      "d_dedup_ppjoin_incremental", "d_dedup_semantic",
+      "g_condensation", "g_eccentricity", "g_eff_diameter",
+      "g_eff_diameter_approx", "g_hits", "g_kcore_fixpoint",
+      "g_link_pred", "g_mis", "g_mst", "g_ppr", "g_squares", "g_stress",
+      "g_temporal_reach", "g_truss_decomp", "g_walks", "j1_join_inner",
+      "j2_join_double", "j4_join_anti", "m_bmp_decode_batch",
+      "m_container_decode_batch", "m_decode_batch", "m_png_decode_batch",
+      "m_png_pixels_batch", "m_wav_decode_batch", "m_wav_loudness_batch",
+      "sim_ann_ivf", "sim_ann_recall_tol")
     val results = names.zipWithIndex.map { case ((name, fn), i) =>
-      val reps = if (repeatSet(name)) 3 else 1
-      val runs = (1 to reps).map { _ =>
+      val setup = setupByName.get(name)
+      val reps =
+        if (setup.isDefined) 2
+        else if (repeatSet(name)) 3
+        else if (tailSet(name)) 2
+        else 1
+      val runs = (1 to reps).map { r =>
+        // between setup reps, drop the cache this entry builds so the
+        // rep times a real build; the LAST rep leaves it warm for the
+        // consumers that follow
+        setup.foreach(su => if (r > 1) SessionCaches.clear(spark, su.cacheKey))
         val t0 = System.nanoTime()
         // ok=false must be visible in the output — a silently swallowed
         // failure would otherwise read as a fast query (VERDICT r2 #4)
@@ -91,11 +181,13 @@ object Bench {
         graft.analytics.CheckpointRegistry.releaseAll(spark)
         (sec, ok)
       }
-      // free the dedup family's shared persisted intermediates the
-      // moment the family completes (VERDICT r2 #2: the 9-query
-      // mid-tier regression cluster) — after ALL reps of this slot
-      val next = if (i + 1 < names.size) names(i + 1)._1 else ""
-      graft.pipeline.PipelineQueries.releaseSharedAfterFamily(spark, name, next)
+      // drop each session cache the moment its LAST consumer's slot
+      // completes (all reps) — persisted-and-never-released
+      // intermediates pressured executor memory for every query that
+      // ran after their family (VERDICT r2 #2: a nine-query mid-tier
+      // regression cluster)
+      clearAfter.getOrElse(name, Nil)
+        .foreach(k => SessionCaches.clear(spark, k))
       (name, runs.map(_._1), runs.forall(_._2))
     }
     // Locale.ROOT: a comma-decimal locale would break the JSON
@@ -113,11 +205,32 @@ object Bench {
     val runsJson = results.filter(_._2.size > 1)
       .map { case (k, ts, _) => "\"" + k + "\":" + ts.map(sec3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // consumer -> the _setup_ entry carrying its cache's cold build
+    // (VERDICT r7 #1: cold-carrier attribution IN the artifact, not in
+    // COVERAGE prose)
+    val coldCarrier = setups
+      .flatMap { su =>
+        val readers = su.reportConsumers.getOrElse(baseNames.filter(su.isConsumer).toSet)
+        baseNames.filter(readers).map(n => n -> su.name)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.mkString("+"))
+      .toSeq.sortBy(_._1)
+      .map { case (q, su) => "\"" + q + "\":\"" + su + "\"" }
+      .mkString("{", ",", "}")
+    // contract quantities next to contract-driven costs (VERDICT r7
+    // #6): g_kcore is O(peel rounds x E), d_dedup_ppjoin is
+    // O(candidate pairs) — emitting them makes "linear in contract"
+    // checkable per round
+    val contract =
+      s"""{"g_kcore_rounds":${graft.analytics.KCore.lastConvergenceRound},""" +
+        s""""g_kcore_input_edges":${graft.analytics.KCore.lastInputEdges},""" +
+        s""""d_dedup_ppjoin_candidates":${graft.pipeline.PpJoin.lastCandidates},""" +
+        s""""d_dedup_ppjoin_incremental_candidates":${graft.pipeline.PpJoin.lastIncrCandidates}}"""
     val total = mins.map(_._2).sum
     val totalFirst = results.map(_._2.head).sum
     val nOk = results.count(_._3)
     // Full per-query detail (min + every rep + ok flags) goes to the file.
-    val fullJson = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":${qmap(mins)},"runs":$runsJson,"value_first":${sec3(totalFirst)},"ok":$oks,"n_queries":${results.size},"n_ok":$nOk,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":${qmap(mins)},"runs":$runsJson,"cold_carrier":$coldCarrier,"contract":$contract,"value_first":${sec3(totalFirst)},"ok":$oks,"n_queries":${results.size},"n_ok":$nOk,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     catch { case _: Throwable => () }
@@ -125,13 +238,13 @@ object Bench {
     // BENCH_r03's "tail" field cut the head of our 5.9 KB line, hence
     // three rounds of parsed:null). The stdout line must therefore be
     // SHORT: total + a fixed headline subset of per-query timings, with
-    // the full 110+-query detail in BENCH_LOCAL.json. Keep this line
+    // the full 200+-query detail in BENCH_LOCAL.json. Keep this line
     // under ~1.8 KB.
     val head = mins.filter(r => HeadlineSet(r._1))
     // a renamed/removed headline query must not just vanish silently
     // (ADVICE r4 #2) — surface the count of names that found no result
     val headlineMissing = HeadlineSet.size - head.size
-    // spread (max - min over the 3 reps, 2dp to keep the line short) for
+    // spread (max - min over the reps, 2dp to keep the line short) for
     // the repeated headline queries: lets the judge separate noise from
     // regression without opening the file
     val spreadJson = results
@@ -141,7 +254,7 @@ object Bench {
           Double.box(ts.max - ts.min))
       }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":${qmap(head)},"spread":$spreadJson,"n_queries":${results.size},"n_ok":$nOk,"headline_missing":$headlineMissing,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":${qmap(head)},"spread":$spreadJson,"contract":$contract,"n_queries":${results.size},"n_ok":$nOk,"headline_missing":$headlineMissing,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     // stop() must not be able to take the JSON down with it — the
     // contract is "JSON is the final stdout line", not "JSON if shutdown
     // was clean"

@@ -8,12 +8,21 @@ import graft.registry.Q
 /** Per-source eccentricity from the sampled BFS — the graph-geometry
   * audit next to the hop-plot's aggregate view: ecc(s) = max_v d(s, v)
   * over the vertices s reaches, plus the reach count. Sampled
-  * eccentricities give the standard certified BOUNDS (the
-  * BoundingDiameters / Takes & Kosters 2011 idea): max ecc over any
-  * sample lower-bounds the diameter, min ecc upper-bounds the radius —
-  * the two numbers a crawl-frontier or partitioning heuristic actually
-  * consumes. Exact BIGINT; no new traversal — the registry path reads
-  * the SAME session-cached (s, v, d) frame as g_stress/g_harmonic
+  * eccentricities give the standard BOUNDS (the BoundingDiameters /
+  * Takes & Kosters 2011 idea), with CERTIFICATION depending on whether
+  * the BFS reached fixpoint (ADVICE r7 #4):
+  *  - max ecc over any sample LOWER-bounds the diameter — certified
+  *    even under a truncated traversal (a cap can only shrink the
+  *    observed max depth, never inflate it);
+  *  - min ecc UPPER-bounds the radius ONLY when the BFS drained its
+  *    frontier before the round cap: a traversal truncated at
+  *    Stress.Rounds underestimates eccentricities, so its min can fall
+  *    BELOW the true radius. Callers must check
+  *    [[Stress.bfsDrainedFor]] (exposed for exactly this) before
+  *    consuming the radius bound; [[eccentricity]]'s standalone path
+  *    runs the same capped forward phase and carries the same caveat.
+  * Exact BIGINT; no new traversal — the registry path reads the SAME
+  * session-cached (s, v, d) frame as g_stress/g_harmonic
   * ([[Stress.levelsFor]]), and the oracle composes the SAME unrolled
   * BFS CTEs as g_harmonic ([[Harmonic.bfsCtes]]), so the three
   * centrality oracles replay one traversal.
@@ -35,7 +44,7 @@ object Eccentricity {
     LoopConf.pinned(spark, edgesRaw.count()) {
       import org.apache.spark.sql.GraftColumnBridge
       val e = Stress.prep(edgesRaw).localCheckpoint(true)
-      val (reached, _) = Stress.forward(spark, e, sourceMax, rounds)
+      val (reached, _, _) = Stress.forward(spark, e, sourceMax, rounds)
       val out = aggregateLevels(reached)
       GraftColumnBridge.checkpointRdd(e).foreach(_.unpersist(false))
       CheckpointRegistry.trackFinal(spark, reached)

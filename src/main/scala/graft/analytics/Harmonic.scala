@@ -53,7 +53,7 @@ object Harmonic {
     LoopConf.pinned(spark, edgesRaw.count()) {
       import org.apache.spark.sql.GraftColumnBridge
       val e = Stress.prep(edgesRaw).localCheckpoint(true)
-      val (reached, _) = Stress.forward(spark, e, sourceMax, rounds)
+      val (reached, _, _) = Stress.forward(spark, e, sourceMax, rounds)
       val out = aggregateLevels(reached)
       GraftColumnBridge.checkpointRdd(e).foreach(_.unpersist(false))
       CheckpointRegistry.trackFinal(spark, reached)

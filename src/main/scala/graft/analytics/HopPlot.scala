@@ -132,6 +132,14 @@ object HopPlot {
       (graft.SessionKey(spark), s"$cacheKey|maxD=$maxD|cov=$coverage"),
       _ => hopPlotRows(spark, edges, maxD, coverage))
 
+  /** Drop this session's memoized hop curves (driver-side Seqs — no
+    * Spark blocks to free). graft.SessionCaches hook: lets Bench time
+    * the BFS as its own `_setup_hopplot` entry per rep. */
+  private[graft] def clearRows(spark: SparkSession): Unit = {
+    val sid = graft.SessionKey(spark)
+    rowsCache.keySet.removeIf(k => k._1 == sid)
+  }
+
   def rowsToDf(spark: SparkSession, rows: Seq[HopRow]): DataFrame = {
     import spark.implicits._
     rows.toDF("d", "g_d", "pct")

@@ -39,6 +39,13 @@ object HyperANF {
       (graft.SessionKey(spark), s"$cacheKey|maxD=$maxD|lgK=$lgK"),
       _ => approxHopPlotRows(spark, edges, maxD, lgK))
 
+  /** Drop this session's memoized approximate hop curves (driver-side
+    * Seqs — no Spark blocks to free). graft.SessionCaches hook. */
+  private[graft] def clearRows(spark: SparkSession): Unit = {
+    val sid = graft.SessionKey(spark)
+    rowsCache.keySet.removeIf(k => k._1 == sid)
+  }
+
   /** Exchange count of the latest superstep's merged-state plan —
     * test hook for the co-partitioning contract below (exactly one
     * shuffle per superstep: the message aggregation; the two state

@@ -229,6 +229,21 @@ object Scc {
       a
     })
 
+  /** Drop this session's cached assignments and free their blocks
+    * (graft.SessionCaches hook — ADVICE r7 #2). */
+  private[graft] def clearAssignments(spark: SparkSession): Unit = {
+    val sid = graft.SessionKey(spark)
+    val it = assignCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == sid) {
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(e.getValue)
+          .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+        it.remove()
+      }
+    }
+  }
+
   val sccQ: Q = Q(
     "g_scc",
     Some(oracleSql(OuterDepth, FwdDepth, BwdDepth)),

@@ -61,12 +61,15 @@ object Stress {
 
   /** Forward level-synchronous BFS from the id < sourceMax sample over
     * a prepped (checkpointed) edge frame: returns the checkpointed
-    * (s, v, d, sig) level frame and the max depth reached. Shared by
-    * stress (which continues with the backward phase) and harmonic
-    * centrality (which only needs the levels) — one implementation, one
-    * session-cached materialization ([[levelsFor]]). */
+    * (s, v, d, sig) level frame, the max depth reached, and whether the
+    * frontier DRAINED before the round cap (true = fixpoint reached —
+    * the flag that decides which eccentricity bounds are certified, see
+    * [[Eccentricity]]). Shared by stress (which continues with the
+    * backward phase) and harmonic centrality (which only needs the
+    * levels) — one implementation, one session-cached materialization
+    * ([[levelsFor]]). */
   private[analytics] def forward(spark: SparkSession, e: DataFrame,
-      sourceMax: Long, rounds: Int): (DataFrame, Int) = {
+      sourceMax: Long, rounds: Int): (DataFrame, Int, Boolean) = {
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
 
@@ -97,14 +100,14 @@ object Stress {
       free(reached); reached = next
       k += 1
     }
-    (reached, maxDepth)
+    (reached, maxDepth, frontierEmpty)
   }
 
   def stress(spark: SparkSession, edgesRaw: DataFrame,
       sourceMax: Long = SourceMax, rounds: Int = Rounds): DataFrame =
     LoopConf.pinned(spark, edgesRaw.count()) {
       val e = ckpt(prep(edgesRaw))
-      val (reached, maxDepth) = forward(spark, e, sourceMax, rounds)
+      val (reached, maxDepth, _) = forward(spark, e, sourceMax, rounds)
       val out = backward(spark, e, reached, maxDepth, rounds)
       free(e)
       CheckpointRegistry.trackFinal(spark, reached)
@@ -172,23 +175,67 @@ object Stress {
     * registry releases after every query; a released truncated
     * checkpoint would be unrecomputable for the next caller). */
   private val levelsCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), (DataFrame, DataFrame, Int, Long)]()
+    (String, String), (DataFrame, DataFrame, Int, Long, Boolean)]()
 
   private[analytics] def levelsFor(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame, Int, Long) =
+      dir: String): (DataFrame, DataFrame, Int, Long, Boolean) =
     levelsCache.computeIfAbsent((graft.SessionKey(spark), dir), _ => {
       val raw = graft.graph.CitationGraph.edges(spark, dir)
       val eCnt = raw.count()
       LoopConf.pinned(spark, eCnt) {
         val e = ckpt(prep(raw))
-        val (reached, maxDepth) = forward(spark, e, SourceMax, Rounds)
-        (e, reached, maxDepth, eCnt)
+        val (reached, maxDepth, drained) = forward(spark, e, SourceMax, Rounds)
+        (e, reached, maxDepth, eCnt, drained)
       }
     })
 
+  /** Whether the session-cached sampled BFS for `dir` reached fixpoint
+    * (frontier drained before the Rounds cap). Consumed by
+    * [[Eccentricity]]: the sampled radius upper bound is only CERTIFIED
+    * when this is true — a truncated BFS underestimates eccentricities
+    * (ADVICE r7 #4). */
+  def bfsDrainedFor(spark: SparkSession, dir: String): Boolean =
+    levelsFor(spark, dir)._5
+
+  /** Standalone drained probe over an arbitrary edge frame (same
+    * forward phase, nothing cached) — the flag callers of
+    * [[Eccentricity.eccentricity]] need before trusting its radius
+    * bound. */
+  def bfsDrained(spark: SparkSession, edgesRaw: DataFrame,
+      sourceMax: Long = SourceMax, rounds: Int = Rounds): Boolean =
+    LoopConf.pinned(spark, edgesRaw.count()) {
+      val e = ckpt(prep(edgesRaw))
+      val (reached, _, drained) = forward(spark, e, sourceMax, rounds)
+      free(e); free(reached)
+      drained
+    }
+
+  /** Warm the session BFS cache for `dir` — Bench times this as its own
+    * `_setup_bfs_levels` entry so the g_stress/g_harmonic/g_eccentricity
+    * numbers are MARGINAL cost with the build attributed by name
+    * (VERDICT r7 #1 / ADVICE r7 #2). */
+  def warmLevels(spark: SparkSession, dir: String): Unit =
+    levelsFor(spark, dir)
+
+  /** Drop this session's cached BFS levels and free their checkpoint
+    * blocks (graft.SessionCaches hook — ADVICE r7 #2: a session cache
+    * with no eviction path pins |sample|x|V| blocks for the session and
+    * makes repeated-run bench statistics pure cache hits). */
+  private[graft] def clearLevels(spark: SparkSession): Unit = {
+    val sid = graft.SessionKey(spark)
+    val it = levelsCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == sid) {
+        free(e.getValue._1); free(e.getValue._2)
+        it.remove()
+      }
+    }
+  }
+
   /** Registry path: backward phase over the session-cached levels. */
   def stressFor(spark: SparkSession, dir: String): DataFrame = {
-    val (e, reached, maxDepth, eCnt) = levelsFor(spark, dir)
+    val (e, reached, maxDepth, eCnt, _) = levelsFor(spark, dir)
     LoopConf.pinned(spark, eCnt) {
       backward(spark, e, reached, maxDepth, Rounds)
     }

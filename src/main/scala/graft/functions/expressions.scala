@@ -318,6 +318,34 @@ object ParsePngHeader {
     StructField("color_type", LongType, nullable = false)))
 }
 
+/** FULL PNG pixel decode (PngCodec.pixelStatsRaw): CRC-verified chunk
+  * walk, zlib inflate of the concatenated IDAT stream, all-five-filter
+  * scanline reversal, then exact-integer per-channel sum/peak — the
+  * image twin of ParseWavPcm. struct(width, height, channels, n_px,
+  * sum_c0..3, peak_c0..3); NULL on any structural violation. */
+case class PngPixelStats(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = PngPixelStats.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    PngCodec.pixelStats(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.PngCodec.pixelStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): PngPixelStats =
+    copy(child = newChild)
+}
+
+object PngPixelStats {
+  val schema: StructType = StructType(
+    Seq("width", "height", "channels", "n_px",
+      "sum_c0", "sum_c1", "sum_c2", "sum_c3",
+      "peak_c0", "peak_c1", "peak_c2", "peak_c3")
+      .map(StructField(_, LongType, nullable = false)))
+}
+
 /** Dot product of two double arrays as a strict left-to-right fold —
   * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but
   * codegen'd: Spark's higher-order functions run interpreted per element
@@ -448,6 +476,9 @@ object GraftFunctions {
   def parse_png_header(bytes: Column): Column =
     GraftColumnBridge.column(ParsePngHeader(GraftColumnBridge.expression(bytes)))
 
+  def png_pixel_stats(bytes: Column): Column =
+    GraftColumnBridge.column(PngPixelStats(GraftColumnBridge.expression(bytes)))
+
   def array_dot_long(a: Column, b: Column): Column =
     GraftColumnBridge.column(ArrayDotLong(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -472,6 +503,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("parse_wav_header", es => ParseWavHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_png", es => EncodePng(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_png_header", es => ParsePngHeader(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("png_pixel_stats", es => PngPixelStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("array_dot_long", es => ArrayDotLong(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cms_sketch",
       es => CmsSketchAgg(es.head).toAggregateExpression(), "scala_udf")

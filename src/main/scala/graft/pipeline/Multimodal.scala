@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{byte_histogram, encode_bmp, encode_png, encode_wav, pack_frames, parse_bmp_header, parse_frames, parse_png_header, parse_wav_header, parse_wav_pcm, sample_bytes}
+import graft.functions.GraftFunctions.{byte_histogram, encode_bmp, encode_png, encode_wav, pack_frames, parse_bmp_header, parse_frames, parse_png_header, parse_wav_header, parse_wav_pcm, png_pixel_stats, sample_bytes}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -378,6 +378,49 @@ object Multimodal {
       .toDF()
   }
 
+  /** Full-payload PIXEL decode (the image twin of [[wavLoudness]]):
+    * deframe (parse_frames yields the concatenated payload, i.e. the
+    * complete PNG), CRC-walk the chunks, INFLATE the real zlib IDAT
+    * stream, reverse the scanline filters, and fold every sample into
+    * exact-integer per-channel sum/peak — the first decode in the
+    * family to cross a COMPRESSED payload boundary (VERDICT r7
+    * Missing #2). */
+  def pngPixels(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"), png_pixel_stats(col("f.payload")).as("s"))
+      .select(col("doc_id") +: PngPixelCols.map(c => col(s"s.$c").as(c)): _*)
+
+  private val PngPixelCols = Seq("width", "height", "channels", "n_px",
+    "sum_c0", "sum_c1", "sum_c2", "sum_c3",
+    "peak_c0", "peak_c1", "peak_c2", "peak_c3")
+
+  final case class PngPixelRow(doc_id: Long, width: Long, height: Long,
+      channels: Long, n_px: Long, sum_c0: Long, sum_c1: Long,
+      sum_c2: Long, sum_c3: Long, peak_c0: Long, peak_c1: Long,
+      peak_c2: Long, peak_c3: Long)
+
+  /** Batched full-pixel path — full reassembled payload to the batch
+    * kernel, one dispatch per batch (mirrors [[wavLoudnessBatch]]). */
+  def pngPixelsBatch(containers: DataFrame, batchSize: Int = 512): DataFrame = {
+    val spark = containers.sparkSession
+    import spark.implicits._
+    containers.select(col("doc_id"), col("container")).as[Container]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val deframed = FrameCodec.parseBatch(batch.map(_.container).toArray)
+          val pngs: Array[Array[Byte]] =
+            deframed.map(r => if (r == null) null else r._2)
+          val stats = graft.functions.PngCodec.pixelStatsBatch(pngs)
+          batch.iterator.zip(stats.iterator).collect {
+            case (c, s) if s != null =>
+              PngPixelRow(c.doc_id, s(0), s(1), s(2), s(3), s(4), s(5),
+                s(6), s(7), s(8), s(9), s(10), s(11))
+          }
+        }
+      }
+      .toDF()
+  }
+
   // ---- registry entries -------------------------------------------------
 
   private def histBinsSql: String =
@@ -602,8 +645,56 @@ object Multimodal {
       wavLoudnessBatch(withWavContainers(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
+  /** The PNG pixel bytes are (doc_id + 7x + 13y + 31c) mod 256
+    * (PngCodec.pixelByte), so the oracle re-derives every per-channel
+    * sum and peak from doc_id and the text length ALONE — independent
+    * arithmetic that never touches bytes. The Spark side must
+    * CRC-verify the chunk walk, INFLATE the real zlib IDAT stream,
+    * reverse the scanline filters, and fold the samples to reproduce
+    * the same integers: any bug in the compressed-payload path
+    * hash-fails. Color type (and so the channel count) alternates by
+    * doc_id parity: even -> truecolor (3), odd -> truecolor+alpha (4);
+    * absent channels report sum/peak 0 on both engines. */
+  private val PngPixelsOracleSql: String = {
+    def samples(c: Int) =
+      s"""flatten(list_transform(generate_series(0, h - 1), y ->
+         |      list_transform(generate_series(0, w - 1), x ->
+         |        (doc_id + 7*x + 13*y + 31*$c) % 256)))""".stripMargin
+    val stats = (0 until 4).map { c =>
+      s"""  CASE WHEN $c >= ch THEN 0
+         |    ELSE CAST(list_sum(${samples(c)}) AS BIGINT) END AS sum_c$c,
+         |  CASE WHEN $c >= ch THEN 0
+         |    ELSE CAST(list_max(${samples(c)}) AS BIGINT) END AS peak_c$c""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) % 80 + 1 AS BIGINT) AS w,
+       |    CAST(length(text) % 60 + 1 AS BIGINT) AS h,
+       |    CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT) AS ch
+       |  FROM documents)
+       |SELECT doc_id, w AS width, h AS height, ch AS channels,
+       |  w * h AS n_px,
+       |$stats
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  val pngPixelsQ: Q = Q(
+    "m_png_pixels",
+    Some(PngPixelsOracleSql),
+    (s, d) =>
+      pngPixels(withPngContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** Same oracle through the batched full-payload path. */
+  val pngPixelsBatchQ: Q = Q(
+    "m_png_pixels_batch",
+    Some(PngPixelsOracleSql),
+    (s, d) =>
+      pngPixelsBatch(withPngContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
   val all: Seq[Q] = Seq(decodeQ, frameSampleQ, decodeBatchQ,
     containerDecodeQ, containerDecodeBatchQ, bmpDecodeQ, bmpDecodeBatchQ,
     wavDecodeQ, wavDecodeBatchQ, wavLoudnessQ, wavLoudnessBatchQ,
-    pngDecodeQ, pngDecodeBatchQ)
+    pngDecodeQ, pngDecodeBatchQ, pngPixelsQ, pngPixelsBatchQ)
 }

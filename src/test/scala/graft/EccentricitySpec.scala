@@ -69,4 +69,18 @@ class EccentricitySpec extends SparkSpec {
     // reached counts never exceed the vertex universe implied by ecc 0
     out.foreach(r => assert(r.getLong(2) >= 0))
   }
+
+  test("radius bound certification: drained flag true on corpus, false when truncated") {
+    // ADVICE r7 #4: min ecc upper-bounds the radius ONLY when the BFS
+    // reached fixpoint. The corpus BFS drains within Stress.Rounds...
+    assert(Stress.bfsDrainedFor(spark, sf()),
+      "corpus BFS expected to reach fixpoint — if this fails, raise Stress.Rounds")
+    // ...while a 15-node path from source 0 truncated at 3 rounds does
+    // not: its sampled min ecc (3) would sit BELOW the true radius, so
+    // the flag must say so
+    import spark.implicits._
+    val chain = (0L until 14L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(!Stress.bfsDrained(spark, chain, sourceMax = 1, rounds = 3))
+    assert(Stress.bfsDrained(spark, chain, sourceMax = 1, rounds = 20))
+  }
 }

@@ -156,4 +156,18 @@ class PpJoinSpec extends SparkSpec {
       assert(ppm === 1000000L * c / (na + nb - c))
     }
   }
+
+  test("string-verify fallback equals the hashed fast path (ADVICE r7 #3)") {
+    // the collision fallback can't be triggered by real data in-test
+    // (64-bit birthday), so force it: results must be IDENTICAL —
+    // verification arithmetic, not encoding, decides the output
+    val corpus = Tables.documents(spark, sf())
+    val fast = run(corpus)
+    val fastInc = runInc(corpus)
+    PpJoin.forceStringVerify = true
+    try {
+      assert(run(corpus) === fast)
+      assert(runInc(corpus) === fastInc)
+    } finally PpJoin.forceStringVerify = false
+  }
 }

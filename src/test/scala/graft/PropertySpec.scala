@@ -157,13 +157,37 @@ class PropertySpec extends SparkSpec {
   }
 
   test("PNG encode/parse round-trips for random geometry") {
+    // dims bounded so w*h*channels stays under the encoder's documented
+    // MaxEncodeSamples cap (the real-IDAT encoder buffers the raw
+    // scanlines; geometry past the cap is refused below)
     (1L to 30L).foreach { seed =>
-      val w = sample(Gen.chooseNum(1, 1 << 24), seed)
-      val h = sample(Gen.chooseNum(1, 1 << 20), seed + 50)
+      val w = sample(Gen.chooseNum(1, 1 << 12), seed)
+      val h = sample(Gen.chooseNum(1, 1 << 10), seed + 50)
       val ct = sample(Gen.oneOf(0, 2, 3, 4, 6), seed + 100)
       val hd = graft.functions.PngCodec.parseHeaderRaw(
         graft.functions.PngCodec.encode(w, h, ct, seed))
       assert(hd != null && hd.toSeq === Seq(w.toLong, h.toLong, 8L, ct.toLong))
+    }
+    // past the cap: refuse with null, never OOM
+    assert(graft.functions.PngCodec.encode(1 << 24, 1 << 20, 6, 1L) == null)
+  }
+
+  test("PNG pixel stats round-trip the formula for random geometry") {
+    (1L to 12L).foreach { seed =>
+      val w = sample(Gen.chooseNum(1, 96), seed)
+      val h = sample(Gen.chooseNum(1, 64), seed + 50)
+      val ct = sample(Gen.oneOf(0, 2, 4, 6), seed + 100)
+      val ch = graft.functions.PngCodec.channelsOf(ct)
+      val s = graft.functions.PngCodec.pixelStatsRaw(
+        graft.functions.PngCodec.encode(w, h, ct, seed))
+      assert(s != null)
+      assert(s.take(4).toSeq === Seq(w.toLong, h.toLong, ch.toLong, w.toLong * h))
+      (0 until 4).foreach { c =>
+        val vs = for (y <- 0 until h; x <- 0 until w)
+          yield graft.functions.PngCodec.pixelByte(seed, x, y, c).toLong
+        assert(s(4 + c) === (if (c < ch) vs.sum else 0L), s"sum c$c")
+        assert(s(8 + c) === (if (c < ch) vs.max else 0L), s"peak c$c")
+      }
     }
   }
 }
