@@ -154,6 +154,7 @@ object Bench {
       "g_link_pred", "g_mis", "g_mst", "g_ppr", "g_squares", "g_stress",
       "g_temporal_reach", "g_truss_decomp", "g_walks", "j1_join_inner",
       "j2_join_double", "j4_join_anti", "m_bmp_decode_batch",
+      "m_bmp_pixels_batch", "m_gzip_decode_batch",
       "m_container_decode_batch", "m_decode_batch", "m_png_decode_batch",
       "m_png_pixels_batch", "m_wav_decode_batch", "m_wav_loudness_batch",
       "sim_ann_ivf", "sim_ann_recall_tol")

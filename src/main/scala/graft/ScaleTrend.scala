@@ -52,7 +52,10 @@ object ScaleTrend {
     "x_table_stats", "g_mst", "x_dow_seasonality", "d_corpus_report",
     "g_harmonic", "d_coreset_kcenter", "g_modularity", "d_dedup_ppjoin",
     "m_wav_loudness", "x_equidepth_hist", "d_dedup_ppjoin_incremental",
-    "g_eccentricity")
+    "g_eccentricity",
+    // round-8 full-payload decodes — map-only, slope should ride the
+    // corpus linearly
+    "m_png_pixels", "m_bmp_pixels", "m_gzip_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

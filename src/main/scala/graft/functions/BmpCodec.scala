@@ -134,4 +134,64 @@ object BmpCodec {
     if (raw == null) null
     else new GenericInternalRow(Array[Any](raw(0), raw(1), raw(2), raw(3)))
   }
+
+  // ---- full pixel decode -------------------------------------------------
+
+  /** Full pixel decode of a COMPLETE 24bpp BMP into exact-integer
+    * per-channel statistics — the UNCOMPRESSED twin of
+    * PngCodec.pixelStatsRaw (no inflate step; the hard part here is the
+    * stride walk over padded bottom-up rows):
+    * [width, height, n_px, sum_b, sum_g, sum_r, peak_b, peak_g, peak_r].
+    * NULL on any header violation (parseHeaderRaw), non-24bpp depth, or
+    * a payload shorter than the declared geometry — padding bytes are
+    * SKIPPED, never counted (the classic stride bug this pins). */
+  def pixelStatsRaw(b: Array[Byte]): Array[Long] = {
+    val h = parseHeaderRaw(b)
+    if (h == null) return null
+    if (h(2) != 24L) return null
+    val width = h(0).toInt
+    val height = h(1).toInt
+    val dataOffset = getIntLE(b, 10)
+    val stride = rowStride(width)
+    if (dataOffset.toLong + stride.toLong * height > b.length) return null
+    val sums = new Array[Long](3)
+    val peaks = new Array[Long](3)
+    var y = 0
+    while (y < height) {
+      val rowOff = dataOffset + y * stride
+      var x = 0
+      while (x < width) {
+        val p = rowOff + x * 3
+        var c = 0
+        while (c < 3) {
+          val v = (b(p + c) & 0xFF).toLong
+          sums(c) += v
+          if (v > peaks(c)) peaks(c) = v
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Array[Long](width, height, width.toLong * height,
+      sums(0), sums(1), sums(2), peaks(0), peaks(1), peaks(2))
+  }
+
+  /** Row form for the expression path (InternalRow of 9 longs). */
+  def pixelStats(b: Array[Byte]): InternalRow = {
+    val s = pixelStatsRaw(b)
+    if (s == null) null
+    else new GenericInternalRow(s.map(v => v: Any))
+  }
+
+  /** Batched full decode — one dispatch per batch of full payloads. */
+  def pixelStatsBatch(payloads: Array[Array[Byte]]): Array[Array[Long]] = {
+    val out = new Array[Array[Long]](payloads.length)
+    var i = 0
+    while (i < payloads.length) {
+      out(i) = pixelStatsRaw(payloads(i))
+      i += 1
+    }
+    out
+  }
 }

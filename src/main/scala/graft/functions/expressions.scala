@@ -346,6 +346,75 @@ object PngPixelStats {
       .map(StructField(_, LongType, nullable = false)))
 }
 
+/** FULL BMP pixel decode (BmpCodec.pixelStatsRaw): stride walk over
+  * padded bottom-up 24bpp rows into exact-integer per-channel sum/peak
+  * — the uncompressed twin of PngPixelStats. struct(width, height,
+  * n_px, sum_b, sum_g, sum_r, peak_b, peak_g, peak_r); NULL on any
+  * structural violation. */
+case class BmpPixelStats(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BmpPixelStats.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    BmpCodec.pixelStats(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.BmpCodec.pixelStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): BmpPixelStats =
+    copy(child = newChild)
+}
+
+object BmpPixelStats {
+  val schema: StructType = StructType(
+    Seq("width", "height", "n_px", "sum_b", "sum_g", "sum_r",
+      "peak_b", "peak_g", "peak_r")
+      .map(StructField(_, LongType, nullable = false)))
+}
+
+/** Gzip a text column's UTF-8 bytes (GzipCodec.gzip) — the crawl-corpus
+  * "media producer" for compressed text payloads. */
+case class GzipText(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    GzipCodec.gzip(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.GzipCodec.gzip($c.getBytes());
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): GzipText =
+    copy(child = newChild)
+}
+
+/** Gunzip a binary column back to text (GzipCodec.gunzip): CRC-32 and
+  * ISIZE trailers verified by the JDK stream, zip-bomb capped, NULL on
+  * any violation — the gate a 100-TB WARC/WET scan applies before any
+  * text operator runs. */
+case class GunzipText(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val r = GzipCodec.gunzip(v.asInstanceOf[Array[Byte]])
+    if (r == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromBytes(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("gunz")
+      s"""
+         |byte[] $tmp = graft.functions.GzipCodec.gunzip($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($tmp); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): GunzipText =
+    copy(child = newChild)
+}
+
 /** Dot product of two double arrays as a strict left-to-right fold —
   * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but
   * codegen'd: Spark's higher-order functions run interpreted per element
@@ -479,6 +548,15 @@ object GraftFunctions {
   def png_pixel_stats(bytes: Column): Column =
     GraftColumnBridge.column(PngPixelStats(GraftColumnBridge.expression(bytes)))
 
+  def bmp_pixel_stats(bytes: Column): Column =
+    GraftColumnBridge.column(BmpPixelStats(GraftColumnBridge.expression(bytes)))
+
+  def gzip_text(text: Column): Column =
+    GraftColumnBridge.column(GzipText(GraftColumnBridge.expression(text)))
+
+  def gunzip_text(bytes: Column): Column =
+    GraftColumnBridge.column(GunzipText(GraftColumnBridge.expression(bytes)))
+
   def array_dot_long(a: Column, b: Column): Column =
     GraftColumnBridge.column(ArrayDotLong(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -504,6 +582,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("encode_png", es => EncodePng(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_png_header", es => ParsePngHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_pixel_stats", es => PngPixelStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("bmp_pixel_stats", es => BmpPixelStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("gzip_text", es => GzipText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("gunzip_text", es => GunzipText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("array_dot_long", es => ArrayDotLong(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cms_sketch",
       es => CmsSketchAgg(es.head).toAggregateExpression(), "scala_udf")

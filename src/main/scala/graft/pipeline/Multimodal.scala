@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{byte_histogram, encode_bmp, encode_png, encode_wav, pack_frames, parse_bmp_header, parse_frames, parse_png_header, parse_wav_header, parse_wav_pcm, png_pixel_stats, sample_bytes}
+import graft.functions.GraftFunctions.{bmp_pixel_stats, byte_histogram, encode_bmp, encode_png, encode_wav, gunzip_text, gzip_text, pack_frames, parse_bmp_header, parse_frames, parse_png_header, parse_wav_header, parse_wav_pcm, png_pixel_stats, sample_bytes}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -421,6 +421,93 @@ object Multimodal {
       .toDF()
   }
 
+  /** Full-payload BMP pixel decode — the UNCOMPRESSED image twin of
+    * [[pngPixels]]: deframe, walk the padded bottom-up 24bpp rows, fold
+    * exact per-channel (B, G, R) sum/peak. No inflate step; what this
+    * pins is the STRIDE arithmetic (padding bytes skipped, never
+    * counted) against an oracle that recomputes the stats from the
+    * documented pixel formulas alone. */
+  def bmpPixels(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"), bmp_pixel_stats(col("f.payload")).as("s"))
+      .select(col("doc_id") +: BmpPixelCols.map(c => col(s"s.$c").as(c)): _*)
+
+  private val BmpPixelCols = Seq("width", "height", "n_px",
+    "sum_b", "sum_g", "sum_r", "peak_b", "peak_g", "peak_r")
+
+  final case class BmpPixelRow(doc_id: Long, width: Long, height: Long,
+      n_px: Long, sum_b: Long, sum_g: Long, sum_r: Long,
+      peak_b: Long, peak_g: Long, peak_r: Long)
+
+  /** Batched full-pixel path (one dispatch per batch). */
+  def bmpPixelsBatch(containers: DataFrame, batchSize: Int = 512): DataFrame = {
+    val spark = containers.sparkSession
+    import spark.implicits._
+    containers.select(col("doc_id"), col("container")).as[Container]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val deframed = FrameCodec.parseBatch(batch.map(_.container).toArray)
+          val bmps: Array[Array[Byte]] =
+            deframed.map(r => if (r == null) null else r._2)
+          val stats = graft.functions.BmpCodec.pixelStatsBatch(bmps)
+          batch.iterator.zip(stats.iterator).collect {
+            case (c, s) if s != null =>
+              BmpPixelRow(c.doc_id, s(0), s(1), s(2), s(3), s(4), s(5),
+                s(6), s(7), s(8))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  // ---- gzip text payloads (the crawl-corpus compressed-text member) -----
+
+  /** documents -> (doc_id, container): each text gzipped (real RFC 1952
+    * member via the JDK — CRC-32 + ISIZE trailers) and framed into
+    * GRFT1, the WARC/WET shape a crawled corpus lands in. */
+  def withGzipContainers(docs: DataFrame, frameSize: Int = 64): DataFrame =
+    docs.select(
+      col("doc_id"),
+      pack_frames(gzip_text(col("text")), lit(frameSize)).as("container"))
+
+  /** Full-payload gunzip: deframe, inflate the member (trailer-verified,
+    * zip-bomb capped), and fingerprint the recovered text. The oracle
+    * reads the ORIGINAL text column — compressed bytes never cross the
+    * engine boundary (they are zlib-version-specific), the recovered
+    * CONTENT must match. */
+  def gunzipTexts(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"), gunzip_text(col("f.payload")).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("fp"),
+        length(col("t")).cast(LongType).as("n_chars"))
+
+  final case class GzipTextRow(doc_id: Long, fp: String, n_chars: Long)
+
+  /** Batched full-payload path (one dispatch per batch). */
+  def gunzipTextsBatch(containers: DataFrame, batchSize: Int = 512): DataFrame = {
+    val spark = containers.sparkSession
+    import spark.implicits._
+    containers.select(col("doc_id"), col("container")).as[Container]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.grouped(batchSize).flatMap { batch =>
+          val deframed = FrameCodec.parseBatch(batch.map(_.container).toArray)
+          batch.iterator.zip(deframed.iterator).flatMap { case (c, r) =>
+            val raw = if (r == null) null
+              else graft.functions.GzipCodec.gunzip(r._2)
+            if (raw == null) None
+            else {
+              md.reset()
+              val fp = md.digest(raw).map("%02x".format(_)).mkString
+              val s = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+              Some(GzipTextRow(c.doc_id, fp, s.codePointCount(0, s.length).toLong))
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
   // ---- registry entries -------------------------------------------------
 
   private def histBinsSql: String =
@@ -693,8 +780,79 @@ object Multimodal {
       pngPixelsBatch(withPngContainers(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
+  /** The recovered text must be CONTENT-identical to the original
+    * column: the oracle fingerprints `documents.text` directly, the
+    * Spark side must deframe + gunzip (CRC/ISIZE-verified) to reproduce
+    * the same md5 and code-point length. Compressed bytes are
+    * deliberately absent from the result — they are zlib-version-
+    * specific and must never cross the engine boundary. */
+  private val GzipOracleSql =
+    """SELECT doc_id, md5(text) AS fp,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The BMP pixel bytes are, per channel (BmpCodec.encode):
+    * B = (doc_id + 7x + 13y) mod 251, G = (doc_id + 11x + 3y) mod 249,
+    * R = (doc_id + 5x + 17y) mod 247 — the oracle re-derives every
+    * per-channel sum and peak from doc_id and the text length alone,
+    * so the Spark side's stride walk over padded bottom-up rows is
+    * checked against independent arithmetic (a padding byte counted,
+    * or a row misaligned, hash-fails). */
+  private val BmpPixelsOracleSql: String = {
+    def samples(expr: String) =
+      s"""flatten(list_transform(generate_series(0, h - 1), y ->
+         |      list_transform(generate_series(0, w - 1), x -> $expr)))""".stripMargin
+    val chans = Seq(
+      ("b", "(doc_id + 7*x + 13*y) % 251"),
+      ("g", "(doc_id + 11*x + 3*y) % 249"),
+      ("r", "(doc_id + 5*x + 17*y) % 247"))
+    val stats = chans.map { case (c, e) =>
+      s"""  CAST(list_sum(${samples(e)}) AS BIGINT) AS sum_$c,
+         |  CAST(list_max(${samples(e)}) AS BIGINT) AS peak_$c""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) % 64 + 1 AS BIGINT) AS w,
+       |    CAST(length(text) % 48 + 1 AS BIGINT) AS h
+       |  FROM documents)
+       |SELECT doc_id, w AS width, h AS height, w * h AS n_px,
+       |$stats
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  val bmpPixelsQ: Q = Q(
+    "m_bmp_pixels",
+    Some(BmpPixelsOracleSql),
+    (s, d) =>
+      bmpPixels(withBmpContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** Same oracle through the batched full-payload path. */
+  val bmpPixelsBatchQ: Q = Q(
+    "m_bmp_pixels_batch",
+    Some(BmpPixelsOracleSql),
+    (s, d) =>
+      bmpPixelsBatch(withBmpContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  val gzipDecodeQ: Q = Q(
+    "m_gzip_decode",
+    Some(GzipOracleSql),
+    (s, d) =>
+      gunzipTexts(withGzipContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** Same oracle through the batched full-payload path. */
+  val gzipDecodeBatchQ: Q = Q(
+    "m_gzip_decode_batch",
+    Some(GzipOracleSql),
+    (s, d) =>
+      gunzipTextsBatch(withGzipContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
   val all: Seq[Q] = Seq(decodeQ, frameSampleQ, decodeBatchQ,
     containerDecodeQ, containerDecodeBatchQ, bmpDecodeQ, bmpDecodeBatchQ,
     wavDecodeQ, wavDecodeBatchQ, wavLoudnessQ, wavLoudnessBatchQ,
-    pngDecodeQ, pngDecodeBatchQ, pngPixelsQ, pngPixelsBatchQ)
+    pngDecodeQ, pngDecodeBatchQ, pngPixelsQ, pngPixelsBatchQ,
+    bmpPixelsQ, bmpPixelsBatchQ, gzipDecodeQ, gzipDecodeBatchQ)
 }

@@ -93,6 +93,46 @@ class BmpCodecSpec extends SparkSpec {
     }
   }
 
+  // ---- full pixel decode -------------------------------------------------
+
+  test("pixel stats: stride walk reproduces the channel formulas exactly") {
+    // widths chosen so the row stride carries 0-3 padding bytes — the
+    // walk must SKIP padding, never count it
+    for ((w, h) <- Seq((1, 1), (4, 3), (5, 4), (6, 2), (7, 5), (64, 48))) {
+      val seed = w * 31L + h
+      val s = graft.functions.BmpCodec.pixelStatsRaw(
+        graft.functions.BmpCodec.encode(w, h, seed))
+      assert(s != null, s"($w,$h)")
+      assert(s.take(3).toSeq === Seq(w.toLong, h.toLong, w.toLong * h))
+      val chans = Seq[(Int, Int, Int)]((7, 13, 251), (11, 3, 249), (5, 17, 247))
+      chans.zipWithIndex.foreach { case ((cx, cy, m), i) =>
+        val vs = for (y <- 0 until h; x <- 0 until w)
+          yield (x.toLong * cx + y.toLong * cy + seed) % m
+        assert(s(3 + i) === vs.sum, s"sum ch$i ($w,$h)")
+        assert(s(6 + i) === vs.max, s"peak ch$i ($w,$h)")
+      }
+    }
+  }
+
+  test("pixel stats: truncated payload and non-24bpp null, header-only parse unaffected") {
+    val bmp = graft.functions.BmpCodec.encode(9, 4, 5L)
+    assert(graft.functions.BmpCodec.pixelStatsRaw(bmp) != null)
+    // header intact but pixel rows cut short: header parses, stats null
+    val cut = java.util.Arrays.copyOf(bmp, bmp.length - 1)
+    assert(graft.functions.BmpCodec.parseHeaderRaw(cut) != null)
+    assert(graft.functions.BmpCodec.pixelStatsRaw(cut) == null)
+  }
+
+  test("pixel expression and batched pixel decode agree on the documents table") {
+    val containers = Multimodal.withBmpContainers(Tables.documents(spark, sf()))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 10).map(i => r.getLong(i)).toList).toSet
+    val a = key(Multimodal.bmpPixels(containers))
+    val b = key(Multimodal.bmpPixelsBatch(containers, batchSize = 7))
+    assert(a === b)
+    assert(a.size === Tables.documents(spark, sf()).count())
+  }
+
   test("BMP decode stays inside whole-stage codegen") {
     val plan = Multimodal.parseBmpHeaders(
       Multimodal.withBmpContainers(Tables.documents(spark, sf())))

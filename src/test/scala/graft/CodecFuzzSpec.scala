@@ -26,7 +26,12 @@ class CodecFuzzSpec extends SparkSpec {
     "grft1" -> (b => FrameCodec.parseRaw(b)),
     "bmp" -> (b => BmpCodec.parseHeaderRaw(b)),
     "wav" -> (b => WavCodec.parseHeaderRaw(b)),
-    "png" -> (b => PngCodec.parseHeaderRaw(b)))
+    "png" -> (b => PngCodec.parseHeaderRaw(b)),
+    // the round-8 full-payload decoders cross compressed boundaries —
+    // the never-throw contract matters MOST where zlib is in the loop
+    "png_pixels" -> (b => PngCodec.pixelStatsRaw(b)),
+    "bmp_pixels" -> (b => BmpCodec.pixelStatsRaw(b)),
+    "gunzip" -> (b => graft.functions.GzipCodec.gunzip(b)))
 
   test("random blobs never throw through any codec parse (200 seeded cases)") {
     (1L to 200L).foreach { seed =>
@@ -45,9 +50,10 @@ class CodecFuzzSpec extends SparkSpec {
       FrameCodec.pack("the quick brown fox jumps over it".getBytes("UTF-8"), 7),
       BmpCodec.encode(13, 9, 42L),
       WavCodec.encode(16000, 2, 50, 7L),
-      PngCodec.encode(13, 9, 2, 42L))
+      PngCodec.encode(13, 9, 2, 42L),
+      graft.functions.GzipCodec.gzip("fuzz this member".getBytes("UTF-8")))
     (1L to 300L).foreach { seed =>
-      val v = valids((seed % 4).toInt)
+      val v = valids((seed % valids.length).toInt)
       val pos = sample(Gen.chooseNum(0, v.length - 1), seed)
       val nb = sample(byteGen, seed + 1000)
       val mutated = v.clone(); mutated(pos) = nb
@@ -73,9 +79,10 @@ class CodecFuzzSpec extends SparkSpec {
       FrameCodec.pack("a slightly longer payload for frames".getBytes("UTF-8"), 5),
       BmpCodec.encode(7, 5, 3L),
       WavCodec.encode(8000, 1, 20, 1L),
-      PngCodec.encode(7, 5, 6, 3L))
+      PngCodec.encode(7, 5, 6, 3L),
+      graft.functions.GzipCodec.gzip("truncate this member".getBytes("UTF-8")))
     (1L to 150L).foreach { seed =>
-      val v = valids((seed % 4).toInt)
+      val v = valids((seed % valids.length).toInt)
       val cut = sample(Gen.chooseNum(0, v.length), seed)
       val t = java.util.Arrays.copyOf(v, cut)
       parsers.foreach { case (name, p) =>
