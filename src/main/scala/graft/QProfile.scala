@@ -26,7 +26,9 @@ object QProfile {
     catch { case _: Throwable => () }
     for (name <- queries; r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      // toRdd, not Dataset.count(): count() lets Catalyst prune per-row
+      // expression work (see Bench's materialization comment)
+      val n = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       graft.analytics.CheckpointRegistry.releaseAll(spark)
       println(f"QPROFILE $name rep=$r $sec%.2fs rows=$n")

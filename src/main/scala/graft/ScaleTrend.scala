@@ -103,12 +103,12 @@ object ScaleTrend {
       }
     for (name <- fam; r <- 1 to reps)
       time(s"$name rep=$r") {
-        SparkEntry.queries(name)(spark, sfDir).count()
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       }
     graft.pipeline.PipelineQueries.releaseShared(spark)
     for (name <- SlopeSet.filter(n => only.isEmpty || only(n)); r <- 1 to reps)
       time(s"$name rep=$r") {
-        SparkEntry.queries(name)(spark, sfDir).count()
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       }
     spark.stop()
   }

@@ -137,6 +137,58 @@ object SketchUtil {
     out
   }
 
+  /** Word n-grams in ONE per-row pass — the generalized kernel behind
+    * [[distinctShingles]] (n=3, distinct) that the 5/8-gram operators
+    * (decontaminate, dup-span, novelty) previously built with Spark's
+    * higher-order `transform(sequence(...), ...)`, which evaluates
+    * INTERPRETED per element (the ArrayDot lesson, measured 20x there;
+    * here the interpreted build ran once per plan BRANCH — the honest
+    * toRdd bench exposed 22-36s per query where this kernel does the
+    * same work in ~2-4s). `distinct` keeps first-occurrence order.
+    * Null below n tokens — explode() then skips the row, matching the
+    * `size(toks) >= n` filter of the transform build. */
+  def ngramsArray(text: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
+    val t = tokens(text)
+    if (t.length < n) return null
+    val count = t.length - n + 1
+    val sb = new java.lang.StringBuilder(64)
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[String](count * 2)
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(t(i + k))
+          k += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[AnyRef](count)
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(t(i + k))
+          k += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** distinctShingles boxed for Catalyst (array<string>). */
   def shinglesArray(text: UTF8String): GenericArrayData = {
     val gs = distinctShingles(text)
@@ -203,6 +255,30 @@ case class WordShingles(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Word n-grams of a text column as array<string> (NULL below n tokens),
+  * one codegen'd per-row pass — the generalized [[WordShingles]] the
+  * 5/8-gram pipeline operators share (SketchUtil.ngramsArray has the
+  * measured why). `n` and `distinct` are plan-time constants. */
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    SketchUtil.ngramsArray(v.asInstanceOf[UTF8String], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("ngs")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+         |  graft.functions.SketchUtil.ngramsArray($c, $n, $distinct);
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   def minhash_sig(c: Column): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(c)))
@@ -210,4 +286,7 @@ object SketchFunctions {
     GraftColumnBridge.column(SimHash60(GraftColumnBridge.expression(c)))
   def word_shingles(c: Column): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(c)))
+  def word_ngrams(c: Column, n: Int, distinct: Boolean = false): Column =
+    GraftColumnBridge.column(
+      WordNgrams(GraftColumnBridge.expression(c), n, distinct))
 }

@@ -1196,18 +1196,18 @@ object PipelineQueries {
             |FROM t LEFT JOIN m ON t.doc_id = m.doc_id
             |WHERE t.doc_id >= 25 ORDER BY t.doc_id""".stripMargin),
     (s, d) => {
-      def gram5(c: Column): Column = array_distinct(transform(
-        sequence(lit(0), size(c) - 5),
-        i => concat_ws(" ", get(c, i), get(c, i + 1), get(c, i + 2),
-          get(c, i + 3), get(c, i + 4))))
-      val g = Tables.documents(s, d)
-        .select(col("doc_id"), toks(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 5)
-        .select(col("doc_id"), gram5(col("toks")).as("grams"))
-      val bench = g.filter(col("doc_id") < 25)
-        .select(explode(col("grams")).as("gr")).distinct()
-      val corpus = g.filter(col("doc_id") >= 25)
-      val matched = corpus.select(col("doc_id"), explode(col("grams")).as("gr"))
+      // gram build: the codegen'd distinct-5-gram kernel; the doc_id
+      // range filters run BEFORE the kernel so each side tokenizes only
+      // its own rows (the interpreted transform form cost 22s under the
+      // honest toRdd bench — Novelty.noveltyOf has the full note)
+      import graft.functions.SketchFunctions.word_ngrams
+      def posts(df: DataFrame): DataFrame =
+        df.select(col("doc_id"),
+          explode(word_ngrams(col("text"), 5, distinct = true)).as("gr"))
+      val docs = Tables.documents(s, d)
+      val bench = posts(docs.filter(col("doc_id") < 25))
+        .select(col("gr")).distinct()
+      val matched = posts(docs.filter(col("doc_id") >= 25))
         .join(broadcast(bench), "gr")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       // report EVERY corpus doc — including <5-token and null-text docs
@@ -1277,13 +1277,13 @@ object PipelineQueries {
   /** d_dup_span over any (doc_id, text) frame — the seam the toy-corpus
     * spec drives directly. */
   def dupSpanOf(docs: DataFrame): DataFrame = {
-    val t = docs
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 8)
-    val grams = transform(sequence(lit(0), size(col("toks")) - 8),
-      i => concat_ws(" ", (0 to 7).map(k => get(col("toks"), i + k)): _*))
-    val g = t.select(col("doc_id"), grams.as("grams"))
-    val p = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // gram build: the codegen'd per-row kernel — the interpreted
+    // transform(sequence, ...) form executed once per plan branch and
+    // the honest toRdd bench measured it at 33.4s vs ~3s for the
+    // kernel (round 8; Novelty.noveltyOf has the full note)
+    import graft.functions.SketchFunctions.word_ngrams
+    val p = docs.select(col("doc_id"),
+      explode(word_ngrams(col("text"), 8)).as("gram"))
     // two-level: (gram, doc) distinct then per-gram doc count — both
     // aggregations partial/map-side-combinable, unlike countDistinct
     val dup = p.distinct()
@@ -1291,7 +1291,11 @@ object PipelineQueries {
       .filter(col("ndocs") >= 2).select(col("gram"))
     val nd = p.join(dup, "gram")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-    val ng = g.select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
+    val ng = docs
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        (size(col("toks")) - lit(7)).cast(LongType).as("n_grams"))
     docs.select(col("doc_id"))
       .join(ng, Seq("doc_id"), "left")
       .join(nd, Seq("doc_id"), "left")

@@ -66,4 +66,42 @@ class NoveltySpec extends SparkSpec {
     val sumNovel = out.agg(sum("novel_grams")).head.getLong(0)
     assert(sumNovel > 0)
   }
+
+  test("word_ngrams kernel == the higher-order transform build it replaced") {
+    // the round-8 kernel swap (SketchUtil.ngramsArray scaladoc) must be
+    // a pure performance change: same grams, same order, same row set —
+    // including the edge docs (exactly 8 tokens, under 8, empty, messy
+    // whitespace, duplicate grams kept positionally)
+    import graft.functions.SketchFunctions.word_ngrams
+    val corpus = docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h", // exactly 8
+      3L -> "too short",
+      4L -> "",
+      5L -> "  x  y\tz q r s t u v  ", // messy whitespace
+      6L -> "a a a a a a a a a a") // duplicate grams, kept per position
+    def transformBuild(c: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), size(c) - 8),
+        i => concat_ws(" ", (0 to 7).map(k => get(c, i + k)): _*))
+    val viaTransform = corpus
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), posexplode(transformBuild(col("toks"))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaKernel = corpus
+      .select(col("doc_id"), posexplode(word_ngrams(col("text"), 8)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaKernel === viaTransform)
+    assert(viaKernel.exists(_._1 == 6L)) // duplicate grams present
+    // distinct mode matches array_distinct of the positional build
+    val distTransform = corpus
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), posexplode(array_distinct(transformBuild(col("toks")))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val distKernel = corpus
+      .select(col("doc_id"), posexplode(word_ngrams(col("text"), 8, distinct = true)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(distKernel === distTransform)
+  }
 }
