@@ -161,7 +161,8 @@ object Bench {
       // promoted by the honest toRdd statistic (round 8: the pruned
       // count() had hidden their full-result cost)
       "x_try_arith", "x_approx_distinct_tol", "x_approx_percentile_tol",
-      "x_table_stats", "t_cdc_chunk", "x_resample_locf", "x_hll_group_tol")
+      "x_table_stats", "t_cdc_chunk", "x_resample_locf", "x_hll_group_tol",
+      "m_dedup_image_ahash")
     val results = names.zipWithIndex.map { case ((name, fn), i) =>
       val setup = setupByName.get(name)
       val reps =

@@ -86,6 +86,10 @@ object Mst {
       .select(col("u").as("ca"), col("v").as("cb"),
         col("w"), col("u").as("ou"), col("v").as("ov")))
     val picked = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // per-round selection checkpoints, kept alive until the RESULT is
+    // consumed (picked reads them lazily); registered with the
+    // CheckpointRegistry below so the runners release them post-query
+    val keptSels = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var rounds = 0
     var jumpsConverged = true
     var nLive = live.count()
@@ -103,11 +107,12 @@ object Mst {
           .as("m"))
         .select(col("c"), col("m.other").as("partner"),
           col("m.w").as("w"), col("m.ou").as("ou"), col("m.ov").as("ov")))
-      // selected ORIGINAL edges, deduped (a mutual pair selects the
-      // same edge twice)
-      picked += sel.select(col("ou"), col("ov"), col("w")).distinct()
-        .localCheckpoint(true)
-      CheckpointRegistry.trackFinal(spark, picked.last)
+      keptSels += sel
+      // selected ORIGINAL edges: served LAZILY from the sel checkpoint
+      // (kept alive until the result is consumed) — the per-round
+      // distinct+checkpoint was one extra job per round whose only
+      // reader is the final union, which dedups globally anyway
+      picked += sel.select(col("ou"), col("ov"), col("w"))
       // pointer: partner, except the smaller side of a mutual pair roots
       val mutual = sel.select(col("c").as("c2"), col("partner").as("p2"))
       val p0 = sel.join(mutual,
@@ -118,8 +123,12 @@ object Mst {
       // pointer jumping, one CHECKPOINTED level per jump with an
       // early-stop on the moved count. (A lazily-composed fixed-depth
       // variant was measured 2.3x SLOWER: 2^J duplicated join leaves
-      // re-plan and re-execute per level — the checkpoint-per-jump loop
-      // does ~4 tiny jobs instead and stops at the real depth.)
+      // re-plan and re-execute per level; a round-8 two-levels-per-
+      // checkpoint attempt was ALSO slower — 11.8s vs 8.9s min —
+      // because jump(jump(p)) evaluates the inner join on both sides
+      // of the outer one, and the extra shuffles cost more than the
+      // saved materialization latency. One checkpointed level per jump
+      // stands as the measured optimum.)
       def jump(q: DataFrame): DataFrame =
         q.as("x").join(
           q.select(col("c").as("pc"), col("p").as("pp")).as("y"),
@@ -127,7 +136,6 @@ object Mst {
           .select(col("c"), col("pp").as("p"))
       var pFull = ckpt(p0.withColumn("chg", lit(true)))
       var p = pFull.select(col("c"), col("p"))
-      free(sel)
       var jumping = true
       var jumps = 0
       while (jumping && jumps < JumpsUnroll) {
@@ -160,6 +168,11 @@ object Mst {
       nLive = live.count()
     }
     free(live)
+    // the kept selection checkpoints back the lazy picked frames —
+    // hand them to the registry (runners release after materializing)
+    keptSels.foreach { s =>
+      ckpts.remove(s).foreach(c => CheckpointRegistry.trackFinal(spark, c))
+    }
     lastRounds = rounds
     lastJumpsConverged = jumpsConverged
     if (picked.isEmpty)

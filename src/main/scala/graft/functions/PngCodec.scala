@@ -236,6 +236,39 @@ object PngCodec {
     * filter-0 writer; the Paeth/Average paths are spec-pinned on
     * hand-filtered rows. */
   def pixelStatsRaw(b: Array[Byte]): Array[Long] = {
+    val d = decodeRaw(b)
+    if (d == null) return null
+    val (width, height, ch, raw) = d
+    val stride = 1 + width * ch
+    val rowBytes = width * ch
+    // exact-integer per-channel fold over the unfiltered scanlines
+    val sums = new Array[Long](4)
+    val peaks = new Array[Long](4)
+    var y = 0
+    while (y < height) {
+      val ro = y * stride
+      var i = 0
+      while (i < rowBytes) {
+        val v = (raw(ro + 1 + i) & 0xFF).toLong
+        val c = i % ch
+        sums(c) += v
+        if (v > peaks(c)) peaks(c) = v
+        i += 1
+      }
+      y += 1
+    }
+    Array[Long](width, height, ch, width.toLong * height,
+      sums(0), sums(1), sums(2), sums(3),
+      peaks(0), peaks(1), peaks(2), peaks(3))
+  }
+
+  /** Shared full decode: header checks, CRC-verified chunk walk, zlib
+    * inflate, in-place filter reversal — returns (width, height,
+    * channels, unfiltered scanlines) or null on any violation (the
+    * pixelStatsRaw contract). The scanline buffer keeps the 1-byte
+    * filter prefix per row: sample (x, y, c) lives at
+    * raw(y*(1 + width*ch) + 1 + x*ch + c). */
+  private def decodeRaw(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     val h = parseHeaderRaw(b)
     if (h == null) return null
     val width = h(0).toInt
@@ -319,26 +352,44 @@ object PngCodec {
       }
       y += 1
     }
+    (width, height, ch, raw)
+  }
 
-    // exact-integer per-channel fold
-    val sums = new Array[Long](4)
-    val peaks = new Array[Long](4)
-    y = 0
-    while (y < height) {
-      val ro = y * stride.toInt
-      var i = 0
-      while (i < rowBytes) {
-        val v = (raw(ro + 1 + i) & 0xFF).toLong
-        val c = i % ch
-        sums(c) += v
-        if (v > peaks(c)) peaks(c) = v
-        i += 1
-      }
-      y += 1
+  /** 63-cell perceptual average-hash (aHash — the classic cheap
+    * image-dedup fingerprint: sample a coarse grid, threshold at the
+    * mean): bit k (k = 0..62; j = k/8 row, i = k%8 col) is set iff the
+    * CHANNEL-0 sample at the nearest-grid coordinate
+    * (x = i*width/8, y = j*height/8, integer division) exceeds the
+    * integer mean of the 63 samples. 63 cells, not 64 — bit 63 would
+    * make the value sign-ambiguous across engines (the SimHash60
+    * lesson); the dropped corner costs nothing at aHash's precision.
+    * Goes through the FULL byte path (decodeRaw: CRC walk, inflate,
+    * unfilter) — the oracle recomputes the hash from the pixel formula
+    * alone. Null on any decode violation. */
+  def aHash63(b: Array[Byte]): java.lang.Long = {
+    val d = decodeRaw(b)
+    if (d == null) return null
+    val (width, height, ch, raw) = d
+    val stride = 1 + width * ch
+    val vs = new Array[Long](63)
+    var sum = 0L
+    var k = 0
+    while (k < 63) {
+      val x = (k % 8) * width / 8
+      val y = (k / 8) * height / 8
+      val v = (raw(y * stride + 1 + x * ch) & 0xFF).toLong
+      vs(k) = v
+      sum += v
+      k += 1
     }
-    Array[Long](width, height, ch, width.toLong * height,
-      sums(0), sums(1), sums(2), sums(3),
-      peaks(0), peaks(1), peaks(2), peaks(3))
+    val mean = sum / 63
+    var out = 0L
+    k = 0
+    while (k < 63) {
+      if (vs(k) > mean) out |= (1L << k)
+      k += 1
+    }
+    java.lang.Long.valueOf(out)
   }
 
   /** Row form for the expression path (InternalRow of 12 longs). */

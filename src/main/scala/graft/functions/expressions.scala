@@ -346,6 +346,31 @@ object PngPixelStats {
       .map(StructField(_, LongType, nullable = false)))
 }
 
+/** Perceptual average-hash of a PNG payload (PngCodec.aHash63): full
+  * byte-path decode (CRC walk + inflate + unfilter), then the classic
+  * 8x8-grid mean-threshold fingerprint — the image-dedup key. NULL on
+  * any decode violation. */
+case class PngAHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val r = PngCodec.aHash63(v.asInstanceOf[Array[Byte]])
+    if (r == null) null else r.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("ah")
+      s"""
+         |java.lang.Long $tmp = graft.functions.PngCodec.aHash63($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): PngAHash =
+    copy(child = newChild)
+}
+
 /** FULL BMP pixel decode (BmpCodec.pixelStatsRaw): stride walk over
   * padded bottom-up 24bpp rows into exact-integer per-channel sum/peak
   * — the uncompressed twin of PngPixelStats. struct(width, height,
@@ -551,6 +576,9 @@ object GraftFunctions {
   def bmp_pixel_stats(bytes: Column): Column =
     GraftColumnBridge.column(BmpPixelStats(GraftColumnBridge.expression(bytes)))
 
+  def png_ahash(bytes: Column): Column =
+    GraftColumnBridge.column(PngAHash(GraftColumnBridge.expression(bytes)))
+
   def gzip_text(text: Column): Column =
     GraftColumnBridge.column(GzipText(GraftColumnBridge.expression(text)))
 
@@ -583,6 +611,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("parse_png_header", es => ParsePngHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_pixel_stats", es => PngPixelStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bmp_pixel_stats", es => BmpPixelStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("png_ahash", es => PngAHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gzip_text", es => GzipText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gunzip_text", es => GunzipText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("array_dot_long", es => ArrayDotLong(es(0), es(1)), "scala_udf")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{bmp_pixel_stats, byte_histogram, encode_bmp, encode_png, encode_wav, gunzip_text, gzip_text, pack_frames, parse_bmp_header, parse_frames, parse_png_header, parse_wav_header, parse_wav_pcm, png_pixel_stats, sample_bytes}
+import graft.functions.GraftFunctions.{bmp_pixel_stats, byte_histogram, encode_bmp, encode_png, encode_wav, gunzip_text, gzip_text, pack_frames, parse_bmp_header, parse_frames, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -460,6 +460,63 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- perceptual image dedup (aHash over the real decode) --------------
+
+  /** CONTENT-seeded PNG containers: geometry AND pixel seed derive from
+    * the text length only (color type fixed truecolor), so documents
+    * with identical content produce BIT-IDENTICAL images — the property
+    * an image-dedup operator needs planted pairs to exercise (the
+    * doc_id-seeded generator above makes every image unique by
+    * construction, which is right for decode tests and useless for
+    * dedup). */
+  def withPngContentContainers(docs: DataFrame, frameSize: Int = 64): DataFrame =
+    docs.select(
+      col("doc_id"),
+      pack_frames(
+        encode_png(
+          (length(col("text")) % 80 + 1).cast("int"),
+          (length(col("text")) % 60 + 1).cast("int"),
+          lit(2), // truecolor
+          length(col("text")).cast(LongType)),
+        lit(frameSize)).as("container"))
+
+  /** Per-image perceptual fingerprint through the FULL byte path:
+    * deframe, CRC-walk, inflate, unfilter, 8x8-grid aHash
+    * (PngCodec.aHash63). */
+  def imageAHashes(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"), png_ahash(col("f.payload")).as("ahash"))
+
+  /** Image near-dup pairs by aHash hamming distance <= 3, the
+    * pigeonhole-banded scale shape (d_dedup_simhash's pattern, image
+    * flavor): 4 x 16-bit bands of the 63-bit hash — hamming <= 3 flips
+    * cannot touch all 4 bands, so band-equality candidate generation is
+    * COMPLETE; candidates verify exactly with bit_count(xor). The
+    * all-pairs oracle is an INDEPENDENT construction (the PpJoin
+    * discipline), so a banding bug hash-fails, not just a scoring bug. */
+  def imageNearDups(containers: DataFrame): DataFrame = {
+    val h = imageAHashes(containers).filter(col("ahash").isNotNull)
+    val bands = (0 until 4).map { b =>
+      h.select(col("doc_id"), col("ahash"),
+        shiftright(col("ahash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("k"),
+        lit(b).as("band"))
+    }
+    val cand = bands.map { hb =>
+      hb.select(col("doc_id").as("a_id"), col("ahash").as("ha"),
+          col("k"), col("band"))
+        .join(hb.select(col("doc_id").as("b_id"), col("ahash").as("hb"),
+          col("k"), col("band")), Seq("k", "band"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("ha"), col("hb"))
+    }.reduce(_ union _).distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("ha") bitwiseXOR col("hb")).cast(LongType))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ---- gzip text payloads (the crawl-corpus compressed-text member) -----
 
   /** documents -> (doc_id, container): each text gzipped (real RFC 1952
@@ -820,6 +877,51 @@ object Multimodal {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  /** The content-seeded image's channel-0 sample at (x, y) is
+    * (L + 7x + 13y) mod 256 with L = length(text) (PngCodec.pixelByte,
+    * seed = L), so the oracle re-derives the 63-cell aHash from L
+    * ALONE: sample coordinates x = (k%8)*w//8, y = (k//8)*h//8, integer
+    * mean threshold, bit k set on v > mean. The Spark side must
+    * reproduce the same BIGINT through deframe + CRC walk + inflate +
+    * unfilter + grid sampling. */
+  private val AHashCte: String =
+    """h AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 62),
+      |    k -> CASE WHEN vs[k + 1] > mean THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+      |    AS BIGINT) AS ahash
+      |  FROM (
+      |    SELECT doc_id, vs, list_sum(vs) // 63 AS mean FROM (
+      |      SELECT doc_id,
+      |        list_transform(generate_series(0, 62), k ->
+      |          (L + 7*(((k % 8) * w) // 8) + 13*(((k // 8) * h) // 8)) % 256) AS vs
+      |      FROM (
+      |        SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+      |          CAST(length(text) % 80 + 1 AS BIGINT) AS w,
+      |          CAST(length(text) % 60 + 1 AS BIGINT) AS h
+      |        FROM documents))))""".stripMargin
+
+  val imageAHashQ: Q = Q(
+    "m_image_ahash",
+    Some(s"""WITH $AHashCte
+            |SELECT doc_id, ahash FROM h ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      imageAHashes(withPngContentContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** Near-dup image pairs; the oracle is the INDEPENDENT all-pairs
+    * hamming join (never banded), so candidate-generation completeness
+    * is checked, not assumed. */
+  val imageDedupQ: Q = Q(
+    "m_dedup_image_ahash",
+    Some(s"""WITH $AHashCte
+            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+            |FROM h a JOIN h b ON a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+            |ORDER BY a_id, b_id""".stripMargin),
+    (s, d) =>
+      imageNearDups(withPngContentContainers(Tables.documents(s, d))))
+
   val bmpPixelsQ: Q = Q(
     "m_bmp_pixels",
     Some(BmpPixelsOracleSql),
@@ -854,5 +956,6 @@ object Multimodal {
     containerDecodeQ, containerDecodeBatchQ, bmpDecodeQ, bmpDecodeBatchQ,
     wavDecodeQ, wavDecodeBatchQ, wavLoudnessQ, wavLoudnessBatchQ,
     pngDecodeQ, pngDecodeBatchQ, pngPixelsQ, pngPixelsBatchQ,
-    bmpPixelsQ, bmpPixelsBatchQ, gzipDecodeQ, gzipDecodeBatchQ)
+    bmpPixelsQ, bmpPixelsBatchQ, gzipDecodeQ, gzipDecodeBatchQ,
+    imageAHashQ, imageDedupQ)
 }

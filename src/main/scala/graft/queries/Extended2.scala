@@ -228,13 +228,21 @@ object Extended2 {
            |    ELSE l_returnflag END AS BIGINT), -1) AS maybe_num
            |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
     (s, d) =>
+      // sort FIRST, project AFTER: TRY_CAST pays a caught exception per
+      // failing row (~half the table here — 2.5s/600k rows, the price
+      // of demonstrating failure-guarded arithmetic on genuinely
+      // non-numeric input), and a global sort's range-sampling
+      // re-executes its child — projecting below the sort ran the
+      // try-expressions twice (ArithProbe: full 5.5s vs 0.5s sort +
+      // 2.5s exprs). Project(Sort(scan)) runs them once; same rows,
+      // same order, same hash.
       Tables.lineitem(s, d)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
           coalesce(try_divide(col("l_orderkey").cast(LongType),
             (col("l_linenumber") - 1).cast(LongType)), lit(-1L)).as("div0_guarded"),
           coalesce(expr("TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_orderkey AS STRING)" +
-            " ELSE l_returnflag END AS BIGINT)"), lit(-1L)).as("maybe_num"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")))
+            " ELSE l_returnflag END AS BIGINT)"), lit(-1L)).as("maybe_num")))
 
   /** Correlated LATERAL subquery (decorrelated by Catalyst): per
     * customer, their max order price (0 cents when orderless). */

@@ -30,6 +30,7 @@ class CodecFuzzSpec extends SparkSpec {
     // the round-8 full-payload decoders cross compressed boundaries —
     // the never-throw contract matters MOST where zlib is in the loop
     "png_pixels" -> (b => PngCodec.pixelStatsRaw(b)),
+    "png_ahash" -> (b => PngCodec.aHash63(b)),
     "bmp_pixels" -> (b => BmpCodec.pixelStatsRaw(b)),
     "gunzip" -> (b => graft.functions.GzipCodec.gunzip(b)))
 

@@ -235,6 +235,55 @@ class PngCodecSpec extends SparkSpec {
     assert(a.map(_(3)) === Set(3L, 4L))
   }
 
+  // ---- perceptual aHash (image dedup) ------------------------------------
+
+  test("aHash63: byte-path hash equals the formula recomputation") {
+    for ((w, h) <- Seq((1, 1), (7, 5), (80, 60), (13, 44))) {
+      val seed = w * 7L + h
+      val got = PngCodec.aHash63(PngCodec.encode(w, h, 2, seed))
+      assert(got != null)
+      val vs = (0 until 63).map { k =>
+        val x = (k % 8) * w / 8
+        val y = (k / 8) * h / 8
+        PngCodec.pixelByte(seed, x, y, 0).toLong
+      }
+      val mean = vs.sum / 63
+      val expect = (0 until 63).filter(k => vs(k) > mean)
+        .map(k => 1L << k).sum
+      assert(got.longValue() === expect, s"($w,$h)")
+      assert(got.longValue() >= 0L, "bit 63 must never be set")
+    }
+  }
+
+  test("aHash63: identical content -> identical hash; corrupt bytes -> null") {
+    val a = PngCodec.aHash63(PngCodec.encode(40, 30, 2, 123L))
+    val b = PngCodec.aHash63(PngCodec.encode(40, 30, 2, 123L))
+    assert(a != null && a == b)
+    val png = PngCodec.encode(40, 30, 2, 123L)
+    val c = png.clone(); c(40) = (c(40) ^ 0x01).toByte // inside IDAT region
+    assert(PngCodec.aHash63(c) == null)
+  }
+
+  test("image near-dup banding is COMPLETE vs all-pairs on the corpus") {
+    // pigeonhole: hamming <= 3 flips cannot touch all 4 of the 16-bit
+    // bands — the banded join must find EXACTLY the all-pairs result
+    val containers = Multimodal.withPngContentContainers(
+      Tables.documents(spark, sf()))
+    val banded = Multimodal.imageNearDups(containers)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = Multimodal.imageAHashes(containers)
+      .collect().collect { case r if !r.isNullAt(1) =>
+        (r.getLong(0), r.getLong(1)) }
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(banded === brute)
+    assert(banded.nonEmpty, "planted same-content images must pair")
+    assert(banded.exists(_._3 == 0L), "exact image dups must appear at hamming 0")
+  }
+
   test("PNG decode stays inside whole-stage codegen") {
     val plan = Multimodal.parsePngHeaders(
       Multimodal.withPngContainers(Tables.documents(spark, sf())))
