@@ -55,7 +55,13 @@ object ScaleTrend {
     "g_eccentricity",
     // round-8 full-payload decodes — map-only, slope should ride the
     // corpus linearly
-    "m_png_pixels", "m_bmp_pixels", "m_gzip_decode")
+    "m_png_pixels", "m_bmp_pixels", "m_gzip_decode",
+    // image dedup: fingerprint map-only; PAIR OUTPUT is quadratic in
+    // duplicate-class size by definition (same-length classes grow
+    // linearly with the corpus), so the honest slope rides the pair
+    // count, not the doc count — compare against the measured
+    // same-length pair totals (24.7k sf0.1 / 2.03M sf1 = 82x)
+    "m_image_ahash", "m_dedup_image_ahash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
