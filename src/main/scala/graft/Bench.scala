@@ -162,7 +162,7 @@ object Bench {
       // count() had hidden their full-result cost)
       "x_try_arith", "x_approx_distinct_tol", "x_approx_percentile_tol",
       "x_table_stats", "t_cdc_chunk", "x_resample_locf", "x_hll_group_tol",
-      "m_dedup_image_ahash")
+      "m_dedup_image_ahash", "m_dedup_audio_fp")
     val results = names.zipWithIndex.map { case ((name, fn), i) =>
       val setup = setupByName.get(name)
       val reps =

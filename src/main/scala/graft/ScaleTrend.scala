@@ -61,7 +61,9 @@ object ScaleTrend {
     // linearly with the corpus), so the honest slope rides the pair
     // count, not the doc count — compare against the measured
     // same-length pair totals (24.7k sf0.1 / 2.03M sf1 = 82x)
-    "m_image_ahash", "m_dedup_image_ahash")
+    "m_image_ahash", "m_dedup_image_ahash",
+    // audio dedup: same contract framing as the image pair
+    "m_audio_fp", "m_dedup_audio_fp", "m_sniff_dispatch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -172,6 +172,54 @@ object WavCodec {
     Array[Long](n.toLong, sumSq, peak)
   }
 
+  /** Perceptual audio fingerprint over a COMPLETE canonical 16-bit PCM
+    * WAV — the audio twin of PngCodec.aHash63: the interleaved sample
+    * stream is cut into 63 equal windows by integer index arithmetic
+    * (window w covers samples [w·n/63, (w+1)·n/63)), each window's
+    * EXACT integer energy (sum of s²) is thresholded on the integer
+    * mean energy (total / 63), bit w set on E_w > mean. 63 bits, not
+    * 64 — bit 63 would make the packed long's sign engine-ambiguous
+    * (the SimHash60 lesson). Content with the same samples fingerprints
+    * identically; a re-encode that perturbs a few windows lands at a
+    * small hamming distance — the property an audio-dedup operator
+    * keys on. A 0-sample WAV fingerprints to 0 (silence); null on any
+    * structural violation pcmStatsRaw would reject. Overflow: window
+    * energy ≤ total ≤ (dataSize/2)·2³⁰ < 2⁶¹ for the u32-bounded
+    * dataSize, so the Long arithmetic is exact. */
+  def audioFp63(b: Array[Byte]): java.lang.Long = {
+    val h = parseHeaderRaw(b)
+    if (h == null) return null
+    if (h(2) != 16L) return null
+    val dataSize = getIntLE(b, 40)
+    if (b.length != HeaderLen + dataSize) return null
+    val n = dataSize / 2
+    val e = new Array[Long](63)
+    var total = 0L
+    var w = 0
+    while (w < 63) {
+      val lo = (w.toLong * n / 63).toInt
+      val hi = ((w + 1).toLong * n / 63).toInt
+      var s = 0L
+      var k = lo
+      while (k < hi) {
+        val v = (getShortLE(b, HeaderLen + 2 * k) << 16) >> 16 // sign-extend
+        s += v.toLong * v
+        k += 1
+      }
+      e(w) = s
+      total += s
+      w += 1
+    }
+    val mean = total / 63
+    var fp = 0L
+    var i = 0
+    while (i < 63) {
+      if (e(i) > mean) fp |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
   /** Batched PCM stats — one dispatch per batch of full payloads. */
   def pcmStatsBatch(wavs: Array[Array[Byte]]): Array[Array[Long]] = {
     val out = new Array[Array[Long]](wavs.length)

@@ -371,6 +371,31 @@ case class PngAHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Perceptual audio fingerprint of a complete PCM WAV payload
+  * (WavCodec.audioFp63): full sample walk, 63 equal windows, exact
+  * integer energy per window thresholded on the mean — the audio-dedup
+  * key, twin of [[PngAHash]]. NULL on any decode violation. */
+case class WavAudioFp(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val r = WavCodec.audioFp63(v.asInstanceOf[Array[Byte]])
+    if (r == null) null else r.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("afp")
+      s"""
+         |java.lang.Long $tmp = graft.functions.WavCodec.audioFp63($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): WavAudioFp =
+    copy(child = newChild)
+}
+
 /** FULL BMP pixel decode (BmpCodec.pixelStatsRaw): stride walk over
   * padded bottom-up 24bpp rows into exact-integer per-channel sum/peak
   * — the uncompressed twin of PngPixelStats. struct(width, height,
@@ -579,6 +604,9 @@ object GraftFunctions {
   def png_ahash(bytes: Column): Column =
     GraftColumnBridge.column(PngAHash(GraftColumnBridge.expression(bytes)))
 
+  def wav_audio_fp(bytes: Column): Column =
+    GraftColumnBridge.column(WavAudioFp(GraftColumnBridge.expression(bytes)))
+
   def gzip_text(text: Column): Column =
     GraftColumnBridge.column(GzipText(GraftColumnBridge.expression(text)))
 
@@ -612,6 +640,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("png_pixel_stats", es => PngPixelStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bmp_pixel_stats", es => BmpPixelStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_ahash", es => PngAHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("wav_audio_fp", es => WavAudioFp(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gzip_text", es => GzipText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gunzip_text", es => GunzipText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("array_dot_long", es => ArrayDotLong(es(0), es(1)), "scala_udf")

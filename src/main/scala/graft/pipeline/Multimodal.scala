@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{bmp_pixel_stats, byte_histogram, encode_bmp, encode_png, encode_wav, gunzip_text, gzip_text, pack_frames, parse_bmp_header, parse_frames, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes}
+import graft.functions.GraftFunctions.{bmp_pixel_stats, byte_histogram, encode_bmp, encode_png, encode_wav, gunzip_text, gzip_text, pack_frames, parse_bmp_header, parse_frames, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, wav_audio_fp}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -494,24 +494,32 @@ object Multimodal {
     * COMPLETE; candidates verify exactly with bit_count(xor). The
     * all-pairs oracle is an INDEPENDENT construction (the PpJoin
     * discipline), so a banding bug hash-fails, not just a scoring bug. */
-  def imageNearDups(containers: DataFrame): DataFrame = {
-    // materialize the fingerprint table ONCE (doc_id + one long per
-    // image): it feeds both sides of four band joins — left lazy, the
-    // full decode re-executed 8x (measured 3.9s vs 1.6s). At corpus
-    // scale the fingerprint table is the maintained artifact anyway;
-    // registered as a final so the runners release it post-query.
-    val h = imageAHashes(containers).filter(col("ahash").isNotNull)
-      .localCheckpoint(true)
-    graft.analytics.CheckpointRegistry.trackFinal(containers.sparkSession, h)
+  def imageNearDups(containers: DataFrame): DataFrame =
+    bandedFpPairs(imageAHashes(containers), "ahash")
+
+  /** Near-dup pairs of a 63-bit perceptual fingerprint at hamming
+    * distance <= 3, the pigeonhole-banded scale shape shared by the
+    * image (aHash) and audio (energy-fp) dedup operators: 4 x 16-bit
+    * bands — 3 flips cannot touch all 4 bands, so band-equality
+    * candidate generation is COMPLETE; candidates verify exactly with
+    * bit_count(xor). The fingerprint table is materialized ONCE
+    * (doc_id + one long per asset): it feeds both sides of four band
+    * joins — left lazy, the full decode re-executes 8x (measured 3.9s
+    * vs 1.6s on the image path). At corpus scale the fingerprint table
+    * is the maintained artifact anyway; registered as a final so the
+    * runners release it post-query. */
+  private def bandedFpPairs(fps: DataFrame, fpCol: String): DataFrame = {
+    val h = fps.filter(col(fpCol).isNotNull).localCheckpoint(true)
+    graft.analytics.CheckpointRegistry.trackFinal(fps.sparkSession, h)
     val bands = (0 until 4).map { b =>
-      h.select(col("doc_id"), col("ahash"),
-        shiftright(col("ahash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("k"),
+      h.select(col("doc_id"), col(fpCol).as("fp"),
+        shiftright(col(fpCol), 16 * b).bitwiseAND(lit(0xFFFFL)).as("k"),
         lit(b).as("band"))
     }
     val cand = bands.map { hb =>
-      hb.select(col("doc_id").as("a_id"), col("ahash").as("ha"),
+      hb.select(col("doc_id").as("a_id"), col("fp").as("ha"),
           col("k"), col("band"))
-        .join(hb.select(col("doc_id").as("b_id"), col("ahash").as("hb"),
+        .join(hb.select(col("doc_id").as("b_id"), col("fp").as("hb"),
           col("k"), col("band")), Seq("k", "band"))
         .where(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), col("ha"), col("hb"))
@@ -522,6 +530,97 @@ object Multimodal {
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---- perceptual audio dedup (energy fingerprint over the real decode) -
+
+  /** CONTENT-seeded WAV containers: geometry AND sample seed derive
+    * from the text length only (mono, fixed rate), so documents with
+    * identical content produce BIT-IDENTICAL audio — the planted-pair
+    * property the image-dedup generator established
+    * (withPngContentContainers); the doc_id-seeded generator above
+    * keeps every stream unique, right for decode tests, useless for
+    * dedup. */
+  def withWavContentContainers(docs: DataFrame, frameSize: Int = 64): DataFrame =
+    docs.select(
+      col("doc_id"),
+      pack_frames(
+        encode_wav(lit(8000), lit(1), length(col("text")).cast("int"),
+          length(col("text")).cast(LongType)),
+        lit(frameSize)).as("container"))
+
+  /** Per-stream perceptual fingerprint through the FULL byte path:
+    * deframe, RIFF-validate, walk every 16-bit sample, 63-window
+    * energy fingerprint (WavCodec.audioFp63). */
+  def audioFps(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"), wav_audio_fp(col("f.payload")).as("afp"))
+
+  /** Audio near-dup pairs by energy-fingerprint hamming distance <= 3 —
+    * same complete pigeonhole banding as the image operator; the
+    * all-pairs oracle is an INDEPENDENT construction (the PpJoin
+    * discipline), so a banding bug hash-fails, not just a scoring
+    * bug. */
+  def audioNearDups(containers: DataFrame): DataFrame =
+    bandedFpPairs(audioFps(containers), "afp")
+
+  // ---- mixed-modality corpus: magic-byte sniff + decoder dispatch -------
+
+  /** A HETEROGENEOUS container column — payload kind keyed on doc_id
+    * mod 4 (PNG / BMP / WAV / gzip text), each produced by the same
+    * codec the uniform families use. Every decode query above assumes
+    * one payload type per column; a real crawled corpus is mixed, and
+    * the first operator over it is "sniff the magic bytes, route each
+    * blob to the right decoder". */
+  def withMixedContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
+    val ln = length(col("text"))
+    val payload = when(col("doc_id") % 4 === 0,
+        encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
+          lit(2), ln.cast(LongType)))
+      .when(col("doc_id") % 4 === 1,
+        encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
+          col("doc_id").cast(LongType)))
+      .when(col("doc_id") % 4 === 2,
+        encode_wav(lit(8000), lit(1), ln.cast("int"),
+          col("doc_id").cast(LongType)))
+      .otherwise(gzip_text(col("text")))
+    docs.select(col("doc_id"),
+      pack_frames(payload, lit(frameSize)).as("container"))
+  }
+
+  /** MIME sniff + dispatch: deframe, identify the payload by magic
+    * bytes alone (the sniffer never sees doc_id), then route to the
+    * kind's decoder for one canonical stat — pixels for images, samples
+    * for audio, recovered chars for compressed text. CASE branches
+    * evaluate lazily in codegen, so each row pays exactly one decode;
+    * every stage is a narrow map (zero shuffles). An unrecognized or
+    * corrupt payload sniffs 'unknown' with stat -1 — route-and-quarantine,
+    * not abort, is the 100-TB contract. */
+  def sniffDispatch(containers: DataFrame): DataFrame = {
+    val sniffed = containers
+      .select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"), col("f.payload").as("p"))
+      .withColumn("kind",
+        when(hex(substring(col("p"), 1, 4)) === "89504E47", "image/png")
+          .when(hex(substring(col("p"), 1, 2)) === "424D", "image/bmp")
+          .when(hex(substring(col("p"), 1, 4)) === "52494646" &&
+            hex(substring(col("p"), 9, 4)) === "57415645", "audio/wav")
+          .when(hex(substring(col("p"), 1, 2)) === "1F8B", "text/gzip")
+          .otherwise("unknown"))
+    sniffed.select(
+      col("doc_id"), col("kind"),
+      coalesce(
+        when(col("kind") === "image/png",
+          parse_png_header(col("p")).getField("width") *
+            parse_png_header(col("p")).getField("height"))
+          .when(col("kind") === "image/bmp",
+            parse_bmp_header(col("p")).getField("width") *
+              parse_bmp_header(col("p")).getField("height"))
+          .when(col("kind") === "audio/wav",
+            parse_wav_header(col("p")).getField("n_samples"))
+          .when(col("kind") === "text/gzip",
+            length(gunzip_text(col("p"))).cast(LongType)),
+        lit(-1L)).as("stat"))
   }
 
   // ---- gzip text payloads (the crawl-corpus compressed-text member) -----
@@ -929,6 +1028,84 @@ object Multimodal {
     (s, d) =>
       imageNearDups(withPngContentContainers(Tables.documents(s, d))))
 
+  /** The content-seeded WAV's data byte i is (i·7 + L) mod 251 with
+    * L = length(text) (WavCodec.encode, seed = L, mono, nSamples = L),
+    * so the oracle re-derives the 63-window energy fingerprint from L
+    * ALONE: 16-bit LE samples sign-extended, window w = samples
+    * [w·n/63, (w+1)·n/63), exact integer energies, integer mean
+    * threshold, bit w set on E_w > mean. The Spark side must reproduce
+    * the same BIGINT through deframe + RIFF validation + the full
+    * sample walk. A 0-sample stream fingerprints to 0 on both engines
+    * (the COALESCEd empty sums). */
+  private val AudioFpCte: String = {
+    val raw = "((2*k*7 + L) % 251) + 256*(((2*k+1)*7 + L) % 251)"
+    s"""sq AS (
+       |  SELECT doc_id, n,
+       |    list_transform(generate_series(0, n - 1), k ->
+       |      CASE WHEN $raw >= 32768
+       |           THEN CAST(($raw - 65536) AS BIGINT) * ($raw - 65536)
+       |           ELSE CAST($raw AS BIGINT) * ($raw) END) AS ss
+       |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+       |          CAST(length(text) AS BIGINT) AS n FROM documents)),
+       |es AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 62), w ->
+       |      COALESCE(list_sum(ss[(w * n) // 63 + 1 : ((w + 1) * n) // 63]), 0)) AS e
+       |  FROM sq),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(list_sum(list_transform(generate_series(0, 62),
+       |      w -> CASE WHEN e[w + 1] > list_sum(e) // 63
+       |           THEN (CAST(1 AS BIGINT) << w) ELSE 0 END)), 0) AS BIGINT) AS afp
+       |  FROM es)""".stripMargin
+  }
+
+  val audioFpQ: Q = Q(
+    "m_audio_fp",
+    Some(s"""WITH $AudioFpCte
+            |SELECT doc_id, afp FROM h ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      audioFps(withWavContentContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** Near-dup audio pairs; the oracle is the INDEPENDENT all-pairs
+    * hamming join (never banded) over the arithmetically re-derived
+    * fingerprints. */
+  val audioDedupQ: Q = Q(
+    "m_dedup_audio_fp",
+    Some(s"""WITH $AudioFpCte
+            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+            |FROM h a JOIN h b ON a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.afp, b.afp)) <= 3
+            |ORDER BY a_id, b_id""".stripMargin),
+    (s, d) =>
+      audioNearDups(withWavContentContainers(Tables.documents(s, d))))
+
+  /** The oracle knows which kind each doc_id CARRIES (the generator's
+    * mod-4 rule) and that kind's canonical stat formula — the Spark
+    * side must recover both from the BYTES alone (magic sniff, then
+    * the kind's real decoder), so a mis-route, a magic collision, or a
+    * wrong decoder output all hash-fail. */
+  private val SniffOracleSql: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+      |    WHEN 2 THEN 'audio/wav' ELSE 'text/gzip' END AS kind,
+      |  CAST(CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN (length(text) % 80 + 1) * (length(text) % 60 + 1)
+      |    WHEN 1 THEN (length(text) % 64 + 1) * (length(text) % 48 + 1)
+      |    WHEN 2 THEN length(text)
+      |    ELSE length(text) END AS BIGINT) AS stat
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val sniffDispatchQ: Q = Q(
+    "m_sniff_dispatch",
+    Some(SniffOracleSql),
+    (s, d) =>
+      sniffDispatch(withMixedContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
   val bmpPixelsQ: Q = Q(
     "m_bmp_pixels",
     Some(BmpPixelsOracleSql),
@@ -964,5 +1141,5 @@ object Multimodal {
     wavDecodeQ, wavDecodeBatchQ, wavLoudnessQ, wavLoudnessBatchQ,
     pngDecodeQ, pngDecodeBatchQ, pngPixelsQ, pngPixelsBatchQ,
     bmpPixelsQ, bmpPixelsBatchQ, gzipDecodeQ, gzipDecodeBatchQ,
-    imageAHashQ, imageDedupQ)
+    imageAHashQ, imageDedupQ, audioFpQ, audioDedupQ, sniffDispatchQ)
 }

@@ -181,6 +181,149 @@ object Splits {
         "doc_id", "lang")
         .orderBy(col("doc_id"), col("copy")))
 
+  /** Deterministic training-order shuffle + sharding — the LAST
+    * operator of a curation pipeline: a trainer wants the corpus in a
+    * pseudorandom order it can reproduce (and re-randomize per epoch by
+    * changing the salt), written as a fixed number of shard files.
+    * order key = md5(salt:key); shard = keyed hash prefix mod shards
+    * (narrow map); pos = rank within the shard. Global training order
+    * is (shard, pos) lexicographic — a deterministic permutation that
+    * needs NO global sort: at 100 TB this is one shuffle on the shard
+    * key + a per-shard sort (exactly what writing sorted shard files
+    * costs anyway), where a row_number over a global ORDER BY would
+    * serialize the corpus through one task. Spark's own rand()-based
+    * orderBy is seed+partition-layout dependent — rerunning it on a
+    * different cluster layout yields a different epoch order; this is
+    * a pure function of (salt, key). */
+  def corpusShuffle(df: DataFrame, key: String, shards: Int,
+      salt: String = "shuffle"): DataFrame = {
+    val h = md5(concat(lit(salt + ":"), col(key).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("sort_key"), col(key))
+    df.withColumn("sort_key", h)
+      .withColumn("shard",
+        conv(substring(col("sort_key"), 1, 4), 16, 10).cast(LongType) % shards)
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .drop("sort_key")
+  }
+
+  val corpusShuffleQ: Q = Q(
+    "d_corpus_shuffle",
+    Some("""WITH s AS (SELECT doc_id,
+           |    md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS h,
+           |    CAST(concat('0x', substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 4))
+           |      AS BIGINT) % 16 AS shard
+           |  FROM documents)
+           |SELECT doc_id, shard,
+           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+           |    AS BIGINT) AS pos
+           |FROM s ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      corpusShuffle(Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", shards = 16)
+        .orderBy(col("doc_id")))
+
+  /** Quality-ranked selection under a per-domain token budget — "fill
+    * the mixture from the best documents down": rank each domain's docs
+    * by an EXACT-integer quality score (type-token ratio in ppm — the
+    * t_quality_score signal without the float), take the prefix whose
+    * running token count fits the budget. The real curation shape for
+    * "give me N tokens of src_k, best first". Deterministic: integer
+    * score, doc_id tiebreak, ROWS-framed running sum. Scale shape: one
+    * narrow map for score/tokens, one shuffle into domain-keyed
+    * windows (the domainMix caveat on dominant domains applies — see
+    * its scaladoc for the threshold-selection refinement). */
+  def budgetSelect(df: DataFrame, key: String, domain: String,
+      textCol: String, budgetTokens: Long): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val scored = df
+      .withColumn("n_tokens", size(toks).cast(LongType))
+      .filter(col("n_tokens") > 0)
+      .withColumn("score",
+        expr(s"cast(size(array_distinct(split(trim($textCol), '\\\\s+'))) as bigint)" +
+          " * 1000000 div n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domain)).orderBy(col("score").desc, col(key))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored
+      .withColumn("cum", sum(col("n_tokens")).over(w).cast(LongType))
+      .filter(col("cum") <= budgetTokens)
+      .select(col(key), col(domain), col("n_tokens"), col("score"), col("cum"))
+  }
+
+  val budgetSelectQ: Q = Q(
+    "d_budget_select",
+    Some("""WITH t AS (SELECT doc_id, source,
+           |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+           |s AS (SELECT doc_id, source,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) * 1000000 // len(toks) AS score
+           |  FROM t WHERE len(toks) > 0),
+           |c AS (SELECT doc_id, source, n_tokens, CAST(score AS BIGINT) AS score,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY source
+           |      ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING)
+           |      AS BIGINT) AS cum
+           |  FROM s)
+           |SELECT doc_id, source, n_tokens, score, cum
+           |FROM c WHERE cum <= 600 ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      budgetSelect(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text")),
+        "doc_id", "source", "text", budgetTokens = 600L)
+        .orderBy(col("doc_id")))
+
+  /** Temperature-balanced domain sampling (τ = 0.5): keep quotas
+    * proportional to n_domain^τ — the multilingual-mixture rule
+    * (upweight scarce languages, flatten dominant ones; the mT5/XLM-R
+    * α-sampling shape) — selected, as everywhere in this file, by the
+    * deterministic rank-in-hash-order prefix. All arithmetic is exact
+    * integer: weight = isqrt(n) (floor sqrt — IEEE sqrt is correctly
+    * rounded, so floor(sqrt(BIGINT)) is engine-identical), quota =
+    * budget · w_d / Σw floored, capped at n_d. Same broadcast + keyed
+    * window shape as domainMix. */
+  def domainTemperature(df: DataFrame, key: String, domain: String,
+      budgetPct: Int = 60, salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(col(domain)).agg(count(lit(1)).as("n_domain"))
+    val budget = df.agg(floor(count(lit(1)) * budgetPct / 100).as("budget"))
+    val quotas = counts.crossJoin(broadcast(budget))
+      .select(col(domain), col("n_domain"),
+        least(col("n_domain"),
+          expr("budget * cast(floor(sqrt(n_domain)) as bigint) div " +
+            "sum(cast(floor(sqrt(n_domain)) as bigint)) over ()")).as("quota"))
+    val h = md5(concat(lit(salt + ":"), col(key).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domain)).orderBy(h, col(key))
+    df.withColumn("rnk", row_number().over(w).cast(LongType))
+      .join(broadcast(quotas), domain)
+      .filter(col("rnk") <= col("quota"))
+      .select(col(key), col(domain), col("rnk"), col("quota"))
+  }
+
+  val domainTemperatureQ: Q = Q(
+    "d_domain_temperature",
+    // keyed by lang (3:1 skewed) for the same reason as d_domain_upsample
+    Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_domain
+           |  FROM documents GROUP BY lang),
+           |b AS (SELECT CAST(floor(count(*) * 60 / 100) AS BIGINT) AS budget
+           |  FROM documents),
+           |q AS (SELECT lang, n_domain,
+           |    least(n_domain, budget * CAST(floor(sqrt(n_domain)) AS BIGINT)
+           |      // (SELECT CAST(sum(CAST(floor(sqrt(n_domain)) AS BIGINT)) AS BIGINT)
+           |          FROM c)) AS quota
+           |  FROM c, b),
+           |r AS (SELECT doc_id, lang,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+           |  FROM documents)
+           |SELECT r.doc_id, r.lang, CAST(r.rnk AS BIGINT) AS rnk,
+           |  CAST(q.quota AS BIGINT) AS quota
+           |FROM r JOIN q ON r.lang = q.lang
+           |WHERE r.rnk <= q.quota ORDER BY r.doc_id""".stripMargin),
+    (s, d) =>
+      domainTemperature(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang")
+        .orderBy(col("doc_id")))
+
   val all: Seq[Q] = Seq(hashSplitQ, stratifiedSampleQ, domainMixQ,
-    domainUpsampleQ)
+    domainUpsampleQ, corpusShuffleQ, budgetSelectQ, domainTemperatureQ)
 }

@@ -32,6 +32,7 @@ class CodecFuzzSpec extends SparkSpec {
     "png_pixels" -> (b => PngCodec.pixelStatsRaw(b)),
     "png_ahash" -> (b => PngCodec.aHash63(b)),
     "bmp_pixels" -> (b => BmpCodec.pixelStatsRaw(b)),
+    "wav_audio_fp" -> (b => WavCodec.audioFp63(b)),
     "gunzip" -> (b => graft.functions.GzipCodec.gunzip(b)))
 
   test("random blobs never throw through any codec parse (200 seeded cases)") {

@@ -110,6 +110,75 @@ class SplitsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("corpus shuffle: complete deterministic permutation, layout- and salt-contracts") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"))
+    val n = docs.count()
+    val out = Splits.corpusShuffle(docs, "doc_id", shards = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length.toLong === n, "every row keeps exactly one slot")
+    assert(out.forall(r => r._2 >= 0 && r._2 < 16))
+    // per-shard positions are 1..count with no gaps — (shard, pos) is a
+    // total order over the corpus
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions must be contiguous from 1")
+    }
+    // pure function of the key: layout changes nothing
+    val b = Splits.corpusShuffle(docs.repartition(13), "doc_id", shards = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.toSet === b)
+    // a new salt re-randomizes the epoch order
+    val c = Splits.corpusShuffle(docs, "doc_id", shards = 16, salt = "epoch2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.toSet !== c, "changing the salt must produce a different order")
+  }
+
+  test("budget select: per-domain budget respected by a maximal quality prefix") {
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("source"), col("text"))
+    val budget = 600L
+    val kept = Splits.budgetSelect(docs, "doc_id", "source", "text", budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(kept.nonEmpty)
+    assert(kept.forall(_._5 <= budget), "running token count must fit the budget")
+    kept.groupBy(_._2).foreach { case (src, rows) =>
+      // the prefix is maximal: the next doc in quality order would
+      // overflow — equivalently the fill is within one doc of the budget
+      val fill = rows.map(_._3).sum
+      assert(fill === rows.map(_._5).max, s"$src: cum must equal the prefix sum")
+    }
+    // proper selection (the corpus has more tokens than the budget allows)
+    assert(kept.length < docs.count())
+    // layout-stable
+    val b = Splits.budgetSelect(docs.repartition(11), "doc_id", "source", "text", budget)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.map(_._1).toSet === b)
+  }
+
+  test("temperature sampling flattens the mixture with exact integer quotas") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = counts.values.sum * 60 / 100
+    val sumW = counts.values.map(n => math.sqrt(n.toDouble).toLong).sum
+    val out = Splits.domainTemperature(docs, "doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val kept = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // quotas match the integer formula exactly
+    for ((lang, n) <- counts) {
+      val expect = math.min(n, budget * math.sqrt(n.toDouble).toLong / sumW)
+      assert(kept.getOrElse(lang, 0L) === expect, s"lang $lang")
+      assert(out.filter(_._2 == lang).forall(_._4 == expect))
+    }
+    // flattening: the dominant domain keeps a SMALLER fraction than any
+    // scarce domain (τ=0.5 upweights the tail)
+    val fracs = counts.map { case (l, n) => l -> kept.getOrElse(l, 0L).toDouble / n }
+    val (domLang, _) = counts.maxBy(_._2)
+    for ((l, f) <- fracs if l != domLang)
+      assert(fracs(domLang) < f, s"dominant $domLang must be flattened below $l")
+  }
+
   test("rarity: mean inverse unigram frequency, exact integer") {
     import spark.implicits._
     // corpus: C(x)=6, C(y)=1, M=7; doc0 = avg of five (7 div 6)=1 -> 1;
