@@ -62,8 +62,11 @@ object ScaleTrend {
     // count, not the doc count — compare against the measured
     // same-length pair totals (24.7k sf0.1 / 2.03M sf1 = 82x)
     "m_image_ahash", "m_dedup_image_ahash",
-    // audio dedup: same contract framing as the image pair
-    "m_audio_fp", "m_dedup_audio_fp", "m_sniff_dispatch")
+    // audio dedup: same contract framing as the image pair — wall rides
+    // the PAIR count (38.2k sf0.1 / 3.69M sf1 = 96x), not the doc count
+    "m_audio_fp", "m_dedup_audio_fp", "m_sniff_dispatch", "m_dedup_mixed",
+    // training-order / mixture ops: narrow maps + domain-keyed windows
+    "d_corpus_shuffle", "d_budget_select", "d_domain_temperature")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

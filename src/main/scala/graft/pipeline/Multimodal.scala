@@ -596,17 +596,21 @@ object Multimodal {
     * every stage is a narrow map (zero shuffles). An unrecognized or
     * corrupt payload sniffs 'unknown' with stat -1 — route-and-quarantine,
     * not abort, is the 100-TB contract. */
+  /** Payload kind from magic bytes alone (the sniffer never sees
+    * doc_id): PNG signature, BM, RIFF....WAVE, gzip 1f 8b. */
+  def sniffKind(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(hex(substring(p, 1, 4)) === "89504E47", "image/png")
+      .when(hex(substring(p, 1, 2)) === "424D", "image/bmp")
+      .when(hex(substring(p, 1, 4)) === "52494646" &&
+        hex(substring(p, 9, 4)) === "57415645", "audio/wav")
+      .when(hex(substring(p, 1, 2)) === "1F8B", "text/gzip")
+      .otherwise("unknown")
+
   def sniffDispatch(containers: DataFrame): DataFrame = {
     val sniffed = containers
       .select(col("doc_id"), parse_frames(col("container")).as("f"))
       .select(col("doc_id"), col("f.payload").as("p"))
-      .withColumn("kind",
-        when(hex(substring(col("p"), 1, 4)) === "89504E47", "image/png")
-          .when(hex(substring(col("p"), 1, 2)) === "424D", "image/bmp")
-          .when(hex(substring(col("p"), 1, 4)) === "52494646" &&
-            hex(substring(col("p"), 9, 4)) === "57415645", "audio/wav")
-          .when(hex(substring(col("p"), 1, 2)) === "1F8B", "text/gzip")
-          .otherwise("unknown"))
+      .withColumn("kind", sniffKind(col("p")))
     sniffed.select(
       col("doc_id"), col("kind"),
       coalesce(
@@ -621,6 +625,61 @@ object Multimodal {
           .when(col("kind") === "text/gzip",
             length(gunzip_text(col("p"))).cast(LongType)),
         lit(-1L)).as("stat"))
+  }
+
+  /** CONTENT-seeded heterogeneous containers — every kind's geometry
+    * AND payload seed derive from the text alone, so identical-content
+    * documents produce bit-identical payloads WHATEVER their kind: the
+    * planted-pair property, mixed-corpus flavor. */
+  def withMixedContentContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
+    val ln = length(col("text"))
+    val payload = when(col("doc_id") % 4 === 0,
+        encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
+          lit(2), ln.cast(LongType)))
+      .when(col("doc_id") % 4 === 1,
+        encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
+          ln.cast(LongType)))
+      .when(col("doc_id") % 4 === 2,
+        encode_wav(lit(8000), lit(1), ln.cast("int"), ln.cast(LongType)))
+      .otherwise(gzip_text(col("text")))
+    docs.select(col("doc_id"),
+      pack_frames(payload, lit(frameSize)).as("container"))
+  }
+
+  /** The multimodal-family capstone: dedup a MIXED corpus end-to-end —
+    * sniff each payload's kind from magic bytes, route to the kind's
+    * real decoder for its canonical duplicate key (PNG aHash / BMP
+    * pixel-stat digest / WAV energy fingerprint / recovered-text md5),
+    * then elect survivors per (kind, key) with a min-id window. One
+    * narrow decode pass + ONE shuffle on the (kind, key) pair — the
+    * exact-dedup shape (d_dedup_exact) generalized to payloads whose
+    * equality is only visible AFTER a decode. Key collisions across
+    * different content merge classes identically on both engines (the
+    * keys are the contract, not a guarantee of content equality —
+    * that's what the near-dup operators grade). */
+  def mixedDedupSurvivors(containers: DataFrame): DataFrame = {
+    val sniffed = containers
+      .select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"), col("f.payload").as("p"))
+      .withColumn("kind", sniffKind(col("p")))
+    val b = bmp_pixel_stats(col("p"))
+    val keyed = sniffed.withColumn("key",
+      when(col("kind") === "image/png", png_ahash(col("p")).cast("string"))
+        .when(col("kind") === "image/bmp",
+          md5(concat_ws("|",
+            b.getField("width"), b.getField("height"), b.getField("n_px"),
+            b.getField("sum_b"), b.getField("sum_g"), b.getField("sum_r"),
+            b.getField("peak_b"), b.getField("peak_g"), b.getField("peak_r"))))
+        .when(col("kind") === "audio/wav", wav_audio_fp(col("p")).cast("string"))
+        .when(col("kind") === "text/gzip", md5(gunzip_text(col("p")))))
+      .select(col("doc_id"), col("kind"), col("key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind"), col("key"))
+    keyed
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") > col("keeper_id"))
+      .select(col("doc_id"), col("kind"), col("keeper_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
   }
 
   // ---- gzip text payloads (the crawl-corpus compressed-text member) -----
@@ -1106,6 +1165,92 @@ object Multimodal {
       sniffDispatch(withMixedContainers(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
+  /** The oracle re-derives every kind's duplicate key from (doc_id mod
+    * 4, text) by the generator formulas — the PNG aHash, BMP per-channel
+    * sum/peak digest, and WAV energy-fingerprint constructions above,
+    * restricted to each kind's docs — and elects survivors with the same
+    * (kind, key) min-id window. The Spark side must reproduce keeper
+    * elections through sniff + four REAL decoders, so a mis-route, a
+    * decode bug, or a digest field-order slip all hash-fail. */
+  private val MixedDedupOracleSql: String = {
+    val raw = "((2*k*7 + L) % 251) + 256*(((2*k+1)*7 + L) % 251)"
+    def bmpChan(expr: String) =
+      s"""flatten(list_transform(generate_series(0, h - 1), y ->
+         |      list_transform(generate_series(0, w - 1), x -> $expr)))""".stripMargin
+    s"""WITH
+       |pimg AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 62),
+       |    k -> CASE WHEN vs[k + 1] > mean THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+       |    AS BIGINT) AS ahash
+       |  FROM (
+       |    SELECT doc_id, vs, list_sum(vs) // 63 AS mean FROM (
+       |      SELECT doc_id,
+       |        list_transform(generate_series(0, 62), k ->
+       |          (L + 7*(((k % 8) * w) // 8) + 13*(((k // 8) * h) // 8)) % 256) AS vs
+       |      FROM (
+       |        SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+       |          CAST(length(text) % 80 + 1 AS BIGINT) AS w,
+       |          CAST(length(text) % 60 + 1 AS BIGINT) AS h
+       |        FROM documents WHERE doc_id % 4 = 0)))),
+       |bstat AS (
+       |  SELECT doc_id, w, h,
+       |    ${bmpChan("(L + 7*x + 13*y) % 251")} AS bs,
+       |    ${bmpChan("(L + 11*x + 3*y) % 249")} AS gs,
+       |    ${bmpChan("(L + 5*x + 17*y) % 247")} AS rs
+       |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+       |      CAST(length(text) % 64 + 1 AS BIGINT) AS w,
+       |      CAST(length(text) % 48 + 1 AS BIGINT) AS h
+       |    FROM documents WHERE doc_id % 4 = 1)),
+       |bkey AS (
+       |  SELECT doc_id, md5(
+       |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
+       |    || '|' || CAST(CAST(list_sum(bs) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_sum(gs) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_sum(rs) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_max(bs) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_max(gs) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_max(rs) AS BIGINT) AS VARCHAR)) AS key
+       |  FROM bstat),
+       |sq AS (
+       |  SELECT doc_id, n,
+       |    list_transform(generate_series(0, n - 1), k ->
+       |      CASE WHEN $raw >= 32768
+       |           THEN CAST(($raw - 65536) AS BIGINT) * ($raw - 65536)
+       |           ELSE CAST($raw AS BIGINT) * ($raw) END) AS ss
+       |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+       |          CAST(length(text) AS BIGINT) AS n
+       |        FROM documents WHERE doc_id % 4 = 2)),
+       |es AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 62), w ->
+       |      COALESCE(list_sum(ss[(w * n) // 63 + 1 : ((w + 1) * n) // 63]), 0)) AS e
+       |  FROM sq),
+       |paud AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(list_sum(list_transform(generate_series(0, 62),
+       |      w -> CASE WHEN e[w + 1] > list_sum(e) // 63
+       |           THEN (CAST(1 AS BIGINT) << w) ELSE 0 END)), 0) AS BIGINT) AS afp
+       |  FROM es),
+       |keys AS (
+       |  SELECT doc_id, 'image/png' AS kind, CAST(ahash AS VARCHAR) AS key FROM pimg
+       |  UNION ALL
+       |  SELECT doc_id, 'image/bmp', key FROM bkey
+       |  UNION ALL
+       |  SELECT doc_id, 'audio/wav', CAST(afp AS VARCHAR) FROM paud
+       |  UNION ALL
+       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 4 = 3)
+       |SELECT doc_id, kind,
+       |  min(doc_id) OVER (PARTITION BY kind, key) AS keeper_id,
+       |  doc_id > min(doc_id) OVER (PARTITION BY kind, key) AS is_dup
+       |FROM keys ORDER BY doc_id""".stripMargin
+  }
+
+  val mixedDedupQ: Q = Q(
+    "m_dedup_mixed",
+    Some(MixedDedupOracleSql),
+    (s, d) =>
+      mixedDedupSurvivors(withMixedContentContainers(Tables.documents(s, d))))
+
   val bmpPixelsQ: Q = Q(
     "m_bmp_pixels",
     Some(BmpPixelsOracleSql),
@@ -1141,5 +1286,6 @@ object Multimodal {
     wavDecodeQ, wavDecodeBatchQ, wavLoudnessQ, wavLoudnessBatchQ,
     pngDecodeQ, pngDecodeBatchQ, pngPixelsQ, pngPixelsBatchQ,
     bmpPixelsQ, bmpPixelsBatchQ, gzipDecodeQ, gzipDecodeBatchQ,
-    imageAHashQ, imageDedupQ, audioFpQ, audioDedupQ, sniffDispatchQ)
+    imageAHashQ, imageDedupQ, audioFpQ, audioDedupQ, sniffDispatchQ,
+    mixedDedupQ)
 }

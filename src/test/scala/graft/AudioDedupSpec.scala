@@ -92,6 +92,32 @@ class AudioDedupSpec extends SparkSpec {
     }
   }
 
+  test("mixed dedup: survivor election is consistent, kind-scoped, and layout-stable") {
+    val docs = Tables.documents(spark, sf())
+    val out = Multimodal.mixedDedupSurvivors(
+      Multimodal.withMixedContentContainers(docs)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length.toLong === docs.count(), "every doc gets a verdict")
+    // keeper is the min id of its class; keepers are never dups
+    out.foreach { case (id, _, keeper, isDup) =>
+      assert(keeper <= id)
+      assert(isDup === (id > keeper))
+    }
+    // every keeper_id is itself a row whose keeper is itself
+    val keepers = out.filter(!_._4).map(_._1).toSet
+    assert(out.forall(r => keepers.contains(r._3)), "keepers must be surviving rows")
+    // dup classes never cross kinds: a keeper carries its member's kind
+    val kindOf = out.map(r => r._1 -> r._2).toMap
+    out.foreach(r => assert(kindOf(r._3) === r._2, s"doc ${r._1}"))
+    // planted pairs exist (content-seeded payloads collide on content)
+    assert(out.exists(_._4), "the corpus must contain mixed-modality dups")
+    // pure function of content+id, not layout
+    val b = Multimodal.mixedDedupSurvivors(
+      Multimodal.withMixedContentContainers(docs.repartition(13))).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(out.toSet === b)
+  }
+
   test("sniff dispatch quarantines a corrupt payload as unknown/-1") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions.pack_frames

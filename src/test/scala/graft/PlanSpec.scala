@@ -220,6 +220,32 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p)
   }
 
+  test("m_sniff_dispatch: sniff + route + decode is a pure narrow map") {
+    val p = plan("m_sniff_dispatch")
+    // per-row kind detection and per-kind decode must add NO shuffle;
+    // the single allowed exchange is the final presentation sort
+    assert(p.split("Exchange").length - 1 <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("d_corpus_shuffle: shard-keyed window, never a global single-partition sort") {
+    val p = plan("d_corpus_shuffle")
+    // the rank window partitions by shard (hashpartitioning), so no
+    // stage serializes the corpus through one task: every Exchange in
+    // the plan below the final presentation sort is a hash exchange
+    assert(p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("d_budget_select: one domain-keyed exchange feeds rank and running sum") {
+    val p = plan("d_budget_select")
+    // score/tokens are narrow maps; both window functions share the
+    // source-keyed partitioning, so the query is one hash exchange
+    // plus the presentation sort
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(p.split("Exchange").length - 1 <= 2, p)
+  }
+
   test("g_walks superstep: walk state broadcasts against edges (checkpointed result hides it)") {
     // the registered query's final plan is checkpoint-truncated frames,
     // so assert the per-step shape directly: seed-sized state joined to
