@@ -59,7 +59,11 @@ object Bench {
         "g_hopplot_approx", "g_hopplot_approx_tol")),
     SetupDef("_setup_embed_exact", "embed_exact",
       (s, d) => graft.pipeline.ExactBaselines.warm(s, d),
-      Set("d_dedup_embedding_cosine", "sim_ann_topk", "sim_ann_recall_tol")))
+      Set("d_dedup_embedding_cosine", "sim_ann_topk", "sim_ann_recall_tol")),
+    SetupDef("_setup_pq", "pq",
+      (s, d) => graft.pipeline.PqIndex.warm(s, d),
+      Set("sim_pq_codes", "sim_ann_pq", "sim_ann_pq_rerank",
+        "sim_pq_recall_tol")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -162,7 +166,8 @@ object Bench {
       // count() had hidden their full-result cost)
       "x_try_arith", "x_approx_distinct_tol", "x_approx_percentile_tol",
       "x_table_stats", "t_cdc_chunk", "x_resample_locf", "x_hll_group_tol",
-      "m_dedup_image_ahash", "m_dedup_audio_fp")
+      "m_dedup_image_ahash", "m_dedup_audio_fp",
+      "sim_pq_codes", "sim_ann_pq_rerank", "sim_pq_recall_tol")
     val results = names.zipWithIndex.map { case ((name, fn), i) =>
       val setup = setupByName.get(name)
       val reps =

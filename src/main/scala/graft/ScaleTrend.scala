@@ -66,7 +66,10 @@ object ScaleTrend {
     // the PAIR count (38.2k sf0.1 / 3.69M sf1 = 96x), not the doc count
     "m_audio_fp", "m_dedup_audio_fp", "m_sniff_dispatch", "m_dedup_mixed",
     // training-order / mixture ops: narrow maps + domain-keyed windows
-    "d_corpus_shuffle", "d_budget_select", "d_domain_temperature")
+    "d_corpus_shuffle", "d_budget_select", "d_domain_temperature",
+    // PQ: training is O(n·M·K) map-only vs broadcast codebooks; the
+    // query side is O(n·M) lookups per query
+    "sim_pq_codes", "sim_ann_pq_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

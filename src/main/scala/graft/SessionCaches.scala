@@ -32,7 +32,8 @@ object SessionCaches {
     "labelprop" -> (s => analytics.LabelPropagation.clearAssignments(s)),
     "hopplot" -> (s => analytics.HopPlot.clearRows(s)),
     "hyperanf" -> (s => analytics.HyperANF.clearRows(s)),
-    "embed_exact" -> (s => pipeline.ExactBaselines.clear(s)))
+    "embed_exact" -> (s => pipeline.ExactBaselines.clear(s)),
+    "pq" -> (s => pipeline.PqIndex.clear(s)))
 
   private lazy val byName = hooks.toMap
 

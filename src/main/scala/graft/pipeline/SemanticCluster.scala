@@ -151,7 +151,7 @@ object SemanticCluster {
 
   // ---- oracle SQL (identical algorithm, unrolled) -----------------------
 
-  private val quantCtes =
+  private[pipeline] val quantCtes =
     """e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
       |  FROM embeddings),

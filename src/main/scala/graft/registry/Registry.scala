@@ -64,6 +64,7 @@ object Registry {
       graft.pipeline.Pii.all ++
       graft.pipeline.Quantize.all ++
       graft.pipeline.SemanticCluster.all ++
+      graft.pipeline.PqIndex.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 

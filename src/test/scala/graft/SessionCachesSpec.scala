@@ -72,6 +72,18 @@ class SessionCachesSpec extends SparkSpec {
     assert(n1Rows === collectSorted(n2))
   }
 
+  test("pq: trained-index cache hit, eviction, and rebuild equality") {
+    import graft.pipeline.PqIndex
+    // consumers must finish before the clear (the bfs_levels NOTE):
+    // collect both reads of the warm cache, THEN evict and rebuild
+    val c1 = collectSorted(PqIndex.codes(spark, sf()))
+    val c1b = collectSorted(PqIndex.codes(spark, sf()))
+    assert(c1 === c1b, "second read must serve the same cached index")
+    SessionCaches.clear(spark, "pq")
+    val c2 = collectSorted(PqIndex.codes(spark, sf()))
+    assert(c1 === c2)
+  }
+
   test("registry queries served from caches survive a clearAll mid-session") {
     val before = collectSorted(registry.Registry.byName("g_eccentricity").run(spark, sf()))
     SessionCaches.clearAll(spark)
