@@ -63,7 +63,10 @@ object Bench {
     SetupDef("_setup_pq", "pq",
       (s, d) => graft.pipeline.PqIndex.warm(s, d),
       Set("sim_pq_codes", "sim_ann_pq", "sim_ann_pq_rerank",
-        "sim_pq_recall_tol")))
+        "sim_pq_recall_tol", "sim_ann_ivf_pq")),
+    SetupDef("_setup_kmeans", "kmeans",
+      (s, d) => graft.pipeline.SemanticCluster.warm(s, d),
+      Set("d_cluster_kmeans", "d_dedup_semantic", "sim_ann_ivf_pq")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -167,7 +170,8 @@ object Bench {
       "x_try_arith", "x_approx_distinct_tol", "x_approx_percentile_tol",
       "x_table_stats", "t_cdc_chunk", "x_resample_locf", "x_hll_group_tol",
       "m_dedup_image_ahash", "m_dedup_audio_fp",
-      "sim_pq_codes", "sim_ann_pq_rerank", "sim_pq_recall_tol")
+      "sim_pq_codes", "sim_ann_pq_rerank", "sim_pq_recall_tol",
+      "sim_ann_ivf_pq", "d_cluster_kmeans", "d_dedup_semantic")
     val results = names.zipWithIndex.map { case ((name, fn), i) =>
       val setup = setupByName.get(name)
       val reps =

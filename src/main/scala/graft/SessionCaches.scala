@@ -33,7 +33,8 @@ object SessionCaches {
     "hopplot" -> (s => analytics.HopPlot.clearRows(s)),
     "hyperanf" -> (s => analytics.HyperANF.clearRows(s)),
     "embed_exact" -> (s => pipeline.ExactBaselines.clear(s)),
-    "pq" -> (s => pipeline.PqIndex.clear(s)))
+    "pq" -> (s => pipeline.PqIndex.clear(s)),
+    "kmeans" -> (s => pipeline.SemanticCluster.clear(s)))
 
   private lazy val byName = hooks.toMap
 

@@ -140,7 +140,7 @@ object PqIndex {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (DataFrame, DataFrame)]()
 
-  private def trained(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private[pipeline] def trained(s: SparkSession, d: String): (DataFrame, DataFrame) =
     cache.computeIfAbsent((graft.SessionKey(s), d), _ => {
       val (cents, cds) = trainEncode(quantDf(s, d))
       (cents.localCheckpoint(true), cds.localCheckpoint(true))
@@ -180,18 +180,26 @@ object PqIndex {
     * lookups summed by one (qid, nid) aggregate — never a D-element
     * dot, never a read of the candidate's vector. Ascending exact
     * BIGINT ADC distance, ties to the smaller neighbor id. */
-  private def adcRanked(qdf: DataFrame, cents: DataFrame,
-      cds: DataFrame): DataFrame = {
+  /** Query-side partial-distance table (qid, sub, c, pdist): each
+    * query's exact squared distance to every codebook entry — M·K rows
+    * per query, the broadcast-sized structure every ADC consumer joins
+    * through (the IVF-PQ composition included). */
+  private[pipeline] def pdTable(qdf: DataFrame, cents: DataFrame): DataFrame = {
     val qs = subvecs(PipelineQueries.requireBounded(
       qdf.filter(col("vec_id") < 10), "sim_ann_pq query side", 1024L))
       .select(col("vec_id").as("qid"), col("sub"), col("sq"))
-    val pd = qs
+    qs
       .withColumn("qq", array_dot_long(col("sq"), col("sq")))
       .join(broadcast(
         cents.withColumn("cc", array_dot_long(col("cm"), col("cm")))), "sub")
       .select(col("qid"), col("sub"), col("c"),
         (col("qq") - lit(2L) * array_dot_long(col("sq"), col("cm"))
           + col("cc")).as("pdist"))
+  }
+
+  private def adcRanked(qdf: DataFrame, cents: DataFrame,
+      cds: DataFrame): DataFrame = {
+    val pd = pdTable(qdf, cents)
     val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
     cds.select(col("vec_id").as("nid"), col("sub"), col("c"))
       .join(broadcast(pd), Seq("sub", "c"))
@@ -283,14 +291,29 @@ object PqIndex {
        |    SELECT sub, c, count(*) AS cnt, $sums FROM pasg$i GROUP BY sub, c))""".stripMargin
   }
 
-  /** CTE chain ending in pasg{Iters} (vec_id, sub, sq, c, dist) with
-    * the final codebooks in pcents{Iters - 1}. */
-  private def pqCtes: String = {
+  /** PQ chain WITHOUT the quantization prefix (for composition with
+    * other chains that already define qt): subspace expansion + grouped
+    * Lloyd, ending in pasg{Iters} with final codebooks in
+    * pcents{Iters - 1}. */
+  private[pipeline] def pqChainNoQuant: String = {
     val iterCtes = (1 to Iters).flatMap { i =>
       if (i < Iters) Seq(assignCte(i), updateCte(i)) else Seq(assignCte(i))
     }
-    (Seq(SemanticCluster.quantCtes, svCtes) ++ iterCtes).mkString(",\n")
+    (Seq(svCtes) ++ iterCtes).mkString(",\n")
   }
+
+  /** Query-side partial-distance table CTEs (qs + pd), no quant
+    * prefix — pd(qid, sub, c, pdist) vs the final codebooks. */
+  private[pipeline] def pdCtesNoQuant: String =
+    s"""qs AS (SELECT vec_id AS qid, sub, sq FROM sv WHERE vec_id < 10),
+       |pd AS (
+       |  SELECT q.qid, c.sub, c.c, ${subSqDist("q.sq", "c.cm")} AS pdist
+       |  FROM qs q JOIN pcents${Iters - 1} c ON q.sub = c.sub)""".stripMargin
+
+  /** CTE chain ending in pasg{Iters} (vec_id, sub, sq, c, dist) with
+    * the final codebooks in pcents{Iters - 1}. */
+  private def pqCtes: String =
+    Seq(SemanticCluster.quantCtes, pqChainNoQuant).mkString(",\n")
 
   val codesQ: Q = Q(
     "sim_pq_codes",
@@ -305,10 +328,7 @@ object PqIndex {
   /** CTE chain ending in `adc` (qid, nid, adc): the full ADC scores. */
   private def adcCtes: String =
     s"""$pqCtes,
-       |qs AS (SELECT vec_id AS qid, sub, sq FROM sv WHERE vec_id < 10),
-       |pd AS (
-       |  SELECT q.qid, c.sub, c.c, ${subSqDist("q.sq", "c.cm")} AS pdist
-       |  FROM qs q JOIN pcents${Iters - 1} c ON q.sub = c.sub),
+       |$pdCtesNoQuant,
        |adc AS (
        |  SELECT p.qid, a.vec_id AS nid, CAST(sum(p.pdist) AS BIGINT) AS adc
        |  FROM pasg$Iters a

@@ -123,7 +123,14 @@ object SemanticCluster {
   /** Full pipeline over any (vec_id, q) frame; `iters` exposed so the
     * spec can assert Lloyd's inertia descent. Result: one row per
     * vector — (vec_id, c, dist). */
-  def clustersOf(qdf0: DataFrame, iters: Int = Iters): DataFrame = {
+  def clustersOf(qdf0: DataFrame, iters: Int = Iters): DataFrame =
+    trainAssign(qdf0, iters)._2
+      .select(col("vec_id"), col("c"), col("dist")).orderBy(col("vec_id"))
+
+  /** Training + assignment, returning BOTH the final centroids (the
+    * ones the last assignment ran against — what a probe must use) and
+    * the assignment: the coarse-quantizer seam IVF-PQ composes on. */
+  def trainAssign(qdf0: DataFrame, iters: Int = Iters): (DataFrame, DataFrame) = {
     val n = qdf0.count()
     val k = 1 << VectorIndex.dedupCellBits(n)
     // The bench-scale embeddings file is one parquet row group -> one
@@ -143,11 +150,51 @@ object SemanticCluster {
       i += 1
       if (i < iters) cents = update(asg)
     }
-    asg.select(col("vec_id"), col("c"), col("dist")).orderBy(col("vec_id"))
+    (cents, asg)
+  }
+
+  // Session-scoped trained coarse quantizer (the PqIndex/ExactBaselines
+  // discipline): d_cluster_kmeans, d_dedup_semantic, and the IVF-PQ
+  // probe all need the SAME (centroids, assignment) — at corpus scale
+  // the inverted-list assignment is the maintained artifact, so a
+  // session pays ONE training. localCheckpointed; released via the
+  // graft.SessionCaches "kmeans" hook; Bench builds it in a timed
+  // _setup_kmeans slot so consumers report marginal cost.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame)]()
+
+  /** The session's trained (final centroids, assignment) for this sf. */
+  def trainedFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    cache.computeIfAbsent((graft.SessionKey(s), d), _ => {
+      val (cents, asg) = trainAssign(quantDf(s, d))
+      (cents.localCheckpoint(true), asg.localCheckpoint(true))
+    })
+
+  /** Materialize the trained quantizer (Bench's `_setup_kmeans`). */
+  def warm(s: SparkSession, d: String): Unit = {
+    trainedFor(s, d); ()
+  }
+
+  /** Drop this session's trained quantizer and free its checkpoint
+    * blocks (graft.SessionCaches hook). */
+  private[graft] def clear(spark: SparkSession): Unit = {
+    val sid = graft.SessionKey(spark)
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == sid) {
+        Seq(e.getValue._1, e.getValue._2).foreach { df =>
+          org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
+            .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+        }
+        it.remove()
+      }
+    }
   }
 
   def clusters(s: SparkSession, d: String): DataFrame =
-    clustersOf(quantDf(s, d))
+    trainedFor(s, d)._2
+      .select(col("vec_id"), col("c"), col("dist")).orderBy(col("vec_id"))
 
   // ---- oracle SQL (identical algorithm, unrolled) -----------------------
 
@@ -192,13 +239,24 @@ object SemanticCluster {
        |    SELECT c, count(*) AS cnt, $sums FROM asg$i GROUP BY c))""".stripMargin
   }
 
-  /** CTE chain ending in asg{Iters} (vec_id, q, c, dist). */
-  private def kmeansCtes: String = {
+  /** Lloyd chain WITHOUT the quantization prefix (for composition with
+    * other chains that already define qt): ends in asg{Iters} (vec_id,
+    * q, c, dist); the final centroids the last assignment ran against
+    * are cents{Iters - 1}. */
+  private[pipeline] def lloydCtes: String = {
     val iterCtes = (1 to Iters).flatMap { i =>
       if (i < Iters) Seq(assignCte(i), updateCte(i)) else Seq(assignCte(i))
     }
-    (Seq(quantCtes, seedsCtes) ++ iterCtes).mkString(",\n")
+    (Seq(seedsCtes) ++ iterCtes).mkString(",\n")
   }
+
+  /** Name of the final-assignment / final-centroid CTEs in lloydCtes. */
+  private[pipeline] val FinalAsgCte = s"asg$Iters"
+  private[pipeline] val FinalCentsCte = s"cents${Iters - 1}"
+
+  /** CTE chain ending in asg{Iters} (vec_id, q, c, dist). */
+  private def kmeansCtes: String =
+    Seq(quantCtes, lloydCtes).mkString(",\n")
 
   val clusterQ: Q = Q(
     "d_cluster_kmeans",

