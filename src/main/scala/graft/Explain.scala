@@ -117,6 +117,7 @@ object Explain {
       "m_dedup_mixed" -> "mixed-corpus dedup capstone: sniff + route + per-kind decoded dup key, ONE (kind,key) shuffle elects survivors",
       "sim_ann_pq_rerank" -> "PQ ADC shortlist (M table lookups/candidate vs broadcast codebooks) + exact int8 refine on the shortlist only",
       "sim_ann_ivf_pq" -> "IVFADC composition: broadcast-centroid probe -> inverted-list equi-join -> ADC lookups -> exact refine",
+      "d_dedup_url" -> "canonical-URL dedup: narrow regex/array normalization, one canonical-key shuffle elects survivors",
       "x_equidepth_hist" -> "decile boundaries from (group, value) histograms — map-side collapse, no corpus sort",
       "d_dedup_ppjoin_incremental" -> "batch prefixes probe the standing (t,n) index — O(batch), corpus never self-joins",
       "g_eccentricity" -> "one aggregation over the session-cached sampled BFS — no new traversal")

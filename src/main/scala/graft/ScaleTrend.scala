@@ -69,7 +69,9 @@ object ScaleTrend {
     "d_corpus_shuffle", "d_budget_select", "d_domain_temperature",
     // PQ: training is O(n·M·K) map-only vs broadcast codebooks; the
     // query side is O(n·M) lookups per query
-    "sim_pq_codes", "sim_ann_pq_rerank", "sim_ann_ivf_pq")
+    "sim_pq_codes", "sim_ann_pq_rerank", "sim_ann_ivf_pq",
+    // URL canonicalization: pure narrow map; dedup one key shuffle
+    "t_url_canonicalize", "d_dedup_url")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

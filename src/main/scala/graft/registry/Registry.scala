@@ -66,6 +66,7 @@ object Registry {
       graft.pipeline.SemanticCluster.all ++
       graft.pipeline.PqIndex.all ++
       graft.pipeline.IvfPq.all ++
+      graft.pipeline.Urls.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 
