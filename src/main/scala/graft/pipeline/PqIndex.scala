@@ -51,6 +51,17 @@ object PqIndex {
   val Iters = 3
   /** ADC shortlist re-ranked exactly by the refine step. */
   val Short = 100
+  /** Codebook-training sample bound (the FAISS discipline: codebooks
+    * are trained on a bounded sample — classically ~256 vectors per
+    * centroid — then the corpus is ENCODED in one pass; training on
+    * the full corpus makes index build O(iters·n·M·K), which the 100x
+    * harness measured at 362x wall for 100x data under local shuffle
+    * pressure). Sample = the first TrainSample vectors in md5 order
+    * (the portable hash order; seeds are its prefix, so they stay
+    * inside the sample). At every verify SF the corpus is smaller than
+    * the bound, so the sample IS the corpus and results are
+    * bit-identical to full-corpus training. */
+  val TrainSample = 16384
 
   private def quantDf(s: SparkSession, d: String): DataFrame =
     Quantize.quantized(Tables.embeddings(s, d)).select(col("vec_id"), col("q"))
@@ -118,17 +129,40 @@ object PqIndex {
     * codebooks (the ones the last assignment ran against — what ADC
     * must use) and the code table (vec_id, sub, c, dist). */
   def trainEncode(qdf: DataFrame, iters: Int = Iters): (DataFrame, DataFrame) = {
-    val sv = subvecs(qdf)
+    // TRAIN on the bounded md5-order sample (== the corpus at verify
+    // SFs), ENCODE the full corpus once against the final codebooks —
+    // the iters-th assignment. The encode pass drags no subvector
+    // through its aggregate (update needs sq, encode doesn't), so the
+    // one corpus-sized shuffle carries (vec_id, sub, enc) only.
+    val svTrain = subvecs(
+      qdf.select(col("vec_id"), col("q"),
+        md5(col("vec_id").cast("string")).as("h"))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(TrainSample)
+        .select(col("vec_id"), col("q")))
     var cents = seedCodebooks(qdf)
-    var asg: DataFrame = null
     var i = 0
-    while (i < iters) {
-      asg = assign(sv, cents)
+    while (i < iters - 1) {
+      cents = update(assign(svTrain, cents))
       i += 1
-      if (i < iters) cents = update(asg)
     }
-    (cents, asg.select(col("vec_id"), col("sub"), col("c"), col("dist")))
+    (cents, encodeAssign(subvecs(qdf), cents))
   }
+
+  /** The corpus encode pass: the same packed argmin as [[assign]] but
+    * with nothing except the 1-long code riding the aggregate. */
+  private def encodeAssign(sv: DataFrame, cents: DataFrame): DataFrame =
+    sv.withColumn("qq", array_dot_long(col("sq"), col("sq")))
+      .join(broadcast(
+        cents.withColumn("cc", array_dot_long(col("cm"), col("cm")))), "sub")
+      .withColumn("enc",
+        (col("qq") - lit(2L) * array_dot_long(col("sq"), col("cm")) + col("cc"))
+          * lit(64L) + col("c"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("enc")).as("enc"))
+      .select(col("vec_id"), col("sub"),
+        pmod(col("enc"), lit(64L)).as("c"),
+        expr("enc div 64").as("dist"))
 
   // Session-scoped trained index (the ExactBaselines discipline): the
   // four registered queries share ONE training run per (session, sf) —
@@ -262,6 +296,15 @@ object PqIndex {
        |  SELECT vec_id, sub,
        |    q[sub * $SubDims + 1 : sub * $SubDims + $SubDims] AS sq
        |  FROM qt, subs),
+       |samp AS (
+       |  SELECT vec_id, q FROM (
+       |    SELECT vec_id, q, row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM qt)
+       |  WHERE rn <= $TrainSample),
+       |svs AS (
+       |  SELECT vec_id, sub,
+       |    q[sub * $SubDims + 1 : sub * $SubDims + $SubDims] AS sq
+       |  FROM samp, subs),
        |pcents0 AS (
        |  SELECT sub, CAST(rn - 1 AS BIGINT) AS c,
        |    q[sub * $SubDims + 1 : sub * $SubDims + $SubDims] AS cm
@@ -271,15 +314,19 @@ object PqIndex {
        |    , subs
        |  WHERE rn <= $K)""".stripMargin
 
-  private def assignCte(i: Int): String =
+  /** Training passes (i < Iters) assign the SAMPLE; the final pass is
+    * the corpus ENCODE. */
+  private def assignCte(i: Int): String = {
+    val src = if (i < Iters) "svs" else "sv"
     s"""pasg$i AS (
        |  SELECT vec_id, sub, sq, c, dist FROM (
        |    SELECT *, row_number() OVER (
        |      PARTITION BY vec_id, sub ORDER BY dist, c) AS rk FROM (
        |      SELECT t.vec_id, t.sub, t.sq, c.c,
        |        ${subSqDist("t.sq", "c.cm")} AS dist
-       |      FROM sv t JOIN pcents${i - 1} c ON t.sub = c.sub))
+       |      FROM $src t JOIN pcents${i - 1} c ON t.sub = c.sub))
        |  WHERE rk = 1)""".stripMargin
+  }
 
   private def updateCte(i: Int): String = {
     val sums = (0 until SubDims).map(j => s"sum(sq[${j + 1}]) AS s$j").mkString(", ")

@@ -55,6 +55,17 @@ object SemanticCluster {
     * the Iters-th assignment (the one that built the final centroids). */
   val Iters = 3
 
+  /** Centroid-training sample bound (the PqIndex.TrainSample
+    * discipline, measured there: full-corpus training at the 100x
+    * point paid iters corpus-sized assignment shuffles; training on
+    * the md5-order sample and ENCODING the corpus once cut
+    * sim_pq_codes 764 -> 29s). k itself still follows the full-corpus
+    * sqrt ladder, and the final assignment — the inverted-list /
+    * SemDeDup artifact — is exact over the whole corpus. At every
+    * verify SF the corpus is under the bound, so results are
+    * bit-identical to full-corpus training. */
+  val TrainSample = 16384
+
   /** embeddings -> (vec_id, q) with q the int8-in-long quantization —
     * the byte-per-dim representation the whole distance loop runs on. */
   private def quantDf(s: SparkSession, d: String): DataFrame =
@@ -142,16 +153,40 @@ object SemanticCluster {
     val qdf =
       if (qdf0.rdd.getNumPartitions < math.min(4, par)) qdf0.repartition(par)
       else qdf0
+    // TRAIN on the bounded md5-order sample (== the corpus at verify
+    // SFs), then one corpus ENCODE pass that carries nothing but the
+    // packed code through its aggregate (update needs q; encode
+    // doesn't — at the 100x point the q-dragging corpus aggregate was
+    // the spill).
+    val sample = qdf
+      .select(col("vec_id"), col("q"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(TrainSample)
+      .select(col("vec_id"), col("q"))
     var cents = seedCents(qdf, k)
-    var asg: DataFrame = null
     var i = 0
-    while (i < iters) {
-      asg = assign(qdf, cents)
+    while (i < iters - 1) {
+      cents = update(assign(sample, cents))
       i += 1
-      if (i < iters) cents = update(asg)
     }
-    (cents, asg)
+    (cents, encodeAssign(qdf, cents))
   }
+
+  /** The corpus encode pass: [[assign]]'s packed argmin with only the
+    * 1-long code riding the aggregate. */
+  private def encodeAssign(qdf: DataFrame, cents: DataFrame): DataFrame =
+    qdf.withColumn("qq", array_dot_long(col("q"), col("q")))
+      .crossJoin(broadcast(
+        cents.withColumn("cc", array_dot_long(col("cm"), col("cm")))))
+      .withColumn("enc",
+        sqDist(col("qq"), col("q"), col("cm"), col("cc")) * lit(65536L)
+          + col("c"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("enc")).as("enc"))
+      .select(col("vec_id"),
+        pmod(col("enc"), lit(65536L)).as("c"),
+        expr("enc div 65536").as("dist"))
 
   // Session-scoped trained coarse quantizer (the PqIndex/ExactBaselines
   // discipline): d_cluster_kmeans, d_dedup_semantic, and the IVF-PQ
@@ -212,13 +247,21 @@ object SemanticCluster {
 
   private def seedsCtes: String =
     s"""bitsv AS (SELECT ${VectorIndex.dedupCellBitsSql("SELECT count(*) FROM qt")} AS bits),
+       |ksamp AS (
+       |  SELECT vec_id, q FROM (
+       |    SELECT vec_id, q, row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM qt)
+       |  WHERE rn <= $TrainSample),
        |cents0 AS (
        |  SELECT CAST(rn - 1 AS BIGINT) AS c, q AS cm FROM (
        |    SELECT q, row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM qt)
        |  WHERE rn <= (SELECT 1 << bits FROM bitsv))""".stripMargin
 
-  private def assignCte(i: Int): String =
+  /** Training passes (i < Iters) assign the SAMPLE; the final pass is
+    * the corpus ENCODE. */
+  private def assignCte(i: Int): String = {
+    val src = if (i < Iters) "ksamp" else "qt"
     s"""asg$i AS (
        |  SELECT vec_id, q, c, dist FROM (
        |    SELECT *, row_number() OVER (
@@ -226,8 +269,9 @@ object SemanticCluster {
        |      SELECT t.vec_id, t.q, c.c,
        |        list_sum(list_transform(generate_series(1, $Dims),
        |          j -> (t.q[j] - c.cm[j]) * (t.q[j] - c.cm[j]))) AS dist
-       |      FROM qt t CROSS JOIN cents${i - 1} c))
+       |      FROM $src t CROSS JOIN cents${i - 1} c))
        |  WHERE rk = 1)""".stripMargin
+  }
 
   private def updateCte(i: Int): String = {
     val sums = (0 until Dims).map(j => s"sum(q[${j + 1}]) AS s$j").mkString(", ")
