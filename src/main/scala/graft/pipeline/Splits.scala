@@ -324,6 +324,67 @@ object Splits {
         "doc_id", "lang")
         .orderBy(col("doc_id")))
 
+  /** Deterministic negative sampling — reproducible "random" partners
+    * for contrastive training (embedder / reranker data): each doc
+    * gets k negatives drawn uniformly-at-random-but-reproducibly from
+    * the corpus. Shape: docs land in hash shards (narrow map), and a
+    * doc's negatives are the next k docs on its SHARD's md5 ring —
+    * the shard is already a uniform random subset and the ring order
+    * inside it is a second independent hash draw, so partners are
+    * unbiased, while every window/join stays shard-partitioned (no
+    * global ring, which would be a single-task sort at 100 TB; the
+    * corpusShuffle scaladoc's argument). Self-partners (wrap-around on
+    * a tiny shard) are filtered; duplicate partners can only occur on
+    * shards with <= k docs. */
+  def negativeSamples(df: DataFrame, key: String, k: Int, shards: Int = 64,
+      salt: String = "neg"): DataFrame = {
+    val h = md5(concat(lit(salt + ":"), col(key).cast("string")))
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hh"), col(key))
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+    val ring = df
+      .withColumn("hh", h)
+      .withColumn("shard",
+        conv(substring(col("hh"), 1, 4), 16, 10).cast(LongType) % shards)
+      .withColumn("pos", row_number().over(wPos).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wN))
+      .select(col(key), col("shard"), col("pos"), col("n"))
+    val wanted = ring
+      .select(col(key).as("doc_id_a"), col("shard"), col("pos"), col("n"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("j"))
+      .withColumn("need", pmod(col("pos") - 1 + col("j"), col("n")) + 1)
+    wanted
+      .join(ring.select(col("shard"), col("pos").as("need"),
+        col(key).as("neg_id")), Seq("shard", "need"))
+      .filter(col("doc_id_a") =!= col("neg_id"))
+      .select(col("doc_id_a").as("doc_id"), col("j"), col("neg_id"))
+  }
+
+  val negativeSamplesQ: Q = Q(
+    "d_negative_samples",
+    Some("""WITH r AS (SELECT doc_id,
+           |    md5('neg:' || CAST(doc_id AS VARCHAR)) AS hh,
+           |    CAST(concat('0x', substr(md5('neg:' || CAST(doc_id AS VARCHAR)), 1, 4))
+           |      AS BIGINT) % 64 AS shard
+           |  FROM documents),
+           |ring AS (SELECT doc_id, shard,
+           |    CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+           |      AS BIGINT) AS pos,
+           |    CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS n
+           |  FROM r),
+           |w AS (SELECT a.doc_id, a.shard, j.j,
+           |    ((a.pos - 1 + j.j) % a.n) + 1 AS need
+           |  FROM ring a, (SELECT unnest(generate_series(1, 4)) AS j) j)
+           |SELECT w.doc_id, CAST(w.j AS BIGINT) AS j, b.doc_id AS neg_id
+           |FROM w JOIN ring b ON b.shard = w.shard AND b.pos = w.need
+           |WHERE b.doc_id <> w.doc_id
+           |ORDER BY w.doc_id, j""".stripMargin),
+    (s, d) =>
+      negativeSamples(Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", k = 4)
+        .orderBy(col("doc_id"), col("j")))
+
   val all: Seq[Q] = Seq(hashSplitQ, stratifiedSampleQ, domainMixQ,
-    domainUpsampleQ, corpusShuffleQ, budgetSelectQ, domainTemperatureQ)
+    domainUpsampleQ, corpusShuffleQ, budgetSelectQ, domainTemperatureQ,
+    negativeSamplesQ)
 }

@@ -179,6 +179,31 @@ class SplitsSpec extends SparkSpec {
       assert(fracs(domLang) < f, s"dominant $domLang must be flattened below $l")
   }
 
+  test("negative sampling: k ring partners per doc, never self, layout-stable") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"))
+    val out = Splits.negativeSamples(docs, "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._1 != r._3), "a doc is never its own negative")
+    // reconstruct shard sizes to check the per-doc contract exactly:
+    // a doc on a shard with n > k gets exactly k DISTINCT partners
+    val shardOf = Splits.corpusShuffle(docs, "doc_id", shards = 64, salt = "neg")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = shardOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (id, rows) =>
+      if (sizes(shardOf(id)) > 5) {
+        assert(rows.length === 4, s"doc $id")
+        assert(rows.map(_._3).distinct.length === 4, s"doc $id partners distinct")
+      }
+      // partners always come from the doc's own shard
+      rows.foreach(r => assert(shardOf(r._3) === shardOf(id)))
+    }
+    val b = Splits.negativeSamples(docs.repartition(9), "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.toSet === b)
+  }
+
   test("rarity: mean inverse unigram frequency, exact integer") {
     import spark.implicits._
     // corpus: C(x)=6, C(y)=1, M=7; doc0 = avg of five (7 div 6)=1 -> 1;
