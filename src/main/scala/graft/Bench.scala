@@ -68,8 +68,66 @@ object Bench {
       (s, d) => graft.pipeline.SemanticCluster.warm(s, d),
       Set("d_cluster_kmeans", "d_dedup_semantic", "sim_ann_ivf_pq")))
 
+  // ---- host fingerprint (VERDICT r8 #2) --------------------------------
+  // The r8 artifact showed loop-heavy entries running ~2x slower on the
+  // driver host than on the builder host (g_kcore 4.2 vs 1.7s,
+  // _setup_dedup_family 10.2 vs 5.3s) with no way to adjudicate from the
+  // artifact alone. Emit enough host state WITH the run that a factor
+  // like that becomes measurable per-artifact: pre-run load average
+  // (other tenants), /proc/stat deltas over the run (busy/iowait/steal),
+  // available memory, and — the most direct signal — a fixed
+  // single-thread integer spin microbenchmark whose wall time is a pure
+  // per-core-throughput probe (same code, same iteration count on every
+  // host; a 2x-slower or oversubscribed core shows up as a 2x spin_ms).
+
+  private def firstLine(path: String): Option[String] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().find(_ => true) finally src.close()
+    } catch { case _: Throwable => None }
+
+  private def load1(): Double =
+    firstLine("/proc/loadavg").map(_.split(" ")(0).toDouble).getOrElse(-1.0)
+
+  /** (user+nice+system+irq+softirq, idle, iowait, steal) jiffies. */
+  private def cpuJiffies(): Option[(Long, Long, Long, Long)] =
+    firstLine("/proc/stat").flatMap { l =>
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      if (f.length < 8) None
+      else Some((f(0) + f(1) + f(2) + f(5) + f(6), f(3), f(4), f(7)))
+    }
+
+  private def memInfoGb(key: String): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().find(_.startsWith(key + ":"))
+        .map(_.split("\\s+")(1).toDouble / (1024 * 1024)).getOrElse(-1.0)
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** Fixed-work single-thread xorshift spin; wall ms IS the per-core
+    * throughput probe (lower = faster core). The result is folded into
+    * the return value so the loop can't be optimized away. */
+  private def spinMs(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) println("") // keep x live
+    ms
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val hostLoad1Start = load1()
+    val hostJiffies0 = cpuJiffies()
+    val hostMemAvailGb = memInfoGb("MemAvailable")
+    val hostCachedGb = memInfoGb("Cached")
+    val hostSpin0 = spinMs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -172,14 +230,9 @@ object Bench {
       "m_dedup_image_ahash", "m_dedup_audio_fp",
       "sim_pq_codes", "sim_ann_pq_rerank", "sim_pq_recall_tol",
       "sim_ann_ivf_pq", "d_cluster_kmeans", "d_dedup_semantic")
-    val results = names.zipWithIndex.map { case ((name, fn), i) =>
+    val results = names.map { case (name, fn) =>
       val setup = setupByName.get(name)
-      val reps =
-        if (setup.isDefined) 2
-        else if (repeatSet(name)) 3
-        else if (tailSet(name)) 2
-        else 1
-      val runs = (1 to reps).map { r =>
+      def runOnce(r: Int): (Double, Boolean) = {
         // between setup reps, drop the cache this entry builds so the
         // rep times a real build; the LAST rep leaves it warm for the
         // consumers that follow
@@ -204,6 +257,21 @@ object Bench {
         graft.analytics.CheckpointRegistry.releaseAll(spark)
         (sec, ok)
       }
+      val plannedReps =
+        if (setup.isDefined) 2
+        else if (repeatSet(name)) 3
+        else if (tailSet(name)) 2
+        else 1
+      val first = runOnce(1)
+      // VERDICT r8 #1: the rep set is decided AT RUN TIME, not from a
+      // frozen list of last round's costs — any entry whose first run
+      // exceeds 2s gets a second rep immediately, so no expensive entry
+      // can ever ship single-shot again (the static tailSet above stays
+      // only as a floor). This is the policy that would have adjudicated
+      // w_running_total_keyed's 24.4s and d_decontaminate's 13.8s
+      // single-shot mysteries in the r8 artifact.
+      val reps = if (plannedReps == 1 && first._1 > 2.0) 2 else plannedReps
+      val runs = first +: (2 to reps).map(runOnce)
       // drop each session cache the moment its LAST consumer's slot
       // completes (all reps) — persisted-and-never-released
       // intermediates pressured executor memory for every query that
@@ -252,8 +320,34 @@ object Bench {
     val total = mins.map(_._2).sum
     val totalFirst = results.map(_._2.head).sum
     val nOk = results.count(_._3)
+    // Host fingerprint (VERDICT r8 #2): pre-run load + run-spanning
+    // /proc/stat deltas + the fixed-work spin probe (before warmup AND
+    // after the run — rising spin = the host got busier underneath us).
+    // spin_ms is the per-core throughput yardstick: the same loop on the
+    // builder host prints its own number in COVERAGE, so a 2x driver/
+    // builder wall-time gap on loop-heavy entries is now checkable
+    // against a 2x spin gap in the artifact itself.
+    val hostSpin1 = spinMs()
+    val hostLoad1End = load1()
+    val (busyPct, iowaitPct, stealPct) = (hostJiffies0, cpuJiffies()) match {
+      case (Some((b0, i0, w0, s0)), Some((b1, i1, w1, s1))) =>
+        val tot = (b1 - b0) + (i1 - i0) + (w1 - w0) + (s1 - s0)
+        if (tot <= 0) (-1.0, -1.0, -1.0)
+        else (100.0 * (b1 - b0) / tot, 100.0 * (w1 - w0) / tot,
+          100.0 * (s1 - s0) / tot)
+      case _ => (-1.0, -1.0, -1.0)
+    }
+    def d1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val hostJson =
+      s"""{"spin_ms":[${d1(hostSpin0)},${d1(hostSpin1)}],""" +
+        s""""load1":[${d1(hostLoad1Start)},${d1(hostLoad1End)}],""" +
+        s""""busy_pct":${d1(busyPct)},"iowait_pct":${d1(iowaitPct)},""" +
+        s""""steal_pct":${d1(stealPct)},"mem_avail_gb":${d1(hostMemAvailGb)},""" +
+        s""""cached_gb":${d1(hostCachedGb)},""" +
+        s""""cpus":${Runtime.getRuntime.availableProcessors()}}"""
     // Full per-query detail (min + every rep + ok flags) goes to the file.
-    val fullJson = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":${qmap(mins)},"runs":$runsJson,"cold_carrier":$coldCarrier,"contract":$contract,"value_first":${sec3(totalFirst)},"ok":$oks,"n_queries":${results.size},"n_ok":$nOk,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":${qmap(mins)},"runs":$runsJson,"cold_carrier":$coldCarrier,"contract":$contract,"host":$hostJson,"value_first":${sec3(totalFirst)},"ok":$oks,"n_queries":${results.size},"n_ok":$nOk,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     catch { case _: Throwable => () }
@@ -277,7 +371,7 @@ object Bench {
           Double.box(ts.max - ts.min))
       }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":${qmap(head)},"spread":$spreadJson,"contract":$contract,"n_queries":${results.size},"n_ok":$nOk,"headline_missing":$headlineMissing,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":${qmap(head)},"spread":$spreadJson,"contract":$contract,"host":$hostJson,"n_queries":${results.size},"n_ok":$nOk,"headline_missing":$headlineMissing,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     // stop() must not be able to take the JSON down with it — the
     // contract is "JSON is the final stdout line", not "JSON if shutdown
     // was clean"
