@@ -120,7 +120,10 @@ object Explain {
       "d_dedup_url" -> "canonical-URL dedup: narrow regex/array normalization, one canonical-key shuffle elects survivors",
       "x_equidepth_hist" -> "decile boundaries from (group, value) histograms — map-side collapse, no corpus sort",
       "d_dedup_ppjoin_incremental" -> "batch prefixes probe the standing (t,n) index — O(batch), corpus never self-joins",
-      "g_eccentricity" -> "one aggregation over the session-cached sampled BFS — no new traversal")
+      "g_eccentricity" -> "one aggregation over the session-cached sampled BFS — no new traversal",
+      "t_html_extract" -> "HTML tag/entity/boilerplate extraction as ONE codegen'd narrow map — sort only for output order",
+      "d_dup_span_excise" -> "dup-gram detection (gram-key shuffles) + per-doc covered-position array rewrite, no second corpus pass",
+      "d_crawl_e2e" -> "crawl capstone: guarded gunzip+extract on URL survivors, two survivor-key shuffles, 1-row agg exploded to the waterfall")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

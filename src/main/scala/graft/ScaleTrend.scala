@@ -71,7 +71,17 @@ object ScaleTrend {
     // query side is O(n·M) lookups per query
     "sim_pq_codes", "sim_ann_pq_rerank", "sim_ann_ivf_pq",
     // URL canonicalization: pure narrow map; dedup one key shuffle
-    "t_url_canonicalize", "d_dedup_url")
+    "t_url_canonicalize", "d_dedup_url",
+    // round 9: the stitched keyed windows claim scale-safety by
+    // construction (partitioned running window + broadcast boundary
+    // stitch) — give them the measured slope every other claim carries
+    // (VERDICT r8 Next #7)
+    "w_running_total_keyed", "w_ignore_nulls_keyed",
+    // round 9: HTML extraction is a narrow codegen'd map; span excision
+    // rides the d_dup_span exchanges (gram-key shuffles) plus a per-row
+    // rewrite; the crawl capstone chains both behind the URL-key and
+    // content-key survivor shuffles
+    "t_html_extract", "d_dup_span_excise", "d_crawl_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

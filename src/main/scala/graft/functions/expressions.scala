@@ -465,6 +465,35 @@ case class GunzipText(child: Expression)
     copy(child = newChild)
 }
 
+/** HTML main-text extraction (HtmlCodec.extractText): tag strip,
+  * script/style/comment skip, entity decode, and the text-density
+  * boilerplate drop — the crawl front-end operator between gunzip and
+  * the quality/dedup family. Codegen emits a static call so the kernel
+  * stays inside whole-stage codegen; deterministic (same bytes, same
+  * text on every host), so the oracle can check it by direct
+  * construction. */
+case class HtmlExtract(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val r = HtmlCodec.extractText(v.toString)
+    if (r == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("htext")
+      s"""
+         |java.lang.String $tmp = graft.functions.HtmlCodec.extractText($c.toString());
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($tmp); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): HtmlExtract =
+    copy(child = newChild)
+}
+
 /** Dot product of two double arrays as a strict left-to-right fold —
   * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but
   * codegen'd: Spark's higher-order functions run interpreted per element
@@ -613,6 +642,9 @@ object GraftFunctions {
   def gunzip_text(bytes: Column): Column =
     GraftColumnBridge.column(GunzipText(GraftColumnBridge.expression(bytes)))
 
+  def html_extract(html: Column): Column =
+    GraftColumnBridge.column(HtmlExtract(GraftColumnBridge.expression(html)))
+
   def array_dot_long(a: Column, b: Column): Column =
     GraftColumnBridge.column(ArrayDotLong(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -643,6 +675,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("wav_audio_fp", es => WavAudioFp(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gzip_text", es => GzipText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gunzip_text", es => GunzipText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("html_extract", es => HtmlExtract(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("array_dot_long", es => ArrayDotLong(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cms_sketch",
       es => CmsSketchAgg(es.head).toAggregateExpression(), "scala_udf")

@@ -1,0 +1,231 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.GraftFunctions.{gunzip_text, gzip_text, html_extract}
+import graft.registry.Q
+
+/** Crawl-front-to-curation capstone (VERDICT r8 Next #6): the round's
+  * front-end operators composed END TO END the way `d_pipeline_e2e`
+  * composed the r6 surface, with a per-stage row/token WATERFALL as the
+  * result — the number a 100-TB corpus build actually reports to its
+  * operators ("we fetched X pages, kept Y after URL dedup, decoded Z,
+  * ... , trained on T tokens").
+  *
+  * Stages (each an already-oracled operator, chained):
+  *   1 `fetch`          — every document arrives as (messy URL, gzipped
+  *                        HTML payload); tokens unknown (payload opaque)
+  *   2 `url_dedup`      — RFC 3986 canonicalization + min-id survivor
+  *                        per canonical key (t_url_canonicalize /
+  *                        d_dedup_url); the crawl's FIRST dedup, before
+  *                        any byte of content is decoded
+  *   3 `decode_extract` — gunzip (CRC-verified) → HTML main-text
+  *                        extraction (t_html_extract); token counting
+  *                        becomes possible here
+  *   4 `quality`        — type-token-ratio gate >= 1/3 on the EXTRACT,
+  *                        as EXACT integer arithmetic (d_pipeline_e2e's
+  *                        gate, applied post-extract where it belongs —
+  *                        chrome would dominate raw)
+  *   5 `content_dedup`  — exact dedup on the extracted content hash,
+  *                        min-id survivor (f4_dedup_exact's shape);
+  *                        catches the planted MIRROR pages — same
+  *                        content under a different URL, the duplicate
+  *                        class URL dedup structurally cannot see
+  *   6 `span_excise`    — duplicated-span excision over the survivors
+  *                        (d_dup_span_excise): rows unchanged, tokens
+  *                        drop — the sub-document dedup doc-level
+  *                        passes can't see
+  *
+  * The crawl URL generator plants ONE canonical collision per id pair
+  * (path segment doc_id div 2 on a fixed host, wrapped in the full
+  * messy-variant machinery of [[Urls]]) so stage 2 halves the corpus —
+  * every equivalence is still re-derived by the oracle through direct
+  * construction, never parsing.
+  *
+  * Plan shape: one per-doc pass computes every stage flag (the decode/
+  * extract kernel runs ONLY on url-dedup survivors via a guarded
+  * projection), two hash shuffles for the survivor windows (canonical
+  * key, content hash), the excision branch reuses the d_dup_span
+  * exchanges, and the waterfall itself is a single-row aggregate
+  * exploded into six rows — no driver-side collect, no cartesian wider
+  * than a 1-row broadcast.
+  */
+object CrawlE2e {
+
+  private def toks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(trim(c), "\\s+")
+
+  /** documents -> (doc_id, url): the full messy-variant set of
+    * [[Urls.withUrls]] on a fixed host with a per-PAIR path, so the
+    * canonical key is 'https://crawl.example.com/p<id div 2>?a=1&b=2'
+    * and ids 2k / 2k+1 collide. */
+  def withCrawlUrls(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val scheme = when(id % 2 === 0, "HTTPS").otherwise("https")
+    val host = when(id % 2 === 0, "CRAWL.EXAMPLE.COM").otherwise("crawl.example.com")
+    val www = when(id % 3 === 0, "www.").otherwise("")
+    val port = when(id % 5 === 0, ":443").otherwise("")
+    val slash = when(id % 13 === 0, "/").otherwise("")
+    val params = when(id % 2 === 0, "b=2&a=1").otherwise("a=1&b=2")
+    val utm = when(id % 7 === 0, "&utm_source=feed&utm_campaign=x").otherwise("")
+    val frag = when(id % 11 === 0, "#sec-2").otherwise("")
+    docs.select(id,
+      concat(scheme, lit("://"), www, host, port, lit("/p"),
+        expr("doc_id div 2"), slash, lit("?"), params, utm, frag).as("url"))
+  }
+
+  /** documents -> (doc_id, html) with MIRROR pages planted: a doc with
+    * doc_id % 10 == 2 serves a byte-identical copy of doc_id - 2's page
+    * (a mirror site: different URL — different canonical, so URL dedup
+    * can NOT catch it — same content, so content dedup MUST). Both ids
+    * are even, so both survive the pair-keyed URL dedup and the
+    * collision reaches stage 5 intact. */
+  def withMirroredPages(docs: DataFrame): DataFrame = {
+    val pages = Html.withHtml(docs)
+    val mirrorSrc = pages.select(
+      (col("doc_id") + 2).as("doc_id"), col("html").as("mhtml"))
+    pages.join(mirrorSrc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 2 && col("mhtml").isNotNull,
+          col("mhtml")).otherwise(col("html")).as("html"))
+  }
+
+  /** The six-row waterfall: (stage_id, stage, n_rows, n_tokens). */
+  def waterfall(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // fetch: (doc_id, url, payload) — gzipped page, real RFC 1952 member
+    val fetched = withCrawlUrls(docs)
+      .join(withMirroredPages(docs), "doc_id")
+      .select(col("doc_id"), col("url"), gzip_text(col("html")).as("payload"))
+    val byCanonical = Window.partitionBy(col("canonical"))
+    val byContent = Window.partitionBy(md5(col("extract")))
+    val staged = fetched
+      .withColumn("canonical", Urls.canonicalize(col("url")))
+      .withColumn("s2", col("doc_id") === min(col("doc_id")).over(byCanonical))
+      // decode + extract ONLY for url-dedup survivors — at 100 TB the
+      // dropped half never pays the inflate/parse kernel
+      .withColumn("extract",
+        when(col("s2"), html_extract(gunzip_text(col("payload")))))
+      .withColumn("tk", toks(col("extract")))
+      .withColumn("ntok", size(col("tk")).cast(LongType))
+      // type-token ratio >= 1/3 as EXACT integer arithmetic (3*distinct
+      // >= total): no double division at the gate, so engine parity is
+      // structural, not numeric luck
+      .withColumn("qual", col("s2") && col("extract").isNotNull &&
+        size(array_distinct(col("tk"))) * 3 >= size(col("tk")))
+      .withColumn("s5", col("qual") &&
+        col("doc_id") === min(when(col("qual"), col("doc_id"))).over(byContent))
+    val excised = SpanExcise.dupSpanExciseOf(
+      staged.filter(col("s5")).select(col("doc_id"), col("extract").as("text")))
+    val agg1 = staged.agg(
+      count(lit(1)).as("r1"),
+      count_if(col("s2")).as("r2"),
+      count_if(col("s2") && col("extract").isNotNull).as("r3"),
+      coalesce(sum(when(col("s2"), col("ntok"))), lit(0L)).as("t3"),
+      count_if(col("qual")).as("r4"),
+      coalesce(sum(when(col("qual"), col("ntok"))), lit(0L)).as("t4"),
+      count_if(col("s5")).as("r5"),
+      coalesce(sum(when(col("s5"), col("ntok"))), lit(0L)).as("t5"))
+    val agg2 = excised.agg(
+      coalesce(sum(col("n_removed")), lit(0L)).as("nrem"))
+    def st(i: Long, name: String, rows: org.apache.spark.sql.Column,
+        toksC: org.apache.spark.sql.Column) =
+      struct(lit(i).as("stage_id"), lit(name).as("stage"),
+        rows.as("n_rows"), toksC.as("n_tokens"))
+    agg1.crossJoin(broadcast(agg2))
+      .select(explode(array(
+        st(1L, "fetch", col("r1"), lit(0L)),
+        st(2L, "url_dedup", col("r2"), lit(0L)),
+        st(3L, "decode_extract", col("r3"), col("t3")),
+        st(4L, "quality", col("r4"), col("t4")),
+        st(5L, "content_dedup", col("r5"), col("t5")),
+        st(6L, "span_excise", col("r5"), col("t5") - col("nrem")))).as("w"))
+      .select(col("w.stage_id"), col("w.stage"), col("w.n_rows"),
+        col("w.n_tokens"))
+      .orderBy(col("stage_id"))
+  }
+
+  /** Every stage re-derived by direct construction: canonical keys from
+    * doc_id arithmetic (never URL parsing), extracts from the
+    * [[Html.extractConstructSql]] construction (never HTML parsing),
+    * excision coverage from the positional dup-gram union — the Spark
+    * side's parse/inflate/walk kernels are what's being checked. */
+  private val OracleSql: String =
+    s"""WITH s2 AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id // 2) AS k
+       |    FROM documents) WHERE doc_id = k),
+       |src AS (
+       |  SELECT d.doc_id AS real_id,
+       |    CASE WHEN d.doc_id % 10 = 2 AND m.doc_id IS NOT NULL
+       |      THEN m.doc_id ELSE d.doc_id END AS doc_id,
+       |    CASE WHEN d.doc_id % 10 = 2 AND m.doc_id IS NOT NULL
+       |      THEN m.text ELSE d.text END AS text
+       |  FROM documents d
+       |  JOIN s2 ON s2.doc_id = d.doc_id
+       |  LEFT JOIN documents m ON m.doc_id = d.doc_id - 2),
+       |e0 AS (
+       |  SELECT real_id, ${Html.extractConstructSql} AS extract FROM src),
+       |e AS (SELECT real_id AS doc_id, extract FROM e0),
+       |tk AS (
+       |  SELECT doc_id, extract,
+       |    string_split_regex(trim(extract), '\\s+') AS toks
+       |  FROM e),
+       |t3 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok FROM tk),
+       |q AS (
+       |  SELECT doc_id, extract, toks, CAST(len(toks) AS BIGINT) AS ntok
+       |  FROM tk
+       |  WHERE 3 * len(list_distinct(toks)) >= len(toks)),
+       |s5 AS (
+       |  SELECT doc_id, toks, ntok FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY md5(extract)) AS k
+       |    FROM q) WHERE doc_id = k),
+       |pg AS (
+       |  SELECT doc_id,
+       |    unnest(range(len(toks) - 7)) AS pos,
+       |    unnest(list_transform(range(len(toks) - 7),
+       |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' '
+       |        || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' '
+       |        || toks[i+7] || ' ' || toks[i+8])) AS gram
+       |  FROM s5 WHERE len(toks) >= 8),
+       |dup AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(DISTINCT doc_id) AS nd FROM pg GROUP BY gram)
+       |  WHERE nd >= 2),
+       |cov AS (
+       |  SELECT pg.doc_id, count(DISTINCT pg.pos + off.o) AS ncov
+       |  FROM pg JOIN dup USING (gram)
+       |  CROSS JOIN (SELECT unnest(range(8)) AS o) off
+       |  GROUP BY pg.doc_id)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage_id, 'fetch' AS stage,
+       |    (SELECT count(*) FROM documents) AS n_rows,
+       |    CAST(0 AS BIGINT) AS n_tokens
+       |  UNION ALL SELECT 2, 'url_dedup',
+       |    (SELECT count(*) FROM s2), 0
+       |  UNION ALL SELECT 3, 'decode_extract',
+       |    (SELECT count(*) FROM s2),
+       |    (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM t3)
+       |  UNION ALL SELECT 4, 'quality',
+       |    (SELECT count(*) FROM q),
+       |    (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM q)
+       |  UNION ALL SELECT 5, 'content_dedup',
+       |    (SELECT count(*) FROM s5),
+       |    (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM s5)
+       |  UNION ALL SELECT 6, 'span_excise',
+       |    (SELECT count(*) FROM s5),
+       |    (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM s5)
+       |      - (SELECT CAST(coalesce(sum(ncov), 0) AS BIGINT) FROM cov))
+       |ORDER BY stage_id""".stripMargin
+
+  val crawlE2eQ: Q = Q(
+    "d_crawl_e2e",
+    Some(OracleSql),
+    (s, d) => waterfall(s, d))
+
+  val all: Seq[Q] = Seq(crawlE2eQ)
+}

@@ -67,6 +67,9 @@ object Registry {
       graft.pipeline.PqIndex.all ++
       graft.pipeline.IvfPq.all ++
       graft.pipeline.Urls.all ++
+      graft.pipeline.Html.all ++
+      graft.pipeline.SpanExcise.all ++
+      graft.pipeline.CrawlE2e.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 
