@@ -196,7 +196,10 @@ object Bench {
       "_setup_dedup_family", "d_curate_e2e", "d_dedup_embedding_ivf",
       "d_dedup_minhash_lsh", "d_dedup_ngram_jaccard", "d_dedup_simhash",
       "d_pipeline_e2e", "sim_ann_topk", "st_tumbling_window",
-      "x_asof_join_native", "x_merge_upsert")
+      "x_asof_join_native", "x_merge_upsert",
+      // round 9: the crawl-front capstone joins the headline set — the
+      // new composition whose round-over-round trend matters most
+      "d_crawl_e2e")
     // Headline queries run 3x at their slot (VERDICT r6 #2: single-shot
     // numbers made a 3x swing on unchanged code indistinguishable from a
     // regression) — repeating IN PLACE keeps session caches warm across

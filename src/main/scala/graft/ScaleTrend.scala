@@ -81,7 +81,10 @@ object ScaleTrend {
     // rides the d_dup_span exchanges (gram-key shuffles) plus a per-row
     // rewrite; the crawl capstone chains both behind the URL-key and
     // content-key survivor shuffles
-    "t_html_extract", "d_dup_span_excise", "d_crawl_e2e")
+    "t_html_extract", "d_dup_span_excise", "d_crawl_e2e",
+    // outlinks: narrow link explode (fixed fan-out per page); frontier
+    // adds two map-side-combinable link-key aggs + one anti-join
+    "t_html_links", "d_crawl_frontier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

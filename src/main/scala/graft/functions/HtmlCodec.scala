@@ -55,6 +55,125 @@ object HtmlCodec {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
 
+  /** Decode the entity starting at `i` (which points at '&').
+    * Returns (decoded, nextIndex) or null if not a known entity —
+    * caller emits '&' literally. */
+  private def decodeEntity(s: String, i: Int): (String, Int) = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 10) return null
+    val body = s.substring(i + 1, semi)
+    val d: String =
+      if (body.startsWith("#x") || body.startsWith("#X")) {
+        try {
+          val cp = Integer.parseInt(body.substring(2), 16)
+          if (cp > 0 && cp <= 0x10ffff) new String(Character.toChars(cp)) else null
+        } catch { case _: RuntimeException => null }
+      } else if (body.startsWith("#")) {
+        try {
+          val cp = Integer.parseInt(body.substring(1))
+          if (cp > 0 && cp <= 0x10ffff) new String(Character.toChars(cp)) else null
+        } catch { case _: RuntimeException => null }
+      } else Named.getOrElse(body, null)
+    if (d == null) null else (d, semi + 1)
+  }
+
+  /** Value of `attr` inside a tag body (the chars between the tag name
+    * and '>'): handles double-quoted, single-quoted, and unquoted
+    * values, case-insensitive attribute names, and entity-decodes the
+    * value (hrefs legally carry &amp;). Null if absent/valueless. */
+  private def attrValue(body: String, attr: String): String = {
+    val n = body.length
+    var i = 0
+    while (i < n) {
+      while (i < n && (isWs(body.charAt(i)) || body.charAt(i) == '/')) i += 1
+      val nameStart = i
+      while (i < n && !isWs(body.charAt(i)) && body.charAt(i) != '=' &&
+        body.charAt(i) != '/' ) i += 1
+      val name = body.substring(nameStart, i)
+      while (i < n && isWs(body.charAt(i))) i += 1
+      var value: String = null
+      if (i < n && body.charAt(i) == '=') {
+        i += 1
+        while (i < n && isWs(body.charAt(i))) i += 1
+        if (i < n && (body.charAt(i) == '"' || body.charAt(i) == '\'')) {
+          val q = body.charAt(i)
+          val end = body.indexOf(q, i + 1)
+          value = if (end < 0) body.substring(i + 1)
+            else body.substring(i + 1, end)
+          i = if (end < 0) n else end + 1
+        } else {
+          val valStart = i
+          while (i < n && !isWs(body.charAt(i))) i += 1
+          value = body.substring(valStart, i)
+        }
+      }
+      if (name.equalsIgnoreCase(attr) && value != null) {
+        // entity-decode the attribute value
+        val sb = new java.lang.StringBuilder(value.length)
+        var k = 0
+        while (k < value.length) {
+          val c = value.charAt(k)
+          if (c == '&') {
+            val e = decodeEntity(value, k)
+            if (e == null) { sb.append('&'); k += 1 }
+            else { sb.append(e._1); k = e._2 }
+          } else { sb.append(c); k += 1 }
+        }
+        return sb.toString
+      }
+      if (name.isEmpty && (i >= n || !isWs(body.charAt(i)))) i += 1
+    }
+    null
+  }
+
+  /** Extract the href of every `<a>` tag, in document order — the
+    * crawl-frontier feed. Same skip rules as [[extractText]]
+    * (script/style content and comments can NOT contribute links);
+    * anchors without an href contribute nothing; href values are
+    * entity-decoded, otherwise RAW (resolution against the page URL is
+    * the caller's job — [[graft.pipeline.Urls]] owns URL semantics). */
+  def extractLinks(html: String): Array[String] = {
+    if (html == null) return null
+    val n = html.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else {
+          val gt = html.indexOf('>', i + 1)
+          if (gt < 0) { i = n }
+          else {
+            val closing = i + 1 < n && html.charAt(i + 1) == '/'
+            var j = if (closing) i + 2 else i + 1
+            val nameStart = j
+            while (j < gt && html.charAt(j).isLetterOrDigit) j += 1
+            val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+            val selfClosed = gt > i + 1 && html.charAt(gt - 1) == '/'
+            val bodyEnd = if (selfClosed) gt - 1 else gt
+            if (!closing && name == "a") {
+              val href = attrValue(html.substring(j, bodyEnd), "href")
+              if (href != null) out += href
+            }
+            i = gt + 1
+            if (!closing && !selfClosed && (name == "script" || name == "style")) {
+              val close = indexOfIgnoreCase(html, "</" + name, i)
+              if (close < 0) i = n
+              else {
+                val cgt = html.indexOf('>', close)
+                i = if (cgt < 0) n else cgt + 1
+              }
+            }
+          }
+        }
+      } else i += 1
+    }
+    out.toArray
+  }
+
   /** Case-insensitive indexOf for the `</script` / `</style` close scan. */
   private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
     val n = s.length - target.length
@@ -135,28 +254,12 @@ object HtmlCodec {
           }
         }
       } else if (c == '&') {
-        val semi = html.indexOf(';', i + 1)
-        val decoded: String =
-          if (semi < 0 || semi - i > 10) null
-          else {
-            val body = html.substring(i + 1, semi)
-            if (body.startsWith("#x") || body.startsWith("#X")) {
-              try {
-                val cp = Integer.parseInt(body.substring(2), 16)
-                if (cp > 0 && cp <= 0x10ffff) new String(Character.toChars(cp)) else null
-              } catch { case _: RuntimeException => null }
-            } else if (body.startsWith("#")) {
-              try {
-                val cp = Integer.parseInt(body.substring(1))
-                if (cp > 0 && cp <= 0x10ffff) new String(Character.toChars(cp)) else null
-              } catch { case _: RuntimeException => null }
-            } else Named.getOrElse(body, null)
-          }
-        if (decoded == null) { appendChar('&'); i += 1 }
+        val e = decodeEntity(html, i)
+        if (e == null) { appendChar('&'); i += 1 }
         else {
           var k = 0
-          while (k < decoded.length) { appendChar(decoded.charAt(k)); k += 1 }
-          i = semi + 1
+          while (k < e._1.length) { appendChar(e._1.charAt(k)); k += 1 }
+          i = e._2
         }
       } else {
         appendChar(c)

@@ -494,6 +494,41 @@ case class HtmlExtract(child: Expression)
     copy(child = newChild)
 }
 
+/** Extract every `<a href>` value in document order
+  * (HtmlCodec.extractLinks) — the crawl-frontier feed. Hrefs are
+  * entity-decoded but otherwise RAW; resolution against the page URL
+  * and canonicalization are downstream column ops (graft.pipeline.Urls
+  * owns URL semantics). */
+case class HtmlLinks(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val r = HtmlCodec.extractLinks(v.toString)
+    if (r == null) null
+    else new GenericArrayData(r.map(
+      org.apache.spark.unsafe.types.UTF8String.fromString(_)): Array[Any])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("hlinks")
+      val arr = ctx.freshName("harr")
+      s"""
+         |java.lang.String[] $tmp = graft.functions.HtmlCodec.extractLinks($c.toString());
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else {
+         |  UTF8String[] $arr = new UTF8String[$tmp.length];
+         |  for (int k = 0; k < $tmp.length; k++) {
+         |    $arr[k] = UTF8String.fromString($tmp[k]);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
+    copy(child = newChild)
+}
+
 /** Dot product of two double arrays as a strict left-to-right fold —
   * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but
   * codegen'd: Spark's higher-order functions run interpreted per element
@@ -645,6 +680,9 @@ object GraftFunctions {
   def html_extract(html: Column): Column =
     GraftColumnBridge.column(HtmlExtract(GraftColumnBridge.expression(html)))
 
+  def html_links(html: Column): Column =
+    GraftColumnBridge.column(HtmlLinks(GraftColumnBridge.expression(html)))
+
   def array_dot_long(a: Column, b: Column): Column =
     GraftColumnBridge.column(ArrayDotLong(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -676,6 +714,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("gzip_text", es => GzipText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gunzip_text", es => GunzipText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("html_extract", es => HtmlExtract(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("html_links", es => HtmlLinks(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("array_dot_long", es => ArrayDotLong(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cms_sketch",
       es => CmsSketchAgg(es.head).toAggregateExpression(), "scala_udf")

@@ -227,5 +227,97 @@ object CrawlE2e {
     Some(OracleSql),
     (s, d) => waterfall(s, d))
 
-  val all: Seq[Q] = Seq(crawlE2eQ)
+  // ---- outlink extraction + crawl frontier ------------------------------
+
+  /** (doc_id, url, html): each page with its own crawl URL. */
+  private def pagesWithUrls(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    withCrawlUrls(docs).join(Html.withHtml(docs), "doc_id")
+  }
+
+  /** Outlink extraction — the crawl-graph edge source: every `<a href>`
+    * in document order, RESOLVED against the page's (messy) URL and
+    * canonicalized. One codegen'd narrow map (HtmlLinks) + the Urls
+    * regex ops; the only exchange is the output sort. The oracle
+    * re-derives every link from the plant arithmetic — chrome links,
+    * the %3 nav, the %10 paragraph link, and the next-page link whose
+    * path is doc_id/2 + 1 — never parsing HTML or URLs. */
+  val htmlLinksQ: Q = Q(
+    "t_html_links",
+    Some("""WITH l AS (
+           |  SELECT doc_id,
+           |    ['/', '/a', '/c',
+           |     '/p' || CAST(doc_id // 2 + 1 AS VARCHAR) || '?a=1&b=2']
+           |    || CASE WHEN doc_id % 3 = 0 THEN ['/x', '/y'] ELSE [] END
+           |    || CASE WHEN doc_id % 10 = 0 THEN ['/n'] ELSE [] END
+           |    || ['/buy'] AS hs
+           |  FROM documents)
+           |SELECT doc_id,
+           |  unnest(range(len(hs))) AS rnk,
+           |  unnest(list_transform(hs, h -> 'https://crawl.example.com'
+           |    || CASE WHEN h = '/' THEN '' ELSE h END)) AS link
+           |FROM l ORDER BY doc_id, rnk""".stripMargin),
+    (s, d) =>
+      pagesWithUrls(s, d)
+        .select(col("doc_id"), col("url"),
+          posexplode(graft.functions.GraftFunctions.html_links(col("html")))
+            .as(Seq("rnk", "href")))
+        .select(col("doc_id"), col("rnk").cast(LongType).as("rnk"),
+          Urls.canonicalize(Urls.resolve(col("url"), col("href"))).as("link"))
+        .orderBy(col("doc_id"), col("rnk")))
+
+  /** Crawl frontier — the incremental-crawl primitive: canonical
+    * outlinks NOT already in the seen-URL set, with distinct-referrer
+    * counts. Shape: narrow link explode, (doc, link) distinct +
+    * link-keyed count (both map-side-combinable), one LEFT ANTI join
+    * against the canonicalized seen set — at 100 TB both sides hash on
+    * the link key, nothing global. The planted next-page links make the
+    * anti-join real: all but the past-the-end pair are seen and MUST be
+    * dropped; the chrome links survive with full-corpus referrer
+    * counts. */
+  val crawlFrontierQ: Q = Q(
+    "d_crawl_frontier",
+    Some("""SELECT link, n_refs FROM (
+           |  SELECT 'https://crawl.example.com' AS link,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_refs
+           |  UNION ALL SELECT 'https://crawl.example.com/a',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM documents)
+           |  UNION ALL SELECT 'https://crawl.example.com/buy',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM documents)
+           |  UNION ALL SELECT 'https://crawl.example.com/c',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM documents)
+           |  UNION ALL SELECT 'https://crawl.example.com/n',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+           |     WHERE doc_id % 10 = 0)
+           |  UNION ALL SELECT 'https://crawl.example.com/x',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+           |     WHERE doc_id % 3 = 0)
+           |  UNION ALL SELECT 'https://crawl.example.com/y',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+           |     WHERE doc_id % 3 = 0)
+           |  UNION ALL
+           |  SELECT 'https://crawl.example.com/p' || CAST(k + 1 AS VARCHAR)
+           |      || '?a=1&b=2',
+           |    CAST(count(*) AS BIGINT)
+           |  FROM (SELECT doc_id // 2 AS k FROM documents)
+           |  WHERE k + 1 NOT IN (SELECT doc_id // 2 FROM documents)
+           |  GROUP BY k)
+           |ORDER BY link""".stripMargin),
+    (s, d) => {
+      val withUrls = pagesWithUrls(s, d)
+      val links = withUrls
+        .select(col("doc_id"), col("url"),
+          explode(graft.functions.GraftFunctions.html_links(col("html")))
+            .as("href"))
+        .select(col("doc_id"),
+          Urls.canonicalize(Urls.resolve(col("url"), col("href"))).as("link"))
+      val seen = withUrls
+        .select(Urls.canonicalize(col("url")).as("link")).distinct()
+      links.distinct()
+        .groupBy(col("link")).agg(count(lit(1)).as("n_refs"))
+        .join(seen, Seq("link"), "left_anti")
+        .orderBy(col("link"))
+    })
+
+  val all: Seq[Q] = Seq(crawlE2eQ, htmlLinksQ, crawlFrontierQ)
 }

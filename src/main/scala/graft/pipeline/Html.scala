@@ -65,8 +65,17 @@ object Html {
       lit("; if (x < 99) { x = x*2; }</script>"),
       lit("<style>p { margin: 0; }</style></head>"),
       lit("<body><!-- generated "), id, lit(" -->"),
+      // the nav carries a NEXT-PAGE link whose resolved canonical form
+      // is the seen-URL of pair doc_id/2 + 1 (CrawlE2e.withCrawlUrls's
+      // key arithmetic) — the self-referential edge that makes the
+      // crawl frontier's seen-set anti-join real; the &amp; in the href
+      // pins entity decoding INSIDE attribute values. Nav text stays
+      // 23 chars + 100% link density: still boilerplate, extract
+      // unchanged.
       lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
-        "<a href=\"/c\">Contact</a></nav>"),
+        "<a href=\"/c\">Contact</a> <a href=\"/p"),
+      expr("doc_id div 2 + 1"),
+      lit("?a=1&amp;b=2\">next</a></nav>"),
       navExtra,
       lit("<div class=\"main\">"), esc(col("text")),
       lit(" A &amp; B &lt;ok&gt; &#65;&#x42;.</div>"),

@@ -74,6 +74,25 @@ object Urls {
   val canonicalSql: String =
     "'https://' || source || '.example.com/p' || CAST(n_chars % 10 AS VARCHAR) || '?a=1&b=2'"
 
+  /** Resolve an href against its page URL (RFC 3986 §5, the cases a
+    * crawl frontier meets): absolute hrefs pass through; `//host/...`
+    * inherits the base scheme; rooted `/...` replaces the path;
+    * `#frag` re-points at the base document; anything else replaces
+    * the base path's last segment. Pure regex/conditional column ops —
+    * codegen'd, no UDF. */
+  def resolve(base: Column, href: Column): Column = {
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val schemeHost = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val dir = regexp_replace(
+      regexp_extract(base, "://[^/?#]*(/[^?#]*)", 1), "/[^/]*$", "")
+    val baseNoFrag = regexp_replace(base, "#.*$", "")
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(schemeHost, href))
+      .when(href.startsWith("#"), concat(baseNoFrag, href))
+      .otherwise(concat(schemeHost, dir, lit("/"), href))
+  }
+
   /** Canonicalize a URL column by parsing + normalizing (the real
     * operator): all regex/array work, codegen'd, no UDF. */
   def canonicalize(url: Column): Column = {

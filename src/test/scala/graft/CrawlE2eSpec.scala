@@ -36,6 +36,24 @@ class CrawlE2eSpec extends SparkSpec {
     assert(pages(1L) !== pages(3L))
   }
 
+  test("frontier: seen next-links dropped, only past-the-end + chrome survive") {
+    val rows = CrawlE2e.crawlFrontierQ.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val host = "https://crawl.example.com"
+    // 500 contiguous ids -> pairs 0..249; the ONLY unseen next-link is p250
+    assert(rows.keySet === Set(host, s"$host/a", s"$host/c", s"$host/buy",
+      s"$host/x", s"$host/y", s"$host/n", s"$host/p250?a=1&b=2"))
+    assert(rows(host) === 500)
+    assert(rows(s"$host/x") === 167)      // doc_id % 3 == 0 in [0, 500)
+    assert(rows(s"$host/n") === 50)       // doc_id % 10 == 0
+    assert(rows(s"$host/p250?a=1&b=2") === 2) // referrers: ids 498, 499
+    // every in-range next-link canonical equals a seen URL — the 249
+    // dropped links prove the anti-join pruned real matches
+    val links = CrawlE2e.htmlLinksQ.run(spark, sf)
+      .filter(col("link").contains("/p")).select("link").distinct().count()
+    assert(links === 250) // p1..p250 all extracted before the seen filter
+  }
+
   test("waterfall: stage placement of each planted duplicate class") {
     val w = CrawlE2e.waterfall(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -84,6 +84,47 @@ class HtmlCodecSpec extends SparkSpec {
     assert(extractText(s"<p><a/>$prose</p>") === prose)
   }
 
+  test("link extraction: quoting styles, attr entities, skip rules, order") {
+    import graft.functions.HtmlCodec.extractLinks
+    // double-quoted, single-quoted, unquoted, extra attrs, case
+    assert(extractLinks(
+      """<a href="/a">x</a><a href='/b'>y</a><a href=/c>z</a>""" +
+        """<A CLASS="l" HREF="/d" rel=nofollow>w</A>""").toSeq ===
+      Seq("/a", "/b", "/c", "/d"))
+    // &amp; decoded INSIDE the attribute value
+    assert(extractLinks("""<a href="/p?a=1&amp;b=2">n</a>""").toSeq ===
+      Seq("/p?a=1&b=2"))
+    // anchors without href, script/comment content, closing tags: nothing
+    assert(extractLinks("""<a name="top">t</a><script>var s = '<a href="/no">x</a>';
+      </script><!-- <a href="/no2">c</a> --></a>""").toSeq === Seq.empty)
+    // self-closed and malformed tags never throw
+    assert(extractLinks("""<a href="/s"/><a href=""" ).toSeq === Seq("/s"))
+    assert(extractLinks(null) == null)
+  }
+
+  test("resolve: absolute, protocol-relative, rooted, fragment, relative") {
+    import graft.pipeline.Urls
+    val cases = Seq(
+      ("https://h.example.com/d/p?x=1#f", "https://o.example.com/q", "https://o.example.com/q"),
+      ("https://h.example.com/d/p", "//o.example.com/q", "https://o.example.com/q"),
+      ("HTTPS://www.H.example.com:443/d/p", "/r", "HTTPS://www.H.example.com:443/r"),
+      ("https://h.example.com/d/p#old", "#new", "https://h.example.com/d/p#new"),
+      ("https://h.example.com/d/p", "sib", "https://h.example.com/d/sib"),
+      ("https://h.example.com/p", "sib", "https://h.example.com/sib"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map(c => org.apache.spark.sql.Row(c._1, c._2, c._3))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("base", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("href", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("want", org.apache.spark.sql.types.StringType))))
+    val bad = df.withColumn("got", Urls.resolve(org.apache.spark.sql.functions.col("base"),
+        org.apache.spark.sql.functions.col("href")))
+      .filter(org.apache.spark.sql.functions.col("got") =!=
+        org.apache.spark.sql.functions.col("want"))
+      .collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("expr == batch parity on the generated page corpus") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val pages = Html.withHtml(docs)
