@@ -125,7 +125,8 @@ object Explain {
       "d_dup_span_excise" -> "dup-gram detection (gram-key shuffles) + per-doc covered-position array rewrite, no second corpus pass",
       "d_crawl_e2e" -> "crawl capstone: guarded gunzip+extract on URL survivors, two survivor-key shuffles, 1-row agg exploded to the waterfall",
       "t_html_links" -> "outlink extraction: codegen'd href walk + regex resolve/canonicalize, narrow until the output sort",
-      "d_crawl_frontier" -> "crawl frontier: (doc,link) distinct + link-key count, LEFT ANTI vs the canonical seen set — all link-key hashed")
+      "d_crawl_frontier" -> "crawl frontier: (doc,link) distinct + link-key count, LEFT ANTI vs the canonical seen set — all link-key hashed",
+      "d_crawl_incremental" -> "incremental crawl: batch anti-joins the standing canonical + content-hash sets; refetches drop BEFORE decode")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -84,7 +84,10 @@ object ScaleTrend {
     "t_html_extract", "d_dup_span_excise", "d_crawl_e2e",
     // outlinks: narrow link explode (fixed fan-out per page); frontier
     // adds two map-side-combinable link-key aggs + one anti-join
-    "t_html_links", "d_crawl_frontier")
+    "t_html_links", "d_crawl_frontier",
+    // incremental crawl: standing-state build (one canonical projection
+    // + one decode pass) + O(batch) probes
+    "d_crawl_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

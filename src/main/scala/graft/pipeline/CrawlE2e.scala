@@ -63,7 +63,13 @@ object CrawlE2e {
     * [[Urls.withUrls]] on a fixed host with a per-PAIR path, so the
     * canonical key is 'https://crawl.example.com/p<id div 2>?a=1&b=2'
     * and ids 2k / 2k+1 collide. */
-  def withCrawlUrls(docs: DataFrame): DataFrame = {
+  def withCrawlUrls(docs: DataFrame): DataFrame =
+    withCrawlUrls(docs, expr("doc_id div 2"))
+
+  /** Path-key override: the incremental crawl plants RE-FETCHES (batch
+    * URLs whose canonical form equals a STANDING page's) by pointing
+    * selected docs at another pair's path. */
+  def withCrawlUrls(docs: DataFrame, pathKey: org.apache.spark.sql.Column): DataFrame = {
     val id = col("doc_id")
     val scheme = when(id % 2 === 0, "HTTPS").otherwise("https")
     val host = when(id % 2 === 0, "CRAWL.EXAMPLE.COM").otherwise("crawl.example.com")
@@ -75,7 +81,7 @@ object CrawlE2e {
     val frag = when(id % 11 === 0, "#sec-2").otherwise("")
     docs.select(id,
       concat(scheme, lit("://"), www, host, port, lit("/p"),
-        expr("doc_id div 2"), slash, lit("?"), params, utm, frag).as("url"))
+        pathKey, slash, lit("?"), params, utm, frag).as("url"))
   }
 
   /** documents -> (doc_id, html) with MIRROR pages planted: a doc with
@@ -319,5 +325,141 @@ object CrawlE2e {
         .orderBy(col("link"))
     })
 
-  val all: Seq[Q] = Seq(crawlE2eQ, htmlLinksQ, crawlFrontierQ)
+  // ---- incremental crawl -------------------------------------------------
+
+  /** Incremental crawl — a NEW BATCH probed against standing state (the
+    * d_dedup_incremental discipline applied to the crawl front):
+    *
+    *   batch    = whole URL pairs with (doc_id div 2) % 4 == 3;
+    *   standing = everything else (its canonical-URL set and extract
+    *              hashes are the state a production crawler would hold
+    *              as a stored index — built inline here so the query is
+    *              self-contained and the oracle can replay it);
+    *   stage 1 `batch_fetch`  — the batch as fetched;
+    *   stage 2 `url_new`      — canonicalize, drop RE-FETCHES (batch
+    *                            docs with doc_id % 3 == 0 point at a
+    *                            standing pair's path: already-seen,
+    *                            must drop BEFORE any decode), then
+    *                            batch-internal min-id dedup;
+    *   stage 3 `decode_extract` — gunzip + HTML extract, survivors only;
+    *   stage 4 `content_new`  — drop extracts whose content hash is in
+    *                            the standing set (the batch MIRRORS —
+    *                            doc_id % 10 == 2 serving a standing
+    *                            page — land here, not at stage 2).
+    *
+    * Scale shape: the standing state is one canonical-key projection +
+    * one decode pass (in production: a stored index — the build is the
+    * setup cost, the probe is O(batch)); the batch side is two anti
+    * joins and one window, all hashed on the canonical/content key.
+    */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBatch = expr("doc_id div 2") % 4 === 3
+    val pathKey = when(isBatch && col("doc_id") % 3 === 0,
+      expr("doc_id div 2 - 2")).otherwise(expr("doc_id div 2"))
+    val fetched = withCrawlUrls(docs, pathKey)
+      .join(withMirroredPages(docs), "doc_id")
+      .select(col("doc_id"), col("url"), gzip_text(col("html")).as("payload"))
+    val standing = fetched.filter(!isBatch)
+    val batch = fetched.filter(isBatch)
+    val seenUrl = standing
+      .select(Urls.canonicalize(col("url")).as("canonical")).distinct()
+    val urlNew = batch
+      .withColumn("canonical", Urls.canonicalize(col("url")))
+      .join(seenUrl, Seq("canonical"), "left_anti")
+      .withColumn("keep", col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(col("canonical"))))
+      .filter(col("keep"))
+    val decoded = urlNew
+      .select(col("doc_id"),
+        html_extract(gunzip_text(col("payload"))).as("extract"))
+      .filter(col("extract").isNotNull)
+      .withColumn("ntok", size(toks(col("extract"))).cast(LongType))
+    val seenContent = standing
+      .select(md5(html_extract(gunzip_text(col("payload")))).as("h"))
+      .distinct()
+    val accepted = decoded
+      .join(seenContent, md5(col("extract")) === col("h"), "left_anti")
+    val agg1 = batch.agg(count(lit(1)).as("r1"))
+    val agg2 = decoded.agg(
+      count(lit(1)).as("r3"),
+      coalesce(sum(col("ntok")), lit(0L)).as("t3"))
+    val agg3 = accepted.agg(
+      count(lit(1)).as("r4"),
+      coalesce(sum(col("ntok")), lit(0L)).as("t4"))
+    def st(i: Long, name: String, rows: org.apache.spark.sql.Column,
+        toksC: org.apache.spark.sql.Column) =
+      struct(lit(i).as("stage_id"), lit(name).as("stage"),
+        rows.as("n_rows"), toksC.as("n_tokens"))
+    agg1.crossJoin(broadcast(agg2)).crossJoin(broadcast(agg3))
+      .select(explode(array(
+        st(1L, "batch_fetch", col("r1"), lit(0L)),
+        st(2L, "url_new", col("r3"), lit(0L)),
+        st(3L, "decode_extract", col("r3"), col("t3")),
+        st(4L, "content_new", col("r4"), col("t4")))).as("w"))
+      .select(col("w.stage_id"), col("w.stage"), col("w.n_rows"),
+        col("w.n_tokens"))
+      .orderBy(col("stage_id"))
+  }
+
+  /** Oracle by plant arithmetic: re-fetch keys, pair survivor election,
+    * the mirror rule, and the standing extract set are all re-derived
+    * from doc_id/text by direct construction. */
+  private val IncrementalOracleSql: String = {
+    // the mirror-rule source projection over a doc set, reused for the
+    // batch survivors and the standing side
+    def mirrored(fromWhere: String) =
+      s"""SELECT d.doc_id AS real_id,
+         |    CASE WHEN d.doc_id % 10 = 2 AND m.doc_id IS NOT NULL
+         |      THEN m.doc_id ELSE d.doc_id END AS doc_id,
+         |    CASE WHEN d.doc_id % 10 = 2 AND m.doc_id IS NOT NULL
+         |      THEN m.text ELSE d.text END AS text
+         |  $fromWhere""".stripMargin
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN doc_id // 2 - 2
+       |      ELSE doc_id // 2 END AS pkey
+       |  FROM documents WHERE (doc_id // 2) % 4 = 3),
+       |sp AS (SELECT DISTINCT doc_id // 2 AS pkey FROM documents
+       |  WHERE (doc_id // 2) % 4 <> 3),
+       |b2 AS (SELECT doc_id, pkey FROM b
+       |  WHERE pkey NOT IN (SELECT pkey FROM sp)),
+       |b3 AS (SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY pkey) AS k
+       |    FROM b2) WHERE doc_id = k),
+       |src AS (
+       |  ${mirrored("""FROM documents d
+       |  JOIN b3 ON b3.doc_id = d.doc_id
+       |  LEFT JOIN documents m ON m.doc_id = d.doc_id - 2""")}),
+       |e0 AS (SELECT real_id, ${Html.extractConstructSql} AS extract FROM src),
+       |be AS (SELECT real_id AS doc_id, extract,
+       |    CAST(len(string_split_regex(trim(extract), '\\s+')) AS BIGINT)
+       |      AS ntok
+       |  FROM e0),
+       |ssrc AS (
+       |  ${mirrored("""FROM documents d
+       |  LEFT JOIN documents m ON m.doc_id = d.doc_id - 2
+       |  WHERE (d.doc_id // 2) % 4 <> 3""")}),
+       |se0 AS (SELECT real_id, ${Html.extractConstructSql} AS extract FROM ssrc),
+       |se AS (SELECT DISTINCT extract FROM se0),
+       |acc AS (SELECT doc_id, ntok FROM be
+       |  WHERE extract NOT IN (SELECT extract FROM se))
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage_id, 'batch_fetch' AS stage,
+       |    (SELECT count(*) FROM b) AS n_rows, CAST(0 AS BIGINT) AS n_tokens
+       |  UNION ALL SELECT 2, 'url_new', (SELECT count(*) FROM b3), 0
+       |  UNION ALL SELECT 3, 'decode_extract', (SELECT count(*) FROM b3),
+       |    (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM be)
+       |  UNION ALL SELECT 4, 'content_new', (SELECT count(*) FROM acc),
+       |    (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM acc))
+       |ORDER BY stage_id""".stripMargin
+  }
+
+  val crawlIncrementalQ: Q = Q(
+    "d_crawl_incremental",
+    Some(IncrementalOracleSql),
+    (s, d) => incremental(s, d))
+
+  val all: Seq[Q] = Seq(crawlE2eQ, htmlLinksQ, crawlFrontierQ,
+    crawlIncrementalQ)
 }

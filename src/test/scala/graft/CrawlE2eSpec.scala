@@ -54,6 +54,30 @@ class CrawlE2eSpec extends SparkSpec {
     assert(links === 250) // p1..p250 all extracted before the seen filter
   }
 
+  test("incremental: refetches drop at the URL stage, mirrors at content") {
+    val w = CrawlE2e.crawlIncrementalQ.run(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val batch = ids.filter(id => (id / 2) % 4 == 3)
+    val rows = w.map(_._2)
+    assert(w.map(_._1).toSeq === Seq("batch_fetch", "url_new",
+      "decode_extract", "content_new"))
+    assert(rows(0) === batch.length)
+    // url_new derived independently from the plant arithmetic: re-fetch
+    // docs (% 3 == 0) point at standing paths and drop; the rest dedup
+    // to one survivor per pair
+    val expectedUrlNew = batch.filter(_ % 3 != 0).groupBy(_ / 2).size
+    assert(rows(1) === expectedUrlNew)
+    assert(rows(2) === rows(1)) // every URL survivor decodes
+    // the batch mirrors (% 10 == 2 survivors serving standing pages)
+    // MUST fall here — and only content dups fall here
+    val mirrorSurvivors = batch.filter(id => id % 3 != 0 && id % 10 == 2)
+      .groupBy(_ / 2).map(_._2.min).count(_ % 10 == 2)
+    assert(rows(3) <= rows(2) - mirrorSurvivors)
+    assert(w(3)._3 < w(2)._3) // tokens drop with the dropped rows
+  }
+
   test("waterfall: stage placement of each planted duplicate class") {
     val w = CrawlE2e.waterfall(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
