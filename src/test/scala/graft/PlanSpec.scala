@@ -246,6 +246,41 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 <= 2, p)
   }
 
+  test("t_html_extract: codegen'd narrow map — pruned scan, one exchange (output sort)") {
+    val p = plan("t_html_extract")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // htmlextract stays inside the projection; the ONLY exchange is the
+    // presentation sort's range partitioning
+    assert(p.split("Exchange").length - 1 <= 1, p)
+    assert(p.contains("rangepartitioning(doc_id"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d_crawl_e2e: no cartesian wider than 1-row aggregates; guarded decode") {
+    val p = plan("d_crawl_e2e")
+    // the waterfall assembly cross-joins two single-row aggregates —
+    // a broadcast nested loop over 1 row is the allowed pattern, a
+    // CartesianProduct never is
+    assert(!p.contains("CartesianProduct"), p)
+    // both survivor elections hash on their keys
+    assert(p.contains("hashpartitioning(canonical"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("d_crawl_frontier: link-key aggregation is partial; anti-join, no nested loop") {
+    val p = plan("d_crawl_frontier")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("d_dup_span_excise: gram-key exchanges only, rewrite stays in the row") {
+    val p = plan("d_dup_span_excise")
+    assert(p.contains("hashpartitioning(gram"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("g_walks superstep: walk state broadcasts against edges (checkpointed result hides it)") {
     // the registered query's final plan is checkpoint-truncated frames,
     // so assert the per-step shape directly: seed-sized state joined to
