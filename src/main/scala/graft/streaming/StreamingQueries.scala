@@ -229,6 +229,50 @@ object StreamingQueries {
       graft.streaming.Streams.topEventsPerHour(Tables.events(s, d))
         .orderBy(col("hstart"), col("rnk")))
 
-  val all: Seq[Q] = Seq(tumbling, sliding, sessionize, sessionWindow,
+  /** Batch twin of the streaming crawl ingest ([[Streams.crawlIngest]]):
+    * canonical-URL first-arrival dedup + extract over the crawl page
+    * corpus. Streaming keeps the FIRST ARRIVAL per canonical key;
+    * arrival order is doc_id order in the spec's replay, so the
+    * deterministic batch form is the min(doc_id) survivor — the
+    * d_dedup_url election with the decode behind it. The oracle
+    * re-derives the canonical key and the extract length by direct
+    * construction. */
+  val crawlIngest: Q = Q(
+    "st_crawl_ingest",
+    Some(s"""WITH u AS (
+            |  SELECT doc_id,
+            |    'https://crawl.example.com/p' || CAST(doc_id // 2 AS VARCHAR)
+            |      || '?a=1&b=2' AS canonical
+            |  FROM documents),
+            |s AS (
+            |  SELECT doc_id, canonical FROM (
+            |    SELECT doc_id, canonical,
+            |      min(doc_id) OVER (PARTITION BY canonical) AS k
+            |    FROM u) WHERE doc_id = k),
+            |e0 AS (
+            |  SELECT doc_id, ${graft.pipeline.Html.extractConstructSql} AS extract
+            |  FROM documents)
+            |SELECT s.doc_id, s.canonical,
+            |  CAST(length(e0.extract) AS BIGINT) AS n_chars
+            |FROM s JOIN e0 ON e0.doc_id = s.doc_id
+            |ORDER BY s.doc_id""".stripMargin),
+    (s, d) => {
+      import graft.functions.GraftFunctions.{gunzip_text, gzip_text, html_extract}
+      val docs = Tables.documents(s, d)
+      val fetched = graft.pipeline.CrawlE2e.withCrawlUrls(docs)
+        .join(graft.pipeline.Html.withHtml(docs), "doc_id")
+        .select(col("doc_id"), col("url"), gzip_text(col("html")).as("payload"))
+      fetched
+        .withColumn("canonical", graft.pipeline.Urls.canonicalize(col("url")))
+        .withColumn("k",
+          min(col("doc_id")).over(Window.partitionBy(col("canonical"))))
+        .filter(col("doc_id") === col("k"))
+        .select(col("doc_id"), col("canonical"),
+          length(html_extract(gunzip_text(col("payload"))))
+            .cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
+    })
+
+  val all: Seq[Q] = Seq(crawlIngest, tumbling, sliding, sessionize, sessionWindow,
     streamStreamJoin, streamStreamJoinOuter, dedup, enrich, topkWindow)
 }

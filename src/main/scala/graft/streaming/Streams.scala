@@ -142,6 +142,28 @@ object Streams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "m")
 
+  /** Streaming crawl ingest — the crawl front's streaming form: a page
+    * stream (doc_id, url, payload) is canonicalized, first-arrival
+    * deduplicated on the canonical key (the crawler's SEEN SET — this
+    * is the state a streaming crawler actually holds; `dropDuplicates`
+    * keeps it in the state store, RocksDB-backed in production; at
+    * 100 TB the horizon would be watermark-bounded like [[dedupEvents]]
+    * or an external seen-store, but the PLAN is identical), and the
+    * survivors pay the stateless gunzip + HTML-extract map — re-fetches
+    * are suppressed BEFORE any decode, the same stage order as the
+    * batch `d_crawl_incremental`. Twin of the registered
+    * `st_crawl_ingest` batch query; StreamingSpec proves row equality
+    * with ordered arrival and cross-micro-batch suppression. */
+  def crawlIngest(pages: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.{gunzip_text, html_extract}
+    pages
+      .withColumn("canonical", graft.pipeline.Urls.canonicalize(col("url")))
+      .dropDuplicates("canonical")
+      .select(col("doc_id"), col("canonical"),
+        length(html_extract(gunzip_text(col("payload"))))
+          .cast(LongType).as("n_chars"))
+  }
+
   /** Stream-static enrichment join: every micro-batch of the event
     * stream probes the static customer dimension, broadcast to the
     * executors — the standard at-ingest enrichment pattern (attach

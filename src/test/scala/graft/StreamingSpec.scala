@@ -421,4 +421,43 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("crawl ingest: streaming seen-set dedup + extract == registered batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.GraftFunctions.gzip_text
+
+    val docs = Tables.documents(spark, sf())
+    val pages = graft.pipeline.CrawlE2e.withCrawlUrls(docs)
+      .join(graft.pipeline.Html.withHtml(docs), "doc_id")
+      .select(col("doc_id"), col("url"), gzip_text(col("html")).as("payload"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+      .sortBy(_._1)
+    // arrival in doc_id order, split so every pair's min lands in micro-
+    // batch 1 and its twin in micro-batch 2: batch 2 must be suppressed
+    // ENTIRELY by state carried across micro-batches (the seen set)
+    val pairMin = pages.groupBy(_._1 / 2).map(_._2.map(_._1).min).toSet
+    val (first, second) = pages.partition(p => pairMin(p._1))
+
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val q = Streams.crawlIngest(input.toDF().toDF("doc_id", "url", "payload"))
+      .writeStream.format("memory").queryName("crawl_ingest_out")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = rows(spark.table("crawl_ingest_out"))
+    val want = rows(StreamingQueries.crawlIngest.run(spark, sf()))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // nothing from micro-batch 2 leaked through the seen set
+    assert(got.map(_._1) === pairMin)
+  }
 }
