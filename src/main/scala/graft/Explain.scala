@@ -126,7 +126,8 @@ object Explain {
       "d_crawl_e2e" -> "crawl capstone: guarded gunzip+extract on URL survivors, two survivor-key shuffles, 1-row agg exploded to the waterfall",
       "t_html_links" -> "outlink extraction: codegen'd href walk + regex resolve/canonicalize, narrow until the output sort",
       "d_crawl_frontier" -> "crawl frontier: (doc,link) distinct + link-key count, LEFT ANTI vs the canonical seen set — all link-key hashed",
-      "d_crawl_incremental" -> "incremental crawl: batch anti-joins the standing canonical + content-hash sets; refetches drop BEFORE decode")
+      "d_crawl_incremental" -> "incremental crawl: batch anti-joins the standing canonical + content-hash sets; refetches drop BEFORE decode",
+      "m_image_resize" -> "full-payload PNG decode + nearest-neighbor grid resize (output-bounded), pure narrow map")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -87,7 +87,9 @@ object ScaleTrend {
     "t_html_links", "d_crawl_frontier",
     // incremental crawl: standing-state build (one canonical projection
     // + one decode pass) + O(batch) probes
-    "d_crawl_incremental")
+    "d_crawl_incremental",
+    // resize: full decode + bounded grid sample, pure narrow map
+    "m_image_resize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -392,6 +392,36 @@ object PngCodec {
     java.lang.Long.valueOf(out)
   }
 
+  /** Nearest-neighbor RESIZE of channel 0 to w2 x h2 through the real
+    * decode path (deframe is the caller's job; this walks CRC-verified
+    * chunks, inflates, unfilters): sample at x = i*width/w2,
+    * y = j*height/h2, row-major — [[aHash63]]'s 8x8 grid generalized to
+    * any target geometry, the "resize" member of the multimodal
+    * decode / feature-extract / resize / frame-sample quartet. Output
+    * bounded at 4096 samples (a resize that EXPANDS executor memory is
+    * a bug, not a feature); null on invalid geometry or any structural
+    * violation of the payload. */
+  def resample(b: Array[Byte], w2: Int, h2: Int): Array[Long] = {
+    if (w2 <= 0 || h2 <= 0 || w2.toLong * h2 > 4096L) return null
+    val d = decodeRaw(b)
+    if (d == null) return null
+    val (width, height, ch, raw) = d
+    val stride = 1 + width * ch
+    val out = new Array[Long](w2 * h2)
+    var j = 0
+    while (j < h2) {
+      val y = j * height / h2
+      var i = 0
+      while (i < w2) {
+        val x = i * width / w2
+        out(j * w2 + i) = (raw(y * stride + 1 + x * ch) & 0xFF).toLong
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
   /** Row form for the expression path (InternalRow of 12 longs). */
   def pixelStats(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
     val s = pixelStatsRaw(b)

@@ -163,6 +163,35 @@ case class EncodeBmp(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Nearest-neighbor RESIZE of a PNG payload's channel 0 to (w2, h2)
+  * through the full decode path (PngCodec.resample: CRC chunk walk +
+  * inflate + unfilter + grid sample) — the explicit "resize" member of
+  * the multimodal quartet. array<bigint> of w2*h2 row-major samples;
+  * NULL on invalid geometry, an over-4096-sample target, or any
+  * structural violation of the payload. */
+case class PngResample(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, w: Any, h: Any): Any = {
+    val r = PngCodec.resample(b.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+    if (r == null) null else new GenericArrayData(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, w, h) => {
+      val tmp = ctx.freshName("resz")
+      s"""
+         |long[] $tmp = graft.functions.PngCodec.resample($b, $w, $h);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PngResample =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Parse a BMP header (BmpCodec.parseHeaderRaw) from the first >= 54
   * bytes of a blob — magic, V3 info-header, planes, bit-depth,
   * compression, and geometry-vs-file-size consistency all validated.
@@ -668,6 +697,10 @@ object GraftFunctions {
   def png_ahash(bytes: Column): Column =
     GraftColumnBridge.column(PngAHash(GraftColumnBridge.expression(bytes)))
 
+  def png_resample(bytes: Column, w2: Column, h2: Column): Column =
+    GraftColumnBridge.column(PngResample(GraftColumnBridge.expression(bytes),
+      GraftColumnBridge.expression(w2), GraftColumnBridge.expression(h2)))
+
   def wav_audio_fp(bytes: Column): Column =
     GraftColumnBridge.column(WavAudioFp(GraftColumnBridge.expression(bytes)))
 
@@ -710,6 +743,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("png_pixel_stats", es => PngPixelStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bmp_pixel_stats", es => BmpPixelStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_ahash", es => PngAHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("png_resample", es => PngResample(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("wav_audio_fp", es => WavAudioFp(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gzip_text", es => GzipText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gunzip_text", es => GunzipText(es.head), "scala_udf")

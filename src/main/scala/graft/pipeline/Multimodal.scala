@@ -487,6 +487,20 @@ object Multimodal {
     containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
       .select(col("doc_id"), png_ahash(col("f.payload")).as("ahash"))
 
+  /** Nearest-neighbor RESIZE through the full byte path: deframe,
+    * CRC-walk, inflate, unfilter, grid-sample channel 0 to w2 x h2
+    * (PngCodec.resample) — the explicit "resize" member of the
+    * decode / feature-extract / resize / frame-sample quartet. Emits
+    * the resized pixel vector and its sum; pure narrow map. */
+  def imageResize(containers: DataFrame, w2: Int = 4, h2: Int = 4): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.png_resample(
+          col("f.payload"), lit(w2), lit(h2)).as("pxs"))
+      .select(col("doc_id"),
+        array_join(transform(col("pxs"), _.cast("string")), ",").as("px"),
+        aggregate(col("pxs"), lit(0L), (a, x) => a + x).as("px_sum"))
+
   /** Image near-dup pairs by aHash hamming distance <= 3, the
     * pigeonhole-banded scale shape (d_dedup_simhash's pattern, image
     * flavor): 4 x 16-bit bands of the 63-bit hash — hamming <= 3 flips
@@ -1065,6 +1079,33 @@ object Multimodal {
       |          CAST(length(text) % 60 + 1 AS BIGINT) AS h
       |        FROM documents))))""".stripMargin
 
+  /** The content-seeded image's channel-0 sample at (x, y) is
+    * (L + 7x + 13y) mod 256 (PngCodec.pixelByte, seed = L), so the
+    * oracle re-derives the entire 4x4 resize from L alone — grid
+    * coordinates x = (i*w)/4, y = (j*h)/4 row-major, exactly aHash's
+    * sampling arithmetic at the resize target's geometry. */
+  private val ImageResizeOracleSql: String = {
+    val sample =
+      "(L + 7*(((k % 4) * w) // 4) + 13*(((k // 4) * h) // 4)) % 256"
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+       |    CAST(length(text) % 80 + 1 AS BIGINT) AS w,
+       |    CAST(length(text) % 60 + 1 AS BIGINT) AS h
+       |  FROM documents)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(range(16), k -> $sample), ',') AS px,
+       |  CAST(list_sum(list_transform(range(16), k -> $sample)) AS BIGINT)
+       |    AS px_sum
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  val imageResizeQ: Q = Q(
+    "m_image_resize",
+    Some(ImageResizeOracleSql),
+    (s, d) =>
+      imageResize(withPngContentContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
   val imageAHashQ: Q = Q(
     "m_image_ahash",
     Some(s"""WITH $AHashCte
@@ -1286,6 +1327,6 @@ object Multimodal {
     wavDecodeQ, wavDecodeBatchQ, wavLoudnessQ, wavLoudnessBatchQ,
     pngDecodeQ, pngDecodeBatchQ, pngPixelsQ, pngPixelsBatchQ,
     bmpPixelsQ, bmpPixelsBatchQ, gzipDecodeQ, gzipDecodeBatchQ,
-    imageAHashQ, imageDedupQ, audioFpQ, audioDedupQ, sniffDispatchQ,
-    mixedDedupQ)
+    imageAHashQ, imageResizeQ, imageDedupQ, audioFpQ, audioDedupQ,
+    sniffDispatchQ, mixedDedupQ)
 }

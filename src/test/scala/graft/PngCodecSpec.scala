@@ -293,4 +293,35 @@ class PngCodecSpec extends SparkSpec {
     }
     assert(codegenStages.nonEmpty, s"expected codegen:\n$plan")
   }
+
+  test("resample: grid formula exact; 8x8 grid reproduces aHash's samples") {
+    for ((w, h) <- Seq((1, 1), (7, 5), (64, 48), (81, 60), (3, 256))) {
+      val seed = w * 131L + h
+      val png = PngCodec.encode(w, h, 2, seed)
+      for ((w2, h2) <- Seq((1, 1), (4, 4), (8, 8), (16, 9), (64, 64))) {
+        val r = PngCodec.resample(png, w2, h2)
+        assert(r != null, s"($w,$h)->($w2,$h2)")
+        val expect = for (j <- 0 until h2; i <- 0 until w2)
+          yield PngCodec.pixelByte(seed, i * w / w2, j * h / h2, 0).toLong
+        assert(r.toSeq === expect, s"($w,$h)->($w2,$h2)")
+      }
+      // the 8x8 resample IS aHash's sampling grid: recompute the hash
+      val vs = PngCodec.resample(png, 8, 8).take(63)
+      val mean = vs.sum / 63
+      val hash = vs.zipWithIndex.collect { case (v, k) if v > mean => 1L << k }
+        .foldLeft(0L)(_ | _)
+      assert(hash === PngCodec.aHash63(png).longValue, s"($w,$h)")
+    }
+  }
+
+  test("resample: invalid targets and corrupt payloads null, never throw") {
+    val png = PngCodec.encode(16, 8, 2, 11L)
+    assert(PngCodec.resample(png, 0, 4) == null)
+    assert(PngCodec.resample(png, 4, -1) == null)
+    assert(PngCodec.resample(png, 65, 64) == null) // 4160 > 4096 cap
+    assert(PngCodec.resample(png, 64, 64) != null) // exactly at the cap
+    val bad = png.clone(); bad(bad.length / 2) = (bad(bad.length / 2) ^ 1).toByte
+    assert(PngCodec.resample(bad, 4, 4) == null)
+    assert(PngCodec.resample(PngCodec.encode(9, 4, 3, 5L), 4, 4) == null) // palette
+  }
 }
