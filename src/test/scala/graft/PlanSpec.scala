@@ -281,6 +281,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("m_image_resize: full decode + grid sample is a pure narrow map") {
+    val p = plan("m_image_resize")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.split("Exchange").length - 1 <= 1, p) // output sort only
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d_crawl_incremental: anti-joins on the canonical/content keys, no nested loop beyond 1-row aggs") {
+    val p = plan("d_crawl_incremental")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(canonical"), p)
+  }
+
+  test("st_crawl_ingest: one canonical-key shuffle; decode after the election") {
+    val p = plan("st_crawl_ingest")
+    assert(p.contains("hashpartitioning(canonical"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("g_walks superstep: walk state broadcasts against edges (checkpointed result hides it)") {
     // the registered query's final plan is checkpoint-truncated frames,
     // so assert the per-step shape directly: seed-sized state joined to
