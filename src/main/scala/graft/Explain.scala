@@ -127,7 +127,8 @@ object Explain {
       "t_html_links" -> "outlink extraction: codegen'd href walk + regex resolve/canonicalize, narrow until the output sort",
       "d_crawl_frontier" -> "crawl frontier: (doc,link) distinct + link-key count, LEFT ANTI vs the canonical seen set — all link-key hashed",
       "d_crawl_incremental" -> "incremental crawl: batch anti-joins the standing canonical + content-hash sets; refetches drop BEFORE decode",
-      "m_image_resize" -> "full-payload PNG decode + nearest-neighbor grid resize (output-bounded), pure narrow map")
+      "m_image_resize" -> "full-payload PNG decode + nearest-neighbor grid resize (output-bounded), pure narrow map",
+      "d_dup_span_winnow" -> "winnowed span fingerprints: in-array hash+window minima, only MINIMIZERS reach the gram-keyed dup join (~2/(w+1) of d_dup_span's shuffle)")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -89,7 +89,10 @@ object ScaleTrend {
     // + one decode pass) + O(batch) probes
     "d_crawl_incremental",
     // resize: full decode + bounded grid sample, pure narrow map
-    "m_image_resize")
+    "m_image_resize",
+    // winnowed span fingerprints: in-array winnowing, the gram shuffle
+    // carries only minimizers (~2/(w+1) of d_dup_span's volume)
+    "d_dup_span_winnow")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

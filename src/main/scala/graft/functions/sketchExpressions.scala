@@ -189,6 +189,67 @@ object SketchUtil {
     }
   }
 
+  /** Winnowed minimizer grams (Schleimer et al. 2003) in ONE per-row
+    * pass: word n-grams, md5Mod hashes packed with position
+    * (h * 1e5 + i — the same total order DuckDB replays), per-w-window
+    * minima, distinct selected positions, selected gram strings out.
+    * O(grams·w) primitive ops, zero per-window allocation. This kernel
+    * exists because the higher-order build
+    * (transform(sequence) + slice + array_min per window) evaluates
+    * INTERPRETED with a fresh array ALLOCATED per window — measured
+    * 34s at sf0.1 / 380s at sf1 against ~2s for the exact d_dup_span
+    * whose shuffle it is supposed to SHRINK (the ngramsArray lesson,
+    * repeated). Null below n tokens, like [[ngramsArray]]. */
+  def winnowGrams(text: UTF8String, n: Int, w: Int): GenericArrayData = {
+    val t = tokens(text)
+    if (t.length < n) return null
+    val count = t.length - n + 1
+    val grams = new Array[String](count)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(t(i + k))
+        k += 1
+      }
+      grams(i) = sb.toString
+      i += 1
+    }
+    val keys = new Array[Long](count)
+    i = 0
+    while (i < count) { keys(i) = md5Mod(grams(i)) * 100000L + i; i += 1 }
+    val sel = new Array[Boolean](count)
+    if (count < w) {
+      var m = 0
+      var j = 1
+      while (j < count) { if (keys(j) < keys(m)) m = j; j += 1 }
+      sel(m) = true
+    } else {
+      var s = 0
+      while (s <= count - w) {
+        var m = s
+        var j = s + 1
+        while (j < s + w) { if (keys(j) < keys(m)) m = j; j += 1 }
+        sel(m) = true
+        s += 1
+      }
+    }
+    var nSel = 0
+    i = 0
+    while (i < count) { if (sel(i)) nSel += 1; i += 1 }
+    val out = new Array[AnyRef](nSel)
+    var o = 0
+    i = 0
+    while (i < count) {
+      if (sel(i)) { out(o) = UTF8String.fromString(grams(i)); o += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** distinctShingles boxed for Catalyst (array<string>). */
   def shinglesArray(text: UTF8String): GenericArrayData = {
     val gs = distinctShingles(text)
@@ -279,6 +340,29 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Winnowed minimizer grams of a text column (SketchUtil.winnowGrams)
+  * in one codegen'd per-row pass; `n` and `w` are plan-time constants.
+  * Null below n tokens (explode() then skips the row). */
+case class WinnowGrams(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    SketchUtil.winnowGrams(v.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("wgs")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+         |  graft.functions.SketchUtil.winnowGrams($c, $n, $w);
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): WinnowGrams =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   def minhash_sig(c: Column): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(c)))
@@ -289,4 +373,8 @@ object SketchFunctions {
   def word_ngrams(c: Column, n: Int, distinct: Boolean = false): Column =
     GraftColumnBridge.column(
       WordNgrams(GraftColumnBridge.expression(c), n, distinct))
+
+  def winnow_grams(c: Column, n: Int, w: Int): Column =
+    GraftColumnBridge.column(
+      WinnowGrams(GraftColumnBridge.expression(c), n, w))
 }

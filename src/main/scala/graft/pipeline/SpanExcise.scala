@@ -116,5 +116,119 @@ object SpanExcise {
       dupSpanExciseOf(withPlantedSpans(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
-  val all: Seq[Q] = Seq(exciseQ)
+  // ---- winnowed (minimizer) span fingerprinting ------------------------
+
+  /** Winnowed duplicate-span detection (Schleimer/Wilkerson/Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS scheme; Lee et al. 2022 §4 name minimizers as the dedup
+    * bandwidth lever): instead of shuffling EVERY 8-gram, each window
+    * of [[WinnowW]] consecutive gram positions selects its minimum-hash
+    * gram (total order (hash, position) — ties impossible across
+    * distinct grams, and equal grams select the same KEY either way),
+    * and only the selected MINIMIZERS enter the duplicate join. The
+    * winnowing guarantee: any shared run of >= WinnowW gram positions
+    * (>= WinnowW + 7 shared tokens) selects at least one common gram in
+    * both documents, because a window fully inside the shared run picks
+    * its minimum by in-window comparison only. Expected density is
+    * 2/(WinnowW+1) — the gram shuffle carries ~40% of d_dup_span's
+    * volume at w=4, the whole point at 100 TB.
+    *
+    * Plan shape: the gram build, hashing, window minima, and minimizer
+    * selection run in ONE codegen'd per-row kernel
+    * ([[graft.functions.SketchUtil.winnowGrams]] — narrow map); only
+    * the selected minimizers explode into the (gram-keyed,
+    * map-side-combinable) duplicate join. Short docs (under one full
+    * window) winnow to their single global minimum, so every
+    * fingerprintable doc is represented. */
+  val WinnowW = 4
+
+  def dupSpanWinnowOf(docs: DataFrame): DataFrame = {
+    import graft.functions.SketchFunctions.{winnow_grams, word_ngrams}
+    // winnowing runs in the codegen'd one-pass kernel
+    // (SketchUtil.winnowGrams) — the equivalent higher-order build
+    // (transform(sequence) + slice + array_min per window) measured 34s
+    // at sf0.1 / 380s at sf1 against ~2s for the EXACT d_dup_span whose
+    // shuffle it is supposed to shrink; interpreted per-window array
+    // allocation, not the algorithm, was the cost
+    val t = docs.select(col("doc_id"),
+      coalesce(size(word_ngrams(col("text"), 8)), lit(0))
+        .cast(LongType).as("n_grams"),
+      winnow_grams(col("text"), 8, WinnowW).as("mgrams"))
+    val mg = t.select(col("doc_id"), explode(col("mgrams")).as("gram"))
+    val dup = mg.distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("gram"))
+    val nd = mg.join(dup, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    docs.select(col("doc_id"))
+      .join(t.select(col("doc_id"), col("n_grams"),
+        coalesce(size(col("mgrams")), lit(0))
+          .cast(LongType).as("n_minimizers")),
+        Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_minimizers"), lit(0L)).as("n_minimizers"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_minimizers"))
+      .withColumn("flagged", col("n_dup_minimizers") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle replays the identical winnowing arithmetic in DuckDB list
+    * ops — the md5-derived gram hash, the packed (hash*1e5 + pos) key,
+    * the per-window list_min, and the duplicate-minimizer join — so the
+    * Spark side's in-array kernel is checked value for value. */
+  private val WinnowOracleSql: String = {
+    val gramExpr = (1 to 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id,
+       |    list_transform(range(len(toks) - 7), i -> $gramExpr) AS g
+       |  FROM t WHERE len(toks) >= 8),
+       |k AS (
+       |  SELECT doc_id, g, len(g) AS n,
+       |    list_transform(range(len(g)), i ->
+       |      (CAST(('0x' || substr(md5(g[i+1]), 1, 15)) AS BIGINT)
+       |        % 1000000007) * 100000 + i) AS keys
+       |  FROM g0),
+       |mp AS (
+       |  SELECT doc_id, g, n,
+       |    CASE WHEN n >= $WinnowW THEN
+       |      list_distinct(list_transform(range(n - ${WinnowW - 1}),
+       |        i -> list_min(keys[i+1:i+$WinnowW]) % 100000))
+       |    ELSE [list_min(keys) % 100000] END AS minpos
+       |  FROM k),
+       |mg AS (
+       |  SELECT doc_id, unnest(list_transform(minpos, p -> g[p+1])) AS gram
+       |  FROM mp),
+       |dup AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(DISTINCT doc_id) AS nd FROM mg GROUP BY gram)
+       |  WHERE nd >= 2),
+       |ndm AS (
+       |  SELECT mg.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+       |  FROM mg JOIN dup USING (gram) GROUP BY mg.doc_id),
+       |st AS (
+       |  SELECT doc_id, CAST(n AS BIGINT) AS n_grams,
+       |    CAST(len(minpos) AS BIGINT) AS n_minimizers
+       |  FROM mp)
+       |SELECT d.doc_id,
+       |  coalesce(st.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       |  coalesce(st.n_minimizers, CAST(0 AS BIGINT)) AS n_minimizers,
+       |  coalesce(ndm.n_dup, CAST(0 AS BIGINT)) AS n_dup_minimizers,
+       |  coalesce(ndm.n_dup, 0) > 0 AS flagged
+       |FROM documents d
+       |LEFT JOIN st ON d.doc_id = st.doc_id
+       |LEFT JOIN ndm ON d.doc_id = ndm.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val winnowQ: Q = Q(
+    "d_dup_span_winnow",
+    Some(WinnowOracleSql),
+    (s, d) => dupSpanWinnowOf(Tables.documents(s, d)))
+
+  val all: Seq[Q] = Seq(exciseQ, winnowQ)
 }

@@ -67,6 +67,46 @@ class SpanExciseSpec extends SparkSpec {
     assert(m.filter(_._2._2 > 0).keySet === flagged)
   }
 
+  test("winnow: guarantee on long shared runs, subset of exact, density, short docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val planted = SpanExcise.withPlantedSpans(docs)
+    def report(df: DataFrame) = SpanExcise.dupSpanWinnowOf(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    val w = report(planted)
+    // winnowing GUARANTEE: span A is 12 tokens = 5 shared gram
+    // positions >= WinnowW, so every %3 doc shares a minimizer and
+    // MUST be flagged (span B at 2 gram positions carries no guarantee)
+    w.foreach { case (id, (_, _, _, fl)) =>
+      if (id % 3 == 0) assert(fl, s"doc $id: guarantee violated")
+    }
+    // winnow-flagged is a SUBSET of exact span-flagged (a duplicated
+    // minimizer is a duplicated gram)
+    val exact = PipelineQueries.dupSpanOf(planted).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    w.foreach { case (id, (_, _, nd, fl)) =>
+      if (fl) assert(exact(id), s"doc $id: winnow flagged but exact not")
+      assert((nd > 0) === fl)
+    }
+    // density: expected 2/(w+1) of gram positions become minimizers;
+    // allow a generous band around it
+    val (sumG, sumM) = w.values.foldLeft((0L, 0L)) {
+      case ((a, b), (g, m, _, _)) => (a + g, b + m)
+    }
+    val density = sumM.toDouble / sumG
+    assert(density > 0.2 && density < 0.6, s"density $density")
+    // short docs (1..3 grams) still fingerprint via their global min
+    import spark.implicits._
+    val shorts = Seq(
+      (0L, "a b c d e f g h i"),          // 2 grams, shared with doc 1
+      (1L, "a b c d e f g h i"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8")     // 1 gram, unique
+    ).toDF("doc_id", "text")
+    val sr = report(shorts)
+    assert(sr(0L)._4 && sr(1L)._4) // the single-window minimizer matches
+    assert(sr(2L) === ((1L, 1L, 0L, false)))
+  }
+
   test("idempotent: excise(excise(x)) = excise(x) on planted AND real corpora") {
     for (src <- Seq(
         SpanExcise.withPlantedSpans(Tables.documents(spark, "/root/testdata/sf0.001")),
