@@ -194,16 +194,26 @@ object HtmlCodec {
     var anchorChars = 0
     var anchorDepth = 0
     var lastWasSpace = true
+    // Whether the block's (single, collapsed) trailing space was
+    // counted into anchorChars — flushBlock trims it from the length,
+    // so it must also come off the anchor count or a block sitting
+    // exactly at the 1/2 link-density boundary is spuriously dropped
+    // (ADVICE r9).
+    var lastSpaceAnchored = false
 
     def flushBlock(): Unit = {
       var len = block.length
       while (len > 0 && block.charAt(len - 1) == ' ') len -= 1
-      if (len >= MinBlockChars && 2 * anchorChars <= len) {
+      val ac =
+        if (len < block.length && lastSpaceAnchored) anchorChars - 1
+        else anchorChars
+      if (len >= MinBlockChars && 2 * ac <= len) {
         if (out.length > 0) out.append('\n')
         out.append(block, 0, len)
       }
       block.setLength(0)
       anchorChars = 0
+      lastSpaceAnchored = false
       lastWasSpace = true
     }
 
@@ -211,12 +221,14 @@ object HtmlCodec {
       if (isWs(c)) {
         if (!lastWasSpace) {
           block.append(' ')
-          if (anchorDepth > 0) anchorChars += 1
+          if (anchorDepth > 0) { anchorChars += 1; lastSpaceAnchored = true }
+          else lastSpaceAnchored = false
           lastWasSpace = true
         }
       } else {
         block.append(c)
         if (anchorDepth > 0) anchorChars += 1
+        lastSpaceAnchored = false
         lastWasSpace = false
       }
 

@@ -204,6 +204,12 @@ object SketchUtil {
     val t = tokens(text)
     if (t.length < n) return null
     val count = t.length - n + 1
+    // Position fits the low 21 bits of the packed key (ADVICE r9: the
+    // old h*1e5+i packing collided above 1e5 grams, silently breaking
+    // the (hash, position) total order AND oracle parity on very long
+    // documents). Docs beyond 2^21 grams (~2M tokens) are outside the
+    // fingerprint contract — null, same as the sub-n short-doc case.
+    if (count > (1 << 21)) return null
     val grams = new Array[String](count)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
@@ -220,7 +226,11 @@ object SketchUtil {
     }
     val keys = new Array[Long](count)
     i = 0
-    while (i < count) { keys(i) = md5Mod(grams(i)) * 100000L + i; i += 1 }
+    // (hash << 21) | pos: md5Mod < 2^30, pos < 2^21 → 51 bits, no
+    // overflow, no cross-(hash,pos) collisions. The DuckDB oracle
+    // mirrors this exact packing (hash * 2097152 + pos, pos = key %
+    // 2097152).
+    while (i < count) { keys(i) = (md5Mod(grams(i)) << 21) | i.toLong; i += 1 }
     val sel = new Array[Boolean](count)
     if (count < w) {
       var m = 0

@@ -55,7 +55,7 @@ object ExactBaselines {
     * store — staleness is structurally impossible, no TTL logic. */
   private def storeBase: String =
     sys.env.getOrElse("SPARK_GRAFT_EXACT_CACHE",
-      "/root/repo/target/exact_cache")
+      new java.io.File("target/exact_cache").getAbsolutePath)
 
   /** Content fingerprint of the embeddings table: row count + XOR-fold
     * of xxhash64(vec_id, embedding) (bit_xor — order-insensitive and
@@ -81,10 +81,27 @@ object ExactBaselines {
       val dir = new java.io.File(new java.io.File(storeBase, fingerprint(s, d)), key)
       // One JVM-wide lock around store IO: two suites hitting the same
       // corpus concurrently must not overwrite the same path mid-read.
+      // Cross-PROCESS safety (ADVICE r9): the hit test requires the
+      // _SUCCESS marker, not mere directory existence, and the miss
+      // path writes to a temp sibling and atomically renames into
+      // place — a concurrent process can never read a half-written
+      // store as ground truth.
       val df = storeLock.synchronized {
-        if (dir.isDirectory) s.read.parquet(dir.getPath)
+        if (new java.io.File(dir, "_SUCCESS").isFile)
+          s.read.parquet(dir.getPath)
         else {
-          mk.write.mode("overwrite").parquet(dir.getPath)
+          val tmp = new java.io.File(dir.getParentFile,
+            s".${key}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+          mk.write.mode("overwrite").parquet(tmp.getPath)
+          // Atomic publish: rename(tmp -> dir). If another process won
+          // the race between our marker check and this rename, fall
+          // back to reading the winner's bytes (both are pure functions
+          // of the fingerprinted content, so either copy is correct).
+          if (!tmp.renameTo(dir)) {
+            deleteRecursively(tmp)
+            require(new java.io.File(dir, "_SUCCESS").isFile,
+              s"exact-baseline store rename failed and no published copy exists: $dir")
+          }
           s.read.parquet(dir.getPath)
         }
       }
@@ -92,6 +109,12 @@ object ExactBaselines {
     })
 
   private object storeLock
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   /** Exact brute-force cosine top-5 (qid, nid, sim, rnk) — unordered;
     * registry entries add their own orderBy. */

@@ -175,9 +175,11 @@ object SpanExcise {
   }
 
   /** Oracle replays the identical winnowing arithmetic in DuckDB list
-    * ops — the md5-derived gram hash, the packed (hash*1e5 + pos) key,
-    * the per-window list_min, and the duplicate-minimizer join — so the
-    * Spark side's in-array kernel is checked value for value. */
+    * ops — the md5-derived gram hash, the packed (hash << 21 | pos) key
+    * (hash*2097152 + pos here; hash >= 0 so the forms agree), the
+    * per-window list_min, and the duplicate-minimizer join — so the
+    * Spark side's in-array kernel is checked value for value. Docs
+    * beyond 2^21 grams winnow to NULL on both sides (out of contract). */
   private val WinnowOracleSql: String = {
     val gramExpr = (1 to 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
     s"""WITH t AS (
@@ -191,14 +193,15 @@ object SpanExcise {
        |  SELECT doc_id, g, len(g) AS n,
        |    list_transform(range(len(g)), i ->
        |      (CAST(('0x' || substr(md5(g[i+1]), 1, 15)) AS BIGINT)
-       |        % 1000000007) * 100000 + i) AS keys
+       |        % 1000000007) * 2097152 + i) AS keys
        |  FROM g0),
        |mp AS (
        |  SELECT doc_id, g, n,
-       |    CASE WHEN n >= $WinnowW THEN
+       |    CASE WHEN n > 2097152 THEN NULL
+       |    WHEN n >= $WinnowW THEN
        |      list_distinct(list_transform(range(n - ${WinnowW - 1}),
-       |        i -> list_min(keys[i+1:i+$WinnowW]) % 100000))
-       |    ELSE [list_min(keys) % 100000] END AS minpos
+       |        i -> list_min(keys[i+1:i+$WinnowW]) % 2097152))
+       |    ELSE [list_min(keys) % 2097152] END AS minpos
        |  FROM k),
        |mg AS (
        |  SELECT doc_id, unnest(list_transform(minpos, p -> g[p+1])) AS gram

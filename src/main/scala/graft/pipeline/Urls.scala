@@ -77,20 +77,51 @@ object Urls {
   /** Resolve an href against its page URL (RFC 3986 §5, the cases a
     * crawl frontier meets): absolute hrefs pass through; `//host/...`
     * inherits the base scheme; rooted `/...` replaces the path;
-    * `#frag` re-points at the base document; anything else replaces
-    * the base path's last segment. Pure regex/conditional column ops —
-    * codegen'd, no UDF. */
+    * `?query` keeps the base path and replaces query+fragment (§5.3,
+    * ADVICE r9); `#frag` re-points at the base document; anything else
+    * replaces the base path's last segment. Dot-segments (§5.2.4) are
+    * normalized in the merged path — `/./` removed, `seg/../` collapsed
+    * up to [[DotSegmentDepth]] levels (deeper nesting is out of
+    * contract for a crawl frontier and passes through unnormalized).
+    * Pure regex/conditional column ops — codegen'd, no UDF. */
   def resolve(base: Column, href: Column): Column = {
     val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     val schemeHost = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
-    val dir = regexp_replace(
-      regexp_extract(base, "://[^/?#]*(/[^?#]*)", 1), "/[^/]*$", "")
+    val basePath = regexp_extract(base, "://[^/?#]*(/[^?#]*)", 1)
+    val dir = regexp_replace(basePath, "/[^/]*$", "")
     val baseNoFrag = regexp_replace(base, "#.*$", "")
     when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
       .when(href.startsWith("//"), concat(scheme, lit(":"), href))
-      .when(href.startsWith("/"), concat(schemeHost, href))
+      .when(href.startsWith("/"), concat(schemeHost, normPath(href)))
+      .when(href.startsWith("?"), concat(schemeHost, basePath, href))
       .when(href.startsWith("#"), concat(baseNoFrag, href))
-      .otherwise(concat(schemeHost, dir, lit("/"), href))
+      .otherwise(concat(schemeHost,
+        normPath(concat(dir, lit("/"), href))))
+  }
+
+  /** Max `seg/../` collapse depth in [[resolve]] — each level is one
+    * more regexp_replace in the codegen'd expression tree, so the bound
+    * keeps the plan finite; real frontiers rarely nest past 2-3. */
+  val DotSegmentDepth = 8
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over the PATH part only (the
+    * query/fragment tail, split on the first `?` or `#`, is untouched —
+    * dots inside a query are literal). Bounded unrolling: `/./` and a
+    * trailing `/.` collapse in one pass; each `seg/../` level costs one
+    * pass, [[DotSegmentDepth]] passes total. */
+  private def normPath(p: Column): Column = {
+    val path = regexp_extract(p, "^([^?#]*)", 1)
+    val tail = regexp_replace(p, "^[^?#]*", "")
+    val noDot = regexp_replace(
+      regexp_replace(path, "/\\.(?=/)", ""), "/\\.$", "/")
+    val collapsed = (1 to DotSegmentDepth).foldLeft(noDot) { (c, _) =>
+      regexp_replace(
+        regexp_replace(c, "/(?!\\.\\./)[^/]+/\\.\\.(?=/)", ""),
+        "/(?!\\.\\./)[^/]+/\\.\\.$", "/")
+    }
+    // §5.2.4 2C: leading `/..` with nothing left to consume drops.
+    val rooted = regexp_replace(collapsed, "^(/\\.\\.)+(?=/|$)", "")
+    concat(when(rooted === "", lit("/")).otherwise(rooted), tail)
   }
 
   /** Canonicalize a URL column by parsing + normalizing (the real

@@ -38,6 +38,46 @@ class UrlsSpec extends SparkSpec {
     assert(twice.filter(col("c") =!= col("c2")).count() === 0)
   }
 
+  private def res(cases: (String, String)*): Seq[String] = {
+    import spark.implicits._
+    cases.toDF("base", "href")
+      .select(Urls.resolve(col("base"), col("href")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("resolve: RFC 3986 §5 reference cases incl. query-only and dot-segments") {
+    val base = "https://ex.com/a/b/page?q=0#top"
+    assert(res(
+      (base, "http://other.com/x"),   // absolute passes through
+      (base, "//cdn.com/x"),          // scheme-relative
+      (base, "/rooted"),              // rooted replaces path
+      (base, "?x=1"),                 // query-only keeps base PATH (ADVICE r9)
+      (base, "#sec"),                 // fragment re-points base doc
+      (base, "rel")                   // relative replaces last segment
+    ) === Seq(
+      "http://other.com/x",
+      "https://cdn.com/x",
+      "https://ex.com/rooted",
+      "https://ex.com/a/b/page?x=1",
+      "https://ex.com/a/b/page?q=0#sec",
+      "https://ex.com/a/b/rel"))
+    // §5.2.4 dot-segment removal in merged and rooted paths
+    assert(res(
+      (base, "./x"),
+      (base, "../x"),
+      (base, "../../x"),
+      (base, "../../../x"),          // over-pops clamp at root (2C)
+      (base, "/a/./b/../c"),
+      (base, "x/../y?q=./keep")      // query tail untouched
+    ) === Seq(
+      "https://ex.com/a/b/x",
+      "https://ex.com/a/x",
+      "https://ex.com/x",
+      "https://ex.com/x",
+      "https://ex.com/a/c",
+      "https://ex.com/a/b/y?q=./keep"))
+  }
+
   test("every planted variant class collapses to one canonical form") {
     val docs = Tables.documents(spark, sf())
     val got = Urls.withUrls(docs)
