@@ -49,6 +49,9 @@ object Scc {
   @volatile private[graft] var lastOuterRounds: Int = -1
   @volatile private[graft] var lastMaxFwdRounds: Int = -1
   @volatile private[graft] var lastMaxBwdRounds: Int = -1
+  @volatile private[graft] var lastTrimRounds: Int = -1
+  @volatile private[graft] var lastTrimmed: Long = -1L
+  @volatile private[graft] var lastInputEdges: Long = -1L
 
   def scc(spark: SparkSession, edgesRaw: DataFrame): DataFrame =
     LoopConf.pinned(spark, edgesRaw.count()) { sccPinned(spark, edgesRaw) }
@@ -71,52 +74,119 @@ object Scc {
 
     val sccFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var nActive = verts.count()
+    lastInputEdges = edges.count()
     var outer = 0
     var maxFwd = 0
     var maxBwd = 0
+    var trimRounds = 0
+    var trimmed = 0L
+
+    // Trim phase (Hong et al. 2013, "On Fast Parallel Detection of
+    // Strongly Connected Components": FW-BW-Trim): a live vertex with
+    // no in-edge or no out-edge in the live subgraph lies on no cycle —
+    // it is its own singleton SCC — and peeling it can expose more.
+    // Each trim round is two cheap semi-joins + a shrink (no flood),
+    // and running trim before every coloring round means the expensive
+    // fwd/bwd fixpoint floods only ever run on the 2-core-like residue
+    // that actually contains cycles; on the citation graph the
+    // post-giant-SCC residue is pure DAG, so trim eliminates the entire
+    // second outer round's 14+ flood rounds (the r9 job-count cut).
+    // scc_id = id for a singleton — identical to what the coloring
+    // round would assign (the root is the max member id), so the
+    // unrolled no-trim oracle still matches value for value.
+    def trim(): Unit = {
+      // A/B kill-switch for SccProbe measurement only (on by default)
+      if (!sys.props.getOrElse("graft.scc.trim", "true").toBoolean) return
+      var go = nActive > 0
+      while (go) {
+        val nextVerts = ckpt(verts
+          .join(edges.select(col("src").as("id")), Seq("id"), "left_semi")
+          .join(edges.select(col("dst").as("id")), Seq("id"), "left_semi"))
+        val nNext = nextVerts.count()
+        if (nNext == nActive) { free(nextVerts); go = false }
+        else {
+          trimRounds += 1
+          val assigned = ckpt(verts.join(nextVerts, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc_id")))
+          sccFrames += assigned
+          CheckpointRegistry.trackFinal(spark, assigned)
+          trimmed += nActive - nNext
+          val nextEdges = ckpt(edges
+            .join(nextVerts.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(nextVerts.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst")))
+          free(verts); free(edges)
+          verts = nextVerts; edges = nextEdges
+          nActive = nNext
+          go = nActive > 0
+        }
+      }
+    }
+
+    trim()
     while (nActive > 0) {
       outer += 1
-      // 1. forward max flood to fixpoint
+      // 1. forward max flood to fixpoint, TWO propagation steps per
+      // checkpoint (round 10, the job-count cut): a superstep loop's
+      // driver-side cost is jobs x scheduler round-trip (Bench's
+      // job_rt_ms), and each ckpt+count pair is two jobs — chaining two
+      // flood steps into one materialized plan halves them. The plan
+      // stays depth-2 (bounded, AQE off per LoopConf), total shuffle
+      // WORK is unchanged, and convergence stays sound: if the second
+      // step changed nothing the state equals its fixpoint regardless
+      // of what the first step did (monotone + idempotent), so exiting
+      // on the LAST step's chg flag alone is exact.
+      def fwdStep(color: DataFrame): DataFrame = {
+        val incoming = color.join(edges, col("id") === col("src"))
+          .groupBy(col("dst")).agg(max(col("c")).as("mc"))
+          .select(col("dst").as("id"), col("mc"))
+        color.join(incoming.hint("shuffle_hash"), Seq("id"), "left")
+          .select(col("id"),
+            greatest(col("c"), coalesce(col("mc"), col("c"))).as("c"),
+            (col("mc").isNotNull && col("mc") > col("c")).as("chg"))
+      }
       var colorFull = ckpt(verts.select(col("id"), col("id").as("c"),
         lit(false).as("chg")))
       var color = colorFull.select(col("id"), col("c"))
       var changed = 1L
       var fwd = 0
       while (changed > 0) {
-        fwd += 1
-        val incoming = color.join(edges, col("id") === col("src"))
-          .groupBy(col("dst")).agg(max(col("c")).as("mc"))
-          .select(col("dst").as("id"), col("mc"))
-        // flood step and its changed flag in ONE checkpoint job; the
-        // convergence count is then a cached scan (the separate
-        // join+count per round was a full extra shuffle job)
-        val nextFull = ckpt(color.join(incoming.hint("shuffle_hash"),
-            Seq("id"), "left")
-          .select(col("id"),
-            greatest(col("c"), coalesce(col("mc"), col("c"))).as("c"),
-            (col("mc").isNotNull && col("mc") > col("c")).as("chg")))
+        fwd += 2
+        val nextFull = ckpt(
+          fwdStep(fwdStep(color).select(col("id"), col("c"))))
         changed = nextFull.filter(col("chg")).count()
         free(colorFull); colorFull = nextFull
         color = colorFull.select(col("id"), col("c"))
       }
       maxFwd = math.max(maxFwd, fwd)
       // 2+3. backward flood inside color classes from the roots
-      var member = ckpt(color.filter(col("id") === col("c"))
-        .select(col("id"), col("c")))
-      changed = 1L
-      var bwd = 0
-      while (changed > 0) {
-        bwd += 1
-        // u joins when some edge u->w has w a member and color(u)==color(w)
+      // u joins when some edge u->w has w a member and color(u)==color(w);
+      // two membership steps per checkpoint, same stride-2 rationale as
+      // the forward flood (union-distinct is monotone and idempotent,
+      // so an unchanged row count after the chained pair is the exact
+      // fixpoint test)
+      def bwdStep(member: DataFrame): DataFrame = {
         val newFrontier = member.select(col("id").as("dst"), col("c"))
           .join(edges, "dst")
           .select(col("src").as("id"), col("c"))
           .join(color.withColumnRenamed("c", "uc"), "id")
           .filter(col("c") === col("uc"))
           .select(col("id"), col("c"))
-        val nextM = ckpt(member.union(newFrontier).distinct())
+        member.union(newFrontier).distinct()
+      }
+      var member = ckpt(color.filter(col("id") === col("c"))
+        .select(col("id"), col("c")))
+      var nMember = member.count()
+      changed = 1L
+      var bwd = 0
+      while (changed > 0) {
+        bwd += 2
+        val nextM = ckpt(bwdStep(bwdStep(member)))
         val nNext = nextM.count()
-        changed = nNext - member.count()
+        // carry the previous count in a var — re-counting the cached
+        // previous checkpoint was one more scheduler round-trip per round
+        changed = nNext - nMember
+        nMember = nNext
         free(member); member = nextM
       }
       maxBwd = math.max(maxBwd, bwd)
@@ -134,11 +204,14 @@ object Scc {
       free(verts); free(edges)
       verts = nextVerts; edges = nextEdges
       nActive = verts.count()
+      trim()
     }
     free(verts); free(edges)
     lastOuterRounds = outer
     lastMaxFwdRounds = maxFwd
     lastMaxBwdRounds = maxBwd
+    lastTrimRounds = trimRounds
+    lastTrimmed = trimmed
     if (sccFrames.isEmpty)
       spark.range(0).select(col("id"), col("id").as("scc_id"))
     else sccFrames.reduce(_ union _)
