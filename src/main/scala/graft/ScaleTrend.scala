@@ -92,7 +92,11 @@ object ScaleTrend {
     "m_image_resize",
     // winnowed span fingerprints: in-array winnowing, the gram shuffle
     // carries only minimizers (~2/(w+1) of d_dup_span's volume)
-    "d_dup_span_winnow")
+    "d_dup_span_winnow",
+    // round 10: learned quality filter — train = one token-keyed
+    // map-side-combinable shuffle, score = explode + broadcast model
+    // join + doc-keyed re-agg; both should ride the corpus linearly
+    "t_quality_model_score", "d_quality_model_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

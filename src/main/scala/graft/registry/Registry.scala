@@ -69,6 +69,7 @@ object Registry {
       graft.pipeline.Urls.all ++
       graft.pipeline.Html.all ++
       graft.pipeline.SpanExcise.all ++
+      graft.pipeline.QualityModel.all ++
       graft.pipeline.CrawlE2e.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all

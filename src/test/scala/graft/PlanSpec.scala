@@ -302,6 +302,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t_quality_model_score: model broadcast to the scoring join, aggs partial, no cartesian") {
+    val p = plan("t_quality_model_score")
+    // the vocab-sized weight table must reach the corpus-sized token
+    // stream as a broadcast-hash build, never a shuffle of the corpus
+    // onto the vocab key twice
+    assert(p.contains("BroadcastHashJoin"), p)
+    // train + score aggregations both map-side combine
+    assert(p.contains("partial_sum"), p)
+    // the only nested-loop shapes are the 1-row totals broadcasts
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("g_walks superstep: walk state broadcasts against edges (checkpointed result hides it)") {
     // the registered query's final plan is checkpoint-truncated frames,
     // so assert the per-step shape directly: seed-sized state joined to
