@@ -375,7 +375,11 @@ object Bench {
         s""""_setup_scc_bwd_rounds":${graft.analytics.Scc.lastMaxBwdRounds},""" +
         s""""_setup_scc_trim_rounds":${graft.analytics.Scc.lastTrimRounds},""" +
         s""""_setup_scc_trimmed":${graft.analytics.Scc.lastTrimmed},""" +
-        s""""_setup_scc_input_edges":${graft.analytics.Scc.lastInputEdges}}"""
+        s""""_setup_scc_input_edges":${graft.analytics.Scc.lastInputEdges},""" +
+        // the incremental-CC merge's probe-side quantities: the
+        // contracted graph the superstep actually runs on
+        s""""g_components_incremental_label_edges":${graft.analytics.IncrementalComponents.lastLabelEdges},""" +
+        s""""g_components_incremental_touched":${graft.analytics.IncrementalComponents.lastTouched}}"""
     val total = mins.map(_._2).sum
     val totalFirst = results.map(_._2.head.sec).sum
     val nOk = results.count(_._3)

@@ -96,7 +96,11 @@ object ScaleTrend {
     // round 10: learned quality filter — train = one token-keyed
     // map-side-combinable shuffle, score = explode + broadcast model
     // join + doc-keyed re-agg; both should ride the corpus linearly
-    "t_quality_model_score", "d_quality_model_filter")
+    "t_quality_model_score", "d_quality_model_filter",
+    // round 10: incremental CC — standing build + an O(batch) contracted
+    // merge; the slope rides the standing superstep, the merge's own
+    // cost is pinned by the contract quantities (label edges, touched)
+    "g_components_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

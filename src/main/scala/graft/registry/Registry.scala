@@ -24,6 +24,7 @@ object Registry {
       graft.queries.Typed.all ++
       graft.queries.EventsAnalytics.all ++
       graft.analytics.GraphQueries.all ++
+      graft.analytics.IncrementalComponents.all ++
       graft.analytics.PageRank.all ++
       graft.analytics.Hits.all ++
       graft.analytics.ShortestPaths.all ++
