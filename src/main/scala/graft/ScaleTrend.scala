@@ -100,7 +100,10 @@ object ScaleTrend {
     // round 10: incremental CC — standing build + an O(batch) contracted
     // merge; the slope rides the standing superstep, the merge's own
     // cost is pinned by the contract quantities (label edges, touched)
-    "g_components_incremental")
+    "g_components_incremental",
+    // round 10: JPEG baseline decode — entropy-coded narrow map, the
+    // per-doc cost rides pixel count like the PNG twin
+    "m_jpeg_decode", "m_jpeg_pixels")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -375,6 +375,82 @@ object PngPixelStats {
       .map(StructField(_, LongType, nullable = false)))
 }
 
+/** Synthesize a structurally complete baseline JFIF JPEG
+  * (JpegCodec.encode) from (width, height, channels, seed) — the LOSSY
+  * member of the media-producer family. NULL for invalid geometry or
+  * channel count. */
+case class EncodeJpeg(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(w: Any, h: Any, ch: Any, s: Any): Any =
+    JpegCodec.encode(w.asInstanceOf[Int], h.asInstanceOf[Int],
+      ch.asInstanceOf[Int], s.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, ch, s) => s"""
+       |${ev.value} = graft.functions.JpegCodec.encode($w, $h, $ch, $s, false);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): EncodeJpeg =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
+/** Parse the JPEG marker stream up to the scan header
+  * (JpegCodec.parseHeaderRaw): SOI → DQT/DHT/SOF0 → SOS, every table
+  * reference checked. struct(width, height, channels, n_blocks); NULL
+  * on anything outside the baseline contract. */
+case class ParseJpegHeader(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ParseJpegHeader.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    JpegCodec.parseHeader(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.JpegCodec.parseHeader($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ParseJpegHeader =
+    copy(child = newChild)
+}
+
+object ParseJpegHeader {
+  val schema: StructType = StructType(
+    Seq("width", "height", "channels", "n_blocks")
+      .map(StructField(_, LongType, nullable = false)))
+}
+
+/** FULL baseline JPEG decode (JpegCodec.pixelStatsRaw): Huffman entropy
+  * decode with byte unstuffing, DC prediction, dequant, IDCT, 4:2:0
+  * replication upsample, fixed-point YCbCr→RGB, then exact-integer
+  * per-channel sum/peak over the visible pixels. struct(width, height,
+  * channels, n_px, sum_c0..2, peak_c0..2); NULL on any violation. */
+case class JpegPixelStats(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = JpegPixelStats.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    JpegCodec.pixelStats(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.JpegCodec.pixelStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): JpegPixelStats =
+    copy(child = newChild)
+}
+
+object JpegPixelStats {
+  val schema: StructType = StructType(
+    Seq("width", "height", "channels", "n_px",
+      "sum_c0", "sum_c1", "sum_c2", "peak_c0", "peak_c1", "peak_c2")
+      .map(StructField(_, LongType, nullable = false)))
+}
+
 /** Perceptual average-hash of a PNG payload (PngCodec.aHash63): full
   * byte-path decode (CRC walk + inflate + unfilter), then the classic
   * 8x8-grid mean-threshold fingerprint — the image-dedup key. NULL on
@@ -697,6 +773,20 @@ object GraftFunctions {
   def png_ahash(bytes: Column): Column =
     GraftColumnBridge.column(PngAHash(GraftColumnBridge.expression(bytes)))
 
+  def encode_jpeg(width: Column, height: Column, channels: Column,
+      seed: Column): Column =
+    GraftColumnBridge.column(EncodeJpeg(
+      GraftColumnBridge.expression(width),
+      GraftColumnBridge.expression(height),
+      GraftColumnBridge.expression(channels),
+      GraftColumnBridge.expression(seed)))
+
+  def parse_jpeg_header(bytes: Column): Column =
+    GraftColumnBridge.column(ParseJpegHeader(GraftColumnBridge.expression(bytes)))
+
+  def jpeg_pixel_stats(bytes: Column): Column =
+    GraftColumnBridge.column(JpegPixelStats(GraftColumnBridge.expression(bytes)))
+
   def png_resample(bytes: Column, w2: Column, h2: Column): Column =
     GraftColumnBridge.column(PngResample(GraftColumnBridge.expression(bytes),
       GraftColumnBridge.expression(w2), GraftColumnBridge.expression(h2)))
@@ -743,6 +833,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("png_pixel_stats", es => PngPixelStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bmp_pixel_stats", es => BmpPixelStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_ahash", es => PngAHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_jpeg", es => EncodeJpeg(es(0), es(1), es(2), es(3)), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_jpeg_header", es => ParseJpegHeader(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("jpeg_pixel_stats", es => JpegPixelStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_resample", es => PngResample(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("wav_audio_fp", es => WavAudioFp(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gzip_text", es => GzipText(es.head), "scala_udf")

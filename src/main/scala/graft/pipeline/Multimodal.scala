@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{bmp_pixel_stats, byte_histogram, encode_bmp, encode_png, encode_wav, gunzip_text, gzip_text, pack_frames, parse_bmp_header, parse_frames, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, wav_audio_fp}
+import graft.functions.GraftFunctions.{bmp_pixel_stats, byte_histogram, encode_bmp, encode_jpeg, encode_png, encode_wav, gunzip_text, gzip_text, jpeg_pixel_stats, pack_frames, parse_bmp_header, parse_frames, parse_jpeg_header, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, wav_audio_fp}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -1322,11 +1322,161 @@ object Multimodal {
       gunzipTextsBatch(withGzipContainers(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
+  // ---- JPEG baseline decode (the LOSSY, entropy-coded family member) -----
+
+  /** documents -> (doc_id, container BINARY): a structurally complete
+    * baseline JFIF JPEG per document (dims from the text, gray/4:2:0
+    * color by doc_id parity, constant planted blocks — JpegCodec's
+    * exactness design), framed into a GRFT1 container. frameSize=512 so
+    * every marker segment up to and including SOS (≤ ~330 bytes) lands
+    * in the FIRST frame — the header query parses without reassembling
+    * the container, like the PNG/BMP/WAV decode twins. */
+  def withJpegContainers(docs: DataFrame, frameSize: Int = 512): DataFrame =
+    docs.select(
+      col("doc_id"),
+      pack_frames(
+        encode_jpeg(
+          (length(col("text")) % 80 + 1).cast("int"),
+          (length(col("text")) % 60 + 1).cast("int"),
+          when(col("doc_id") % 2 === 0, 3).otherwise(1).cast("int"),
+          col("doc_id").cast(LongType)),
+        lit(frameSize)).as("container"))
+
+  /** Expression-path header decode: deframe, slice the FIRST frame,
+    * walk the marker segments to SOS — all codegen'd. */
+  def parseJpegHeaders(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"),
+        parse_jpeg_header(
+          expr("substring(f.payload, 1, cast(f.frame_lens[0] as int))")).as("h"))
+      .select(col("doc_id"),
+        col("h.width").as("width"), col("h.height").as("height"),
+        col("h.channels").as("channels"), col("h.n_blocks").as("n_blocks"))
+
+  final case class JpegHeaderRow(doc_id: Long, width: Long, height: Long,
+      channels: Long, n_blocks: Long)
+
+  /** Batched header path (one dispatch per batch). */
+  def parseJpegHeadersBatch(containers: DataFrame, batchSize: Int = 512): DataFrame = {
+    val spark = containers.sparkSession
+    import spark.implicits._
+    containers.select(col("doc_id"), col("container")).as[Container]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val deframed = FrameCodec.parseBatch(batch.map(_.container).toArray)
+          val firstFrames: Array[Array[Byte]] = deframed.map { r =>
+            if (r == null || r._1.isEmpty) null
+            else java.util.Arrays.copyOfRange(r._2, 0, r._1(0).toInt)
+          }
+          val headers = graft.functions.JpegCodec.parseBatch(firstFrames)
+          batch.iterator.zip(headers.iterator).collect {
+            case (c, h) if h != null =>
+              JpegHeaderRow(c.doc_id, h(0), h(1), h(2), h(3))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Full-payload JPEG pixel decode: deframe, then the whole baseline
+    * path — Huffman entropy decode, DC prediction, dequant, IDCT,
+    * 4:2:0 replication upsample, fixed-point YCbCr→RGB — folded to
+    * exact per-channel sum/peak. Pure narrow map. */
+  def jpegPixels(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"), jpeg_pixel_stats(col("f.payload")).as("s"))
+      .select(col("doc_id") +: JpegPixelCols.map(c => col(s"s.$c").as(c)): _*)
+
+  private val JpegPixelCols = Seq("width", "height", "channels", "n_px",
+    "sum_c0", "sum_c1", "sum_c2", "peak_c0", "peak_c1", "peak_c2")
+
+  /** Header oracle: every field re-derived from text/doc_id, including
+    * the sampling-factor block arithmetic (6 blocks per 16x16 MCU at
+    * 4:2:0, 1 per 8x8 block at gray). */
+  private val JpegOracleSql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) % 80 + 1 AS BIGINT) AS w,
+      |    CAST(length(text) % 60 + 1 AS BIGINT) AS h,
+      |    CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS ch
+      |  FROM documents)
+      |SELECT doc_id, w AS width, h AS height, ch AS channels,
+      |  CAST(CASE WHEN ch = 3 THEN 6 * ((w + 15) // 16) * ((h + 15) // 16)
+      |    ELSE ((w + 7) // 8) * ((h + 7) // 8) END AS BIGINT) AS n_blocks
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  val jpegDecodeQ: Q = Q(
+    "m_jpeg_decode",
+    Some(JpegOracleSql),
+    (s, d) =>
+      parseJpegHeaders(withJpegContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** Same oracle through the batched path. */
+  val jpegDecodeBatchQ: Q = Q(
+    "m_jpeg_decode_batch",
+    Some(JpegOracleSql),
+    (s, d) =>
+      parseJpegHeadersBatch(withJpegContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** Pixel oracle: decoded values re-derived from the planted block
+    * formulas ALONE (JpegCodec's constant-block exactness design — the
+    * oracle never touches bytes). Per luma block: Y from (doc_id, bx,
+    * by); Cb/Cr from the enclosing chroma block (bx//2, by//2 — the
+    * replication-upsample alignment); RGB via the SAME biased
+    * fixed-point arithmetic (bias keeps every shifted operand
+    * positive, so `>>` semantics cannot diverge between engines);
+    * sums weight each block by its VISIBLE area, so any bug in the
+    * Huffman walk, the predictor, the IDCT scaling, the upsample
+    * alignment, or the edge clipping hash-fails. */
+  private val JpegPixelsOracleSql: String = {
+    val yv = "((doc_id + 7*bx + 13*by) % 256)"
+    val cb = "((doc_id + 11*(bx//2) + 3*(by//2)) % 256)"
+    val cr = "((doc_id + 5*(bx//2) + 17*(by//2)) % 256)"
+    val r = s"greatest(0, least(255, $yv + ((91881*($cr - 128) + 32768 + 16777216) >> 16) - 256))"
+    val gg = s"greatest(0, least(255, $yv - ((22554*($cb - 128) + 46802*($cr - 128) + 32768 + 33554432) >> 16) + 512))"
+    val b = s"greatest(0, least(255, $yv + ((116130*($cb - 128) + 32768 + 16777216) >> 16) - 256))"
+    val vis = "(least(8, w - 8*bx) * least(8, h - 8*by))"
+    def blocks(expr: String) =
+      s"""flatten(list_transform(range((h + 7) // 8), by ->
+         |      list_transform(range((w + 7) // 8), bx -> $expr)))""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) % 80 + 1 AS BIGINT) AS w,
+       |    CAST(length(text) % 60 + 1 AS BIGINT) AS h,
+       |    CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS ch
+       |  FROM documents)
+       |SELECT doc_id, w AS width, h AS height, ch AS channels,
+       |  w * h AS n_px,
+       |  CAST(CASE WHEN ch = 1 THEN list_sum(${blocks(s"$yv * $vis")})
+       |    ELSE list_sum(${blocks(s"$r * $vis")}) END AS BIGINT) AS sum_c0,
+       |  CAST(CASE WHEN ch = 1 THEN 0
+       |    ELSE list_sum(${blocks(s"$gg * $vis")}) END AS BIGINT) AS sum_c1,
+       |  CAST(CASE WHEN ch = 1 THEN 0
+       |    ELSE list_sum(${blocks(s"$b * $vis")}) END AS BIGINT) AS sum_c2,
+       |  CAST(CASE WHEN ch = 1 THEN list_max(${blocks(yv)})
+       |    ELSE list_max(${blocks(r)}) END AS BIGINT) AS peak_c0,
+       |  CAST(CASE WHEN ch = 1 THEN 0
+       |    ELSE list_max(${blocks(gg)}) END AS BIGINT) AS peak_c1,
+       |  CAST(CASE WHEN ch = 1 THEN 0
+       |    ELSE list_max(${blocks(b)}) END AS BIGINT) AS peak_c2
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  val jpegPixelsQ: Q = Q(
+    "m_jpeg_pixels",
+    Some(JpegPixelsOracleSql),
+    (s, d) =>
+      jpegPixels(withJpegContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
   val all: Seq[Q] = Seq(decodeQ, frameSampleQ, decodeBatchQ,
     containerDecodeQ, containerDecodeBatchQ, bmpDecodeQ, bmpDecodeBatchQ,
     wavDecodeQ, wavDecodeBatchQ, wavLoudnessQ, wavLoudnessBatchQ,
     pngDecodeQ, pngDecodeBatchQ, pngPixelsQ, pngPixelsBatchQ,
     bmpPixelsQ, bmpPixelsBatchQ, gzipDecodeQ, gzipDecodeBatchQ,
+    jpegDecodeQ, jpegDecodeBatchQ, jpegPixelsQ,
     imageAHashQ, imageResizeQ, imageDedupQ, audioFpQ, audioDedupQ,
     sniffDispatchQ, mixedDedupQ)
 }

@@ -302,6 +302,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("m_jpeg_pixels: full entropy decode is a pure narrow map") {
+    val p = plan("m_jpeg_pixels")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.split("Exchange").length - 1 <= 1, p) // output sort only
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t_quality_model_score: model broadcast to the scoring join, aggs partial, no cartesian") {
     val p = plan("t_quality_model_score")
     // the vocab-sized weight table must reach the corpus-sized token
