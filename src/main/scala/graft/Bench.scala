@@ -379,7 +379,11 @@ object Bench {
         // the incremental-CC merge's probe-side quantities: the
         // contracted graph the superstep actually runs on
         s""""g_components_incremental_label_edges":${graft.analytics.IncrementalComponents.lastLabelEdges},""" +
-        s""""g_components_incremental_touched":${graft.analytics.IncrementalComponents.lastTouched}}"""
+        s""""g_components_incremental_touched":${graft.analytics.IncrementalComponents.lastTouched},""" +
+        // g_mst's cost driver (VERDICT r9 wrong #5: a testdata
+        // regeneration can move the Borůvka round count — make it
+        // artifact-visible so a rounds blowup is attributable)
+        s""""g_mst_rounds":${graft.analytics.Mst.lastRounds}}"""
     val total = mins.map(_._2).sum
     val totalFirst = results.map(_._2.head.sec).sum
     val nOk = results.count(_._3)

@@ -581,22 +581,26 @@ object Multimodal {
   // ---- mixed-modality corpus: magic-byte sniff + decoder dispatch -------
 
   /** A HETEROGENEOUS container column — payload kind keyed on doc_id
-    * mod 4 (PNG / BMP / WAV / gzip text), each produced by the same
-    * codec the uniform families use. Every decode query above assumes
-    * one payload type per column; a real crawled corpus is mixed, and
-    * the first operator over it is "sniff the magic bytes, route each
+    * mod 5 (PNG / BMP / WAV / gzip text / JPEG — round 10 adds the
+    * kind real crawls carry most), each produced by the same codec the
+    * uniform families use. Every decode query above assumes one
+    * payload type per column; a real crawled corpus is mixed, and the
+    * first operator over it is "sniff the magic bytes, route each
     * blob to the right decoder". */
   def withMixedContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 4 === 0,
+    val payload = when(col("doc_id") % 5 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 4 === 1,
+      .when(col("doc_id") % 5 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 4 === 2,
+      .when(col("doc_id") % 5 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"),
           col("doc_id").cast(LongType)))
+      .when(col("doc_id") % 5 === 4,
+        encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
+          lit(3), col("doc_id").cast(LongType)))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -611,13 +615,15 @@ object Multimodal {
     * corrupt payload sniffs 'unknown' with stat -1 — route-and-quarantine,
     * not abort, is the 100-TB contract. */
   /** Payload kind from magic bytes alone (the sniffer never sees
-    * doc_id): PNG signature, BM, RIFF....WAVE, gzip 1f 8b. */
+    * doc_id): PNG signature, BM, RIFF....WAVE, gzip 1f 8b,
+    * JPEG ff d8 ff. */
   def sniffKind(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(hex(substring(p, 1, 4)) === "89504E47", "image/png")
       .when(hex(substring(p, 1, 2)) === "424D", "image/bmp")
       .when(hex(substring(p, 1, 4)) === "52494646" &&
         hex(substring(p, 9, 4)) === "57415645", "audio/wav")
       .when(hex(substring(p, 1, 2)) === "1F8B", "text/gzip")
+      .when(hex(substring(p, 1, 3)) === "FFD8FF", "image/jpeg")
       .otherwise("unknown")
 
   def sniffDispatch(containers: DataFrame): DataFrame = {
@@ -637,7 +643,10 @@ object Multimodal {
           .when(col("kind") === "audio/wav",
             parse_wav_header(col("p")).getField("n_samples"))
           .when(col("kind") === "text/gzip",
-            length(gunzip_text(col("p"))).cast(LongType)),
+            length(gunzip_text(col("p"))).cast(LongType))
+          .when(col("kind") === "image/jpeg",
+            parse_jpeg_header(col("p")).getField("width") *
+              parse_jpeg_header(col("p")).getField("height")),
         lit(-1L)).as("stat"))
   }
 
@@ -647,14 +656,17 @@ object Multimodal {
     * planted-pair property, mixed-corpus flavor. */
   def withMixedContentContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 4 === 0,
+    val payload = when(col("doc_id") % 5 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 4 === 1,
+      .when(col("doc_id") % 5 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           ln.cast(LongType)))
-      .when(col("doc_id") % 4 === 2,
+      .when(col("doc_id") % 5 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"), ln.cast(LongType)))
+      .when(col("doc_id") % 5 === 4,
+        encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
+          lit(3), ln.cast(LongType)))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -677,6 +689,7 @@ object Multimodal {
       .select(col("doc_id"), col("f.payload").as("p"))
       .withColumn("kind", sniffKind(col("p")))
     val b = bmp_pixel_stats(col("p"))
+    val j = jpeg_pixel_stats(col("p"))
     val keyed = sniffed.withColumn("key",
       when(col("kind") === "image/png", png_ahash(col("p")).cast("string"))
         .when(col("kind") === "image/bmp",
@@ -685,7 +698,12 @@ object Multimodal {
             b.getField("sum_b"), b.getField("sum_g"), b.getField("sum_r"),
             b.getField("peak_b"), b.getField("peak_g"), b.getField("peak_r"))))
         .when(col("kind") === "audio/wav", wav_audio_fp(col("p")).cast("string"))
-        .when(col("kind") === "text/gzip", md5(gunzip_text(col("p")))))
+        .when(col("kind") === "text/gzip", md5(gunzip_text(col("p"))))
+        .when(col("kind") === "image/jpeg",
+          md5(concat_ws("|",
+            j.getField("width"), j.getField("height"), j.getField("n_px"),
+            j.getField("sum_c0"), j.getField("sum_c1"), j.getField("sum_c2"),
+            j.getField("peak_c0"), j.getField("peak_c1"), j.getField("peak_c2")))))
       .select(col("doc_id"), col("kind"), col("key"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("kind"), col("key"))
@@ -1183,19 +1201,21 @@ object Multimodal {
       audioNearDups(withWavContentContainers(Tables.documents(s, d))))
 
   /** The oracle knows which kind each doc_id CARRIES (the generator's
-    * mod-4 rule) and that kind's canonical stat formula — the Spark
+    * mod-5 rule) and that kind's canonical stat formula — the Spark
     * side must recover both from the BYTES alone (magic sniff, then
     * the kind's real decoder), so a mis-route, a magic collision, or a
     * wrong decoder output all hash-fail. */
   private val SniffOracleSql: String =
     """SELECT doc_id,
-      |  CASE CAST(doc_id % 4 AS INT)
+      |  CASE CAST(doc_id % 5 AS INT)
       |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
-      |    WHEN 2 THEN 'audio/wav' ELSE 'text/gzip' END AS kind,
-      |  CAST(CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 2 THEN 'audio/wav' WHEN 4 THEN 'image/jpeg'
+      |    ELSE 'text/gzip' END AS kind,
+      |  CAST(CASE CAST(doc_id % 5 AS INT)
       |    WHEN 0 THEN (length(text) % 80 + 1) * (length(text) % 60 + 1)
       |    WHEN 1 THEN (length(text) % 64 + 1) * (length(text) % 48 + 1)
       |    WHEN 2 THEN length(text)
+      |    WHEN 4 THEN (length(text) % 80 + 1) * (length(text) % 60 + 1)
       |    ELSE length(text) END AS BIGINT) AS stat
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -1207,17 +1227,29 @@ object Multimodal {
         .orderBy(col("doc_id")))
 
   /** The oracle re-derives every kind's duplicate key from (doc_id mod
-    * 4, text) by the generator formulas — the PNG aHash, BMP per-channel
-    * sum/peak digest, and WAV energy-fingerprint constructions above,
-    * restricted to each kind's docs — and elects survivors with the same
-    * (kind, key) min-id window. The Spark side must reproduce keeper
-    * elections through sniff + four REAL decoders, so a mis-route, a
-    * decode bug, or a digest field-order slip all hash-fail. */
+    * 5, text) by the generator formulas — the PNG aHash, BMP per-channel
+    * sum/peak digest, WAV energy-fingerprint, and JPEG decoded-RGB
+    * digest constructions above, restricted to each kind's docs — and
+    * elects survivors with the same (kind, key) min-id window. The
+    * Spark side must reproduce keeper elections through sniff + five
+    * REAL decoders, so a mis-route, a decode bug, or a digest
+    * field-order slip all hash-fail. */
   private val MixedDedupOracleSql: String = {
     val raw = "((2*k*7 + L) % 251) + 256*(((2*k+1)*7 + L) % 251)"
     def bmpChan(expr: String) =
       s"""flatten(list_transform(generate_series(0, h - 1), y ->
          |      list_transform(generate_series(0, w - 1), x -> $expr)))""".stripMargin
+    // JPEG: the JpegPixelsOracle arithmetic, content-seeded (L)
+    val jy = "((L + 7*bx + 13*by) % 256)"
+    val jcb = "((L + 11*(bx//2) + 3*(by//2)) % 256)"
+    val jcr = "((L + 5*(bx//2) + 17*(by//2)) % 256)"
+    val jr = s"greatest(0, least(255, $jy + ((91881*($jcr - 128) + 32768 + 16777216) >> 16) - 256))"
+    val jg = s"greatest(0, least(255, $jy - ((22554*($jcb - 128) + 46802*($jcr - 128) + 32768 + 33554432) >> 16) + 512))"
+    val jb = s"greatest(0, least(255, $jy + ((116130*($jcb - 128) + 32768 + 16777216) >> 16) - 256))"
+    val jvis = "(least(8, w - 8*bx) * least(8, h - 8*by))"
+    def jBlocks(expr: String) =
+      s"""flatten(list_transform(range((h + 7) // 8), by ->
+         |      list_transform(range((w + 7) // 8), bx -> $expr)))""".stripMargin
     s"""WITH
        |pimg AS (
        |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 62),
@@ -1232,7 +1264,7 @@ object Multimodal {
        |        SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) % 80 + 1 AS BIGINT) AS w,
        |          CAST(length(text) % 60 + 1 AS BIGINT) AS h
-       |        FROM documents WHERE doc_id % 4 = 0)))),
+       |        FROM documents WHERE doc_id % 5 = 0)))),
        |bstat AS (
        |  SELECT doc_id, w, h,
        |    ${bmpChan("(L + 7*x + 13*y) % 251")} AS bs,
@@ -1241,7 +1273,20 @@ object Multimodal {
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |      CAST(length(text) % 64 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 48 + 1 AS BIGINT) AS h
-       |    FROM documents WHERE doc_id % 4 = 1)),
+       |    FROM documents WHERE doc_id % 5 = 1)),
+       |jkey AS (
+       |  SELECT doc_id, md5(
+       |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
+       |    || '|' || CAST(CAST(list_sum(${jBlocks(s"$jr * $jvis")}) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_sum(${jBlocks(s"$jg * $jvis")}) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_sum(${jBlocks(s"$jb * $jvis")}) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_max(${jBlocks(jr)}) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_max(${jBlocks(jg)}) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_max(${jBlocks(jb)}) AS BIGINT) AS VARCHAR)) AS key
+       |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+       |      CAST(length(text) % 80 + 1 AS BIGINT) AS w,
+       |      CAST(length(text) % 60 + 1 AS BIGINT) AS h
+       |    FROM documents WHERE doc_id % 5 = 4)),
        |bkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
@@ -1260,7 +1305,7 @@ object Multimodal {
        |           ELSE CAST($raw AS BIGINT) * ($raw) END) AS ss
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) AS BIGINT) AS n
-       |        FROM documents WHERE doc_id % 4 = 2)),
+       |        FROM documents WHERE doc_id % 5 = 2)),
        |es AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(0, 62), w ->
@@ -1279,7 +1324,9 @@ object Multimodal {
        |  UNION ALL
        |  SELECT doc_id, 'audio/wav', CAST(afp AS VARCHAR) FROM paud
        |  UNION ALL
-       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 4 = 3)
+       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 5 = 3
+       |  UNION ALL
+       |  SELECT doc_id, 'image/jpeg', key FROM jkey)
        |SELECT doc_id, kind,
        |  min(doc_id) OVER (PARTITION BY kind, key) AS keeper_id,
        |  doc_id > min(doc_id) OVER (PARTITION BY kind, key) AS is_dup

@@ -84,12 +84,14 @@ class AudioDedupSpec extends SparkSpec {
       Tables.documents(spark, sf()))).collect()
     assert(out.nonEmpty)
     val expectKind = Map(0 -> "image/png", 1 -> "image/bmp",
-      2 -> "audio/wav", 3 -> "text/gzip")
+      2 -> "audio/wav", 3 -> "text/gzip", 4 -> "image/jpeg")
     out.foreach { r =>
       val id = r.getLong(0)
-      assert(r.getString(1) === expectKind((id % 4).toInt), s"doc $id")
+      assert(r.getString(1) === expectKind((id % 5).toInt), s"doc $id")
       assert(r.getLong(2) >= 0L, s"doc $id decoded stat must be valid")
     }
+    // the round-10 kind is actually present in the routed corpus
+    assert(out.exists(_.getString(1) == "image/jpeg"))
   }
 
   test("mixed dedup: survivor election is consistent, kind-scoped, and layout-stable") {
