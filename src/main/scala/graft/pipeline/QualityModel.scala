@@ -71,20 +71,25 @@ object QualityModel {
     s"(1024 * (length(bin($x)) - 1) + " +
       s"((($x) * 1024) >> (length(bin($x)) - 1)) - 1024)"
 
-  /** (doc_id, n_tokens, weak_label, score, predicted) for every doc —
-    * public so the crafted-distribution spec can drive planted
-    * corpora through the full train+score path. */
-  def scoreOf(docs: DataFrame): DataFrame = {
-    val lab = docs
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast(LongType).as("n_tokens"),
-        (lit(16L) * hits(col("toks")) >=
-          size(col("toks")).cast(LongType)).as("weak_label"))
-    val tok = lab.select(col("doc_id"), col("weak_label"),
-      explode(col("toks")).as("token"))
-    // train: one token-keyed shuffle, conditional sums = per-class
-    // occurrence counts with map-side combine
+  /** (doc_id, toks, n_tokens, weak_label) — the labeled view both
+    * training and scoring read. */
+  private def labeled(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), toks(col("text")).as("toks"))
+    .select(col("doc_id"), col("toks"),
+      size(col("toks")).cast(LongType).as("n_tokens"),
+      (lit(16L) * hits(col("toks")) >=
+        size(col("toks")).cast(LongType)).as("weak_label"))
+
+  /** Train on a corpus: the vocab-sized (token, llr) weight table plus
+    * a 1-row (prior, unseen) constants frame. `unseen` is the weight of
+    * a token the training corpus never saw — Laplace +1 on both
+    * classes: `ilog(N_neg+V) - ilog(N_pos+V)` — so split-trained
+    * scoring stays total over any input. */
+  def train(docs: DataFrame): (DataFrame, DataFrame) = {
+    val lab = labeled(docs)
+    val tok = lab.select(col("weak_label"), explode(col("toks")).as("token"))
+    // one token-keyed shuffle, conditional sums = per-class occurrence
+    // counts with map-side combine
     val cnt = tok.groupBy(col("token")).agg(
       coalesce(sum(when(col("weak_label"), 1L)), lit(0L)).as("cp"),
       coalesce(sum(when(!col("weak_label"), 1L)), lit(0L)).as("cn"))
@@ -94,19 +99,71 @@ object QualityModel {
     val dc = lab.agg(
       coalesce(sum(when(col("weak_label"), 1L)), lit(0L)).as("dp"),
       coalesce(sum(when(!col("weak_label"), 1L)), lit(0L)).as("dn"))
-    // model = vocab-sized weight table; totals are a 1-row broadcast
     val w = cnt.crossJoin(broadcast(tot)).select(col("token"),
       ((ilog(col("cp") + 1) - ilog(col("np") + col("v"))) -
         (ilog(col("cn") + 1) - ilog(col("nn") + col("v")))).as("llr"))
-    // score: explode + BROADCAST model join + doc-keyed re-agg
-    val s = tok.join(broadcast(w), "token")
-      .groupBy(col("doc_id")).agg(sum(col("llr")).as("tok_score"))
-    lab.join(s, Seq("doc_id"), "left").crossJoin(broadcast(dc))
+    val consts = dc.crossJoin(tot).select(
+      (ilog(col("dp")) - ilog(col("dn"))).as("prior"),
+      (ilog(col("nn") + col("v")) - ilog(col("np") + col("v"))).as("unseen"))
+    (w, consts)
+  }
+
+  /** Score a corpus against a trained model: explode + BROADCAST model
+    * join + doc-keyed re-agg (map-side combinable). Unseen tokens fall
+    * back to the `unseen` weight via the left join's coalesce. */
+  def scoreWith(w: DataFrame, consts: DataFrame, docs: DataFrame): DataFrame = {
+    val lab = labeled(docs)
+    val s = lab.select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(broadcast(w), Seq("token"), "left")
+      .crossJoin(broadcast(consts.select(col("unseen"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("llr"), col("unseen"))).as("tok_score"))
+    lab.join(s, Seq("doc_id"), "left")
+      .crossJoin(broadcast(consts.select(col("prior"))))
       .select(col("doc_id"), col("n_tokens"), col("weak_label"),
-        ((ilog(col("dp")) - ilog(col("dn"))) +
-          coalesce(col("tok_score"), lit(0L))).cast(LongType).as("score"))
+        (col("prior") + coalesce(col("tok_score"), lit(0L)))
+          .cast(LongType).as("score"))
       .withColumn("predicted", col("score") > 0)
       .orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, n_tokens, weak_label, score, predicted) for every doc,
+    * self-trained — public so the crafted-distribution spec can drive
+    * planted corpora through the full train+score path. */
+  def scoreOf(docs: DataFrame): DataFrame = {
+    val (w, consts) = train(docs)
+    scoreWith(w, consts, docs)
+  }
+
+  /** The trained model as a DRIVER-SIDE artifact: (token→llr map,
+    * prior, unseen). The model is vocab-sized — bounded and tiny next
+    * to the corpus — which is exactly what makes a learned filter
+    * deployable in a streaming ingest: ship the weights, score each
+    * row statelessly. (The collect here is the model-artifact export
+    * path, not a data path.) */
+  def trainArtifact(docs: DataFrame): (Map[String, Long], Long, Long) = {
+    val (w, consts) = train(docs)
+    val wm = w.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c = consts.head()
+    (wm, c.getLong(0), c.getLong(1))
+  }
+
+  /** Stateless per-row scoring against a shipped model artifact — the
+    * STREAMING form: a literal token→weight map + a higher-order fold
+    * over the token array, zero shuffles, zero state; works unchanged
+    * on a streaming DataFrame in append mode. Exactly the arithmetic
+    * of [[scoreWith]] (spec-pinned equality). */
+  def scoreRows(docs: DataFrame, weights: Map[String, Long], prior: Long,
+      unseen: Long): DataFrame = {
+    val wmap = typedlit(weights)
+    docs
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        (lit(prior) + aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + coalesce(element_at(wmap, t), lit(unseen))))
+          .cast(LongType).as("score"))
+      .withColumn("predicted", col("score") > 0)
   }
 
   /** Oracle: the identical weak labeling, NB counts, fixed-point
@@ -189,5 +246,59 @@ object QualityModel {
       .select(col("doc_id"), col("n_tokens"), col("score"))
       .orderBy(col("doc_id")))
 
-  def all: Seq[Q] = Seq(scoreQ, filterQ)
+  /** Split-trained gate — the batch twin of the STREAMING quality
+    * filter (Streams.qualityGate): the model trains on the STANDING
+    * corpus (doc_id % 10 <> 7, the stored-model discipline of
+    * d_dedup_incremental), and the INGEST BATCH (doc_id % 10 = 7)
+    * is scored against it — the production shape where a trained
+    * filter gates new data it never saw. Unseen tokens fall back to
+    * the Laplace unseen weight on both engines. */
+  val gateQ: Q = Q(
+    "st_quality_model_gate",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |lab AS (SELECT doc_id, toks,
+            |    CAST(len(toks) AS BIGINT) AS n_tokens,
+            |    16 * $hitsSql >= len(toks) AS weak_label
+            |  FROM t),
+            |tok AS (SELECT weak_label, unnest(toks) AS token
+            |  FROM lab WHERE doc_id % 10 <> 7),
+            |cnt AS (SELECT token,
+            |    CAST(coalesce(sum(CASE WHEN weak_label THEN 1 END), 0) AS BIGINT) AS cp,
+            |    CAST(coalesce(sum(CASE WHEN NOT weak_label THEN 1 END), 0) AS BIGINT) AS cn
+            |  FROM tok GROUP BY token),
+            |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+            |    CAST(sum(cn) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS v
+            |  FROM cnt),
+            |dc AS (SELECT
+            |    CAST(coalesce(sum(CASE WHEN weak_label THEN 1 END), 0) AS BIGINT) AS dp,
+            |    CAST(coalesce(sum(CASE WHEN NOT weak_label THEN 1 END), 0) AS BIGINT) AS dn
+            |  FROM lab WHERE doc_id % 10 <> 7),
+            |w AS (SELECT token,
+            |    (${ilogSql("cp + 1")} - ${ilogSql("np + v")})
+            |      - (${ilogSql("cn + 1")} - ${ilogSql("nn + v")}) AS llr
+            |  FROM cnt, tot),
+            |btok AS (SELECT doc_id, unnest(toks) AS token
+            |  FROM lab WHERE doc_id % 10 = 7),
+            |s AS (SELECT btok.doc_id,
+            |    CAST(sum(coalesce(w.llr,
+            |      ${ilogSql("nn + v")} - ${ilogSql("np + v")})) AS BIGINT) AS tok_score
+            |  FROM btok LEFT JOIN w USING (token), tot
+            |  GROUP BY btok.doc_id),
+            |p AS (SELECT (${ilogSql("dp")} - ${ilogSql("dn")}) AS prior FROM dc)
+            |SELECT lab.doc_id, lab.n_tokens,
+            |  CAST(p.prior + coalesce(s.tok_score, 0) AS BIGINT) AS score,
+            |  p.prior + coalesce(s.tok_score, 0) > 0 AS predicted
+            |FROM lab LEFT JOIN s USING (doc_id), p
+            |WHERE lab.doc_id % 10 = 7
+            |ORDER BY lab.doc_id""".stripMargin),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val (w, consts) = train(docs.filter(col("doc_id") % 10 =!= 7))
+      scoreWith(w, consts, docs.filter(col("doc_id") % 10 === 7))
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          col("predicted"))
+        .orderBy(col("doc_id"))
+    })
+
+  def all: Seq[Q] = Seq(scoreQ, filterQ, gateQ)
 }

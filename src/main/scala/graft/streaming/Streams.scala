@@ -164,6 +164,19 @@ object Streams {
           .cast(LongType).as("n_chars"))
   }
 
+  /** Streaming learned-quality gate — the quality model's streaming
+    * form: the naive-Bayes model trains OFFLINE on the standing corpus
+    * (QualityModel.trainArtifact — a vocab-sized token→weight map),
+    * ships to the stream as a literal broadcast artifact, and every
+    * incoming document is scored by a stateless higher-order fold over
+    * its token array (zero shuffles, zero state store, append mode) —
+    * the CCNet-style filter as it actually runs at ingest. Twin of the
+    * registered `st_quality_model_gate` batch query; StreamingSpec
+    * proves row equality across micro-batches. */
+  def qualityGate(docs: DataFrame, weights: Map[String, Long],
+      prior: Long, unseen: Long): DataFrame =
+    graft.pipeline.QualityModel.scoreRows(docs, weights, prior, unseen)
+
   /** Stream-static enrichment join: every micro-batch of the event
     * stream probes the static customer dimension, broadcast to the
     * executors — the standard at-ingest enrichment pattern (attach

@@ -75,6 +75,24 @@ class QualityModelSpec extends SparkSpec {
     assert(kept === Set(0L, 1L, 2L, 3L, 8L))
   }
 
+  test("split training: unseen tokens take the Laplace fallback; artifact scorer agrees exactly") {
+    import spark.implicits._
+    val (w, consts) = QualityModel.train(corpus)
+    val (wm, prior, unseen) = QualityModel.trainArtifact(corpus)
+    // a batch doc whose tokens the training corpus never saw
+    val probe = Seq((100L, "neverseen neverseen"),
+      (101L, "gold neverseen")).toDF("doc_id", "text")
+    val got = QualityModel.scoreWith(w, consts, probe).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(100L) === prior + 2 * unseen)
+    assert(got(101L) === prior + wm("gold") + unseen)
+    // the stateless literal-map scorer (the streaming form) computes
+    // the IDENTICAL integers
+    val rowGot = QualityModel.scoreRows(probe, wm, prior, unseen).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rowGot === got)
+  }
+
   test("ilog twin sanity: exact at powers of two, monotone between") {
     assert(ilog(1) === 0L)
     assert(ilog(2) === 1024L)

@@ -460,4 +460,43 @@ class StreamingSpec extends SparkSpec {
     // nothing from micro-batch 2 leaked through the seen set
     assert(got.map(_._1) === pairMin)
   }
+
+  test("quality gate: stateless model scoring over micro-batches == batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.QualityModel
+
+    val docs = Tables.documents(spark, sf())
+    // train OFFLINE on the standing corpus, ship the artifact
+    val (weights, prior, unseen) =
+      QualityModel.trainArtifact(docs.filter(col("doc_id") % 10 =!= 7))
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (m1, m2) = batch.splitAt(batch.length / 2)
+
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.qualityGate(
+        input.toDF().toDF("doc_id", "text"), weights, prior, unseen)
+      .writeStream.format("memory").queryName("quality_gate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(m1.toSeq)
+      q.processAllAvailable()
+      input.addData(m2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Boolean)] =
+      df.select("doc_id", "n_tokens", "score", "predicted").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val got = rows(spark.table("quality_gate_out"))
+    val want = rows(graft.registry.Registry.byName("st_quality_model_gate")
+      .run(spark, sf()))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the stateless literal-map fold and the distributed broadcast-join
+    // scorer are the SAME arithmetic: scores agree value for value
+    assert(got.exists(_._4) || got.exists(!_._4))
+  }
 }
