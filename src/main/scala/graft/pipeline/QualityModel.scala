@@ -80,12 +80,13 @@ object QualityModel {
       (lit(16L) * hits(col("toks")) >=
         size(col("toks")).cast(LongType)).as("weak_label"))
 
-  /** Train on a corpus: the vocab-sized (token, llr) weight table plus
-    * a 1-row (prior, unseen) constants frame. `unseen` is the weight of
-    * a token the training corpus never saw — Laplace +1 on both
-    * classes: `ilog(N_neg+V) - ilog(N_pos+V)` — so split-trained
-    * scoring stays total over any input. */
-  def train(docs: DataFrame): (DataFrame, DataFrame) = {
+  /** The model's SUFFICIENT STATISTICS — per-token class counts plus
+    * per-class doc counts. Everything downstream (weights, prior,
+    * unseen) derives from these, and they are ADDITIVE: counts(A ∪ B)
+    * = mergeCounts(counts(A), counts(B)) exactly, which is what makes
+    * the model incrementally updatable (a new ingest batch folds into
+    * the stored statistics without re-reading the standing corpus). */
+  def trainCounts(docs: DataFrame): (DataFrame, DataFrame) = {
     val lab = labeled(docs)
     val tok = lab.select(col("weak_label"), explode(col("toks")).as("token"))
     // one token-keyed shuffle, conditional sums = per-class occurrence
@@ -93,12 +94,31 @@ object QualityModel {
     val cnt = tok.groupBy(col("token")).agg(
       coalesce(sum(when(col("weak_label"), 1L)), lit(0L)).as("cp"),
       coalesce(sum(when(!col("weak_label"), 1L)), lit(0L)).as("cn"))
-    val tot = cnt.agg(
-      sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
-      count(lit(1)).as("v"))
     val dc = lab.agg(
       coalesce(sum(when(col("weak_label"), 1L)), lit(0L)).as("dp"),
       coalesce(sum(when(!col("weak_label"), 1L)), lit(0L)).as("dn"))
+    (cnt, dc)
+  }
+
+  /** Fold one corpus's statistics into another's — token-keyed outer
+    * merge + 1-row doc-count add. Cost is O(vocab), never O(corpus):
+    * this is the model-update a standing pipeline runs per batch. */
+  def mergeCounts(a: (DataFrame, DataFrame),
+      b: (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val cnt = a._1.union(b._1)
+      .groupBy(col("token"))
+      .agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn"))
+    val dc = a._2.union(b._2)
+      .agg(sum(col("dp")).as("dp"), sum(col("dn")).as("dn"))
+    (cnt, dc)
+  }
+
+  /** Weights + constants from the sufficient statistics. */
+  def modelFromCounts(counts: (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val (cnt, dc) = counts
+    val tot = cnt.agg(
+      sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+      count(lit(1)).as("v"))
     val w = cnt.crossJoin(broadcast(tot)).select(col("token"),
       ((ilog(col("cp") + 1) - ilog(col("np") + col("v"))) -
         (ilog(col("cn") + 1) - ilog(col("nn") + col("v")))).as("llr"))
@@ -107,6 +127,14 @@ object QualityModel {
       (ilog(col("nn") + col("v")) - ilog(col("np") + col("v"))).as("unseen"))
     (w, consts)
   }
+
+  /** Train on a corpus: the vocab-sized (token, llr) weight table plus
+    * a 1-row (prior, unseen) constants frame. `unseen` is the weight of
+    * a token the training corpus never saw — Laplace +1 on both
+    * classes: `ilog(N_neg+V) - ilog(N_pos+V)` — so split-trained
+    * scoring stays total over any input. */
+  def train(docs: DataFrame): (DataFrame, DataFrame) =
+    modelFromCounts(trainCounts(docs))
 
   /** Score a corpus against a trained model: explode + BROADCAST model
     * join + doc-keyed re-agg (map-side combinable). Unseen tokens fall
@@ -300,5 +328,25 @@ object QualityModel {
         .orderBy(col("doc_id"))
     })
 
-  def all: Seq[Q] = Seq(scoreQ, filterQ, gateQ)
+  /** Incremental model update — the NB statistics are additive, so a
+    * new ingest batch folds into the STORED statistics in O(vocab)
+    * without re-reading the standing corpus, and the refreshed model
+    * must equal a full retrain EXACTLY (not approximately — same
+    * integers). The query proves it end to end: standing counts +
+    * batch counts merged, full corpus scored with the merged model —
+    * and the oracle is t_quality_model_score's full-retrain replay
+    * verbatim, so merge == retrain is the hash gate itself. */
+  val incrementalQ: Q = Q(
+    "t_quality_model_incremental",
+    Some(scoreOracle),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merged = mergeCounts(
+        trainCounts(docs.filter(col("doc_id") % 10 =!= 7)),
+        trainCounts(docs.filter(col("doc_id") % 10 === 7)))
+      val (w, consts) = modelFromCounts(merged)
+      scoreWith(w, consts, docs)
+    })
+
+  def all: Seq[Q] = Seq(scoreQ, filterQ, gateQ, incrementalQ)
 }

@@ -93,6 +93,31 @@ class QualityModelSpec extends SparkSpec {
     assert(rowGot === got)
   }
 
+  test("incremental update: merged sufficient statistics equal a full retrain exactly") {
+    import org.apache.spark.sql.functions.col
+    val standing = corpus.filter(col("doc_id") < 8)
+    val batch = corpus.filter(col("doc_id") >= 8)
+    val merged = QualityModel.mergeCounts(
+      QualityModel.trainCounts(standing), QualityModel.trainCounts(batch))
+    val full = QualityModel.trainCounts(corpus)
+    def cntMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cntMap(merged._1) === cntMap(full._1))
+    assert(merged._2.head() === full._2.head())
+    // an empty batch is a no-op fold
+    val noop = QualityModel.mergeCounts(
+      QualityModel.trainCounts(corpus),
+      QualityModel.trainCounts(corpus.filter(col("doc_id") < 0)))
+    assert(cntMap(noop._1) === cntMap(full._1))
+    // and the merged MODEL scores identically to the self-trained one
+    val (w, c) = QualityModel.modelFromCounts(merged)
+    val a = QualityModel.scoreWith(w, c, corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val b = QualityModel.scoreOf(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(a === b)
+  }
+
   test("ilog twin sanity: exact at powers of two, monotone between") {
     assert(ilog(1) === 0L)
     assert(ilog(2) === 1024L)
