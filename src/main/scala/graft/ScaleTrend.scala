@@ -103,7 +103,11 @@ object ScaleTrend {
     "g_components_incremental",
     // round 10: JPEG baseline decode — entropy-coded narrow map, the
     // per-doc cost rides pixel count like the PNG twin
-    "m_jpeg_decode", "m_jpeg_pixels")
+    "m_jpeg_decode", "m_jpeg_pixels",
+    // round 10: split-trained gate (train standing + score batch) and
+    // the O(vocab) incremental statistics merge — both ride the
+    // token-keyed train shuffle linearly
+    "st_quality_model_gate", "t_quality_model_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.functions.{BmpCodec, FrameCodec, PngCodec, WavCodec}
+import graft.functions.{BmpCodec, FrameCodec, JpegCodec, PngCodec, WavCodec}
 
 /** Fuzz the binary codecs' never-throw contract: for ARBITRARY bytes —
   * random blobs, random mutations of valid files, random truncations —
@@ -33,7 +33,11 @@ class CodecFuzzSpec extends SparkSpec {
     "png_ahash" -> (b => PngCodec.aHash63(b)),
     "bmp_pixels" -> (b => BmpCodec.pixelStatsRaw(b)),
     "wav_audio_fp" -> (b => WavCodec.audioFp63(b)),
-    "gunzip" -> (b => graft.functions.GzipCodec.gunzip(b)))
+    "gunzip" -> (b => graft.functions.GzipCodec.gunzip(b)),
+    // round 10: the JPEG path crosses an ENTROPY-CODED boundary — the
+    // bit-level Huffman walk is the family's most corruption-sensitive
+    "jpeg" -> (b => JpegCodec.parseHeaderRaw(b)),
+    "jpeg_pixels" -> (b => JpegCodec.pixelStatsRaw(b)))
 
   test("random blobs never throw through any codec parse (200 seeded cases)") {
     (1L to 200L).foreach { seed =>
@@ -53,6 +57,7 @@ class CodecFuzzSpec extends SparkSpec {
       BmpCodec.encode(13, 9, 42L),
       WavCodec.encode(16000, 2, 50, 7L),
       PngCodec.encode(13, 9, 2, 42L),
+      JpegCodec.encode(13, 9, 3, 42L),
       graft.functions.GzipCodec.gzip("fuzz this member".getBytes("UTF-8")))
     (1L to 300L).foreach { seed =>
       val v = valids((seed % valids.length).toInt)
@@ -82,6 +87,7 @@ class CodecFuzzSpec extends SparkSpec {
       BmpCodec.encode(7, 5, 3L),
       WavCodec.encode(8000, 1, 20, 1L),
       PngCodec.encode(7, 5, 6, 3L),
+      JpegCodec.encode(7, 5, 1, 3L),
       graft.functions.GzipCodec.gzip("truncate this member".getBytes("UTF-8")))
     (1L to 150L).foreach { seed =>
       val v = valids((seed % valids.length).toInt)
