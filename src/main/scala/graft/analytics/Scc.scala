@@ -126,16 +126,16 @@ object Scc {
     trim()
     while (nActive > 0) {
       outer += 1
-      // 1. forward max flood to fixpoint, TWO propagation steps per
-      // checkpoint (round 10, the job-count cut): a superstep loop's
-      // driver-side cost is jobs x scheduler round-trip (Bench's
-      // job_rt_ms), and each ckpt+count pair is two jobs — chaining two
-      // flood steps into one materialized plan halves them. The plan
-      // stays depth-2 (bounded, AQE off per LoopConf), total shuffle
-      // WORK is unchanged, and convergence stays sound: if the second
-      // step changed nothing the state equals its fixpoint regardless
-      // of what the first step did (monotone + idempotent), so exiting
-      // on the LAST step's chg flag alone is exact.
+      // 1. forward max flood to fixpoint. NEGATIVE RESULT, measured
+      // and kept (round 10): chaining TWO flood steps per checkpoint
+      // cut jobs 79 -> 74 but RAISED warm wall 6.9s -> 8.2s at sf0.1 —
+      // each step consumes its input twice (incoming build + state
+      // join), so the un-checkpointed inner step re-evaluates its
+      // whole subtree inside the outer one, and the doubled
+      // propagation work outweighs the halved scheduler round-trips.
+      // One step per checkpoint is the measured optimum; the job-RT
+      // exposure is attributed instead (contract rounds x host
+      // job_rt_ms).
       def fwdStep(color: DataFrame): DataFrame = {
         val incoming = color.join(edges, col("id") === col("src"))
           .groupBy(col("dst")).agg(max(col("c")).as("mc"))
@@ -151,9 +151,8 @@ object Scc {
       var changed = 1L
       var fwd = 0
       while (changed > 0) {
-        fwd += 2
-        val nextFull = ckpt(
-          fwdStep(fwdStep(color).select(col("id"), col("c"))))
+        fwd += 1
+        val nextFull = ckpt(fwdStep(color))
         changed = nextFull.filter(col("chg")).count()
         free(colorFull); colorFull = nextFull
         color = colorFull.select(col("id"), col("c"))
@@ -161,10 +160,9 @@ object Scc {
       maxFwd = math.max(maxFwd, fwd)
       // 2+3. backward flood inside color classes from the roots
       // u joins when some edge u->w has w a member and color(u)==color(w);
-      // two membership steps per checkpoint, same stride-2 rationale as
-      // the forward flood (union-distinct is monotone and idempotent,
-      // so an unchanged row count after the chained pair is the exact
-      // fixpoint test)
+      // one membership step per checkpoint (the stride-2 negative
+      // result above applies here identically — member is consumed
+      // twice per step)
       def bwdStep(member: DataFrame): DataFrame = {
         val newFrontier = member.select(col("id").as("dst"), col("c"))
           .join(edges, "dst")
@@ -180,8 +178,8 @@ object Scc {
       changed = 1L
       var bwd = 0
       while (changed > 0) {
-        bwd += 2
-        val nextM = ckpt(bwdStep(bwdStep(member)))
+        bwd += 1
+        val nextM = ckpt(bwdStep(member))
         val nNext = nextM.count()
         // carry the previous count in a var — re-counting the cached
         // previous checkpoint was one more scheduler round-trip per round
