@@ -15,8 +15,12 @@ package graft.functions
   *  - 1 component (grayscale, 1x1) or 3 components (YCbCr, 2x2/1x1/1x1
   *    = 4:2:0); other counts/sampling factors null;
   *  - 8-bit DQT entries (Pq=0), Ss=0/Se=63/AhAl=0 scan header;
-  *  - no progressive (SOF2), no arithmetic coding, no DRI/RSTn, no
-  *    12-bit — all null, documented out of contract.
+  *  - DRI/RSTn restart intervals SUPPORTED (round 10): predictors
+  *    reset at each byte-aligned RSTm, markers must arrive in
+  *    sequence (an out-of-order RST is corrupt — lost-MCU detection,
+  *    the point of restarts);
+  *  - no progressive (SOF2), no arithmetic coding, no 12-bit — null,
+  *    documented out of contract.
   *
   * EXACTNESS DESIGN (what makes a LOSSY codec oracle-checkable): the
   * generator plants CONSTANT 8x8 blocks. The FDCT of a constant block
@@ -136,9 +140,14 @@ object JpegCodec {
         i -= 1
       }
     }
-    /** 1-fill pad to a byte boundary (T.81 F.1.2.3). */
-    def flush(): Array[Byte] = {
+    /** 1-fill pad to a byte boundary (T.81 F.1.2.3); a 0xFF pad byte
+      * is stuffed like any data byte. */
+    def align(): Unit =
       if (nBits > 0) put((1 << (8 - nBits)) - 1, 8 - nBits)
+    /** Raw marker bytes (no stuffing) — call only after [[align]]. */
+    def raw(b1: Int, b2: Int): Unit = { buf.write(b1); buf.write(b2) }
+    def flush(): Array[Byte] = {
+      align()
       buf.toByteArray
     }
   }
@@ -172,6 +181,23 @@ object JpegCodec {
         k -= 1
       }
       v
+    }
+
+    /** Restart-marker sync (T.81 §E.2.4): drop partial-byte bits, skip
+      * the (stuffed) pad byte if present, and consume exactly the
+      * EXPECTED RSTm — an out-of-sequence or missing marker is corrupt
+      * (lost-MCU detection, the point of restarts). */
+    def restart(expected: Int): Boolean = {
+      nBits = 0
+      var guard = 0
+      while (pos + 1 < b.length && guard < 4) {
+        if ((b(pos) & 0xFF) != 0xFF) return false
+        val y = b(pos + 1) & 0xFF
+        if (y == 0x00) { pos += 2; guard += 1 } // stuffed pad byte
+        else if (y == 0xD0 + expected) { pos += 2; return true }
+        else return false
+      }
+      false
     }
   }
 
@@ -292,11 +318,18 @@ object JpegCodec {
     *
     * `acPlant`: test hook (spec only) — plants quantized AC coefficient
     * +1 at zig-zag position 1 of every Y/gray block, exercising the
-    * run/size/extend path and a non-trivial IDCT. */
+    * run/size/extend path and a non-trivial IDCT.
+    *
+    * `restartInterval` > 0 emits a DRI segment and RSTn markers every
+    * that many MCUs (byte-aligned, DC predictors reset — T.81 §E.2.4,
+    * what real camera/libjpeg output does for error resilience); 0 =
+    * no restarts. Restart markers are TRANSPARENT to content: the
+    * decoded pixels are identical either way (spec-pinned). */
   def encode(width: Int, height: Int, channels: Int, seed: Long,
-      acPlant: Boolean = false): Array[Byte] = {
+      acPlant: Boolean = false, restartInterval: Int = 0): Array[Byte] = {
     if (width <= 0 || height <= 0) return null
     if (channels != 1 && channels != 3) return null
+    if (restartInterval < 0 || restartInterval > 0xFFFF) return null
     if (width.toLong * height > MaxPixels) return null
     val o = new java.io.ByteArrayOutputStream(1024)
     marker(o, 0xD8) // SOI
@@ -340,6 +373,12 @@ object JpegCodec {
       writeDht(o, 0, 1, DcBits, DcVals)
       writeDht(o, 1, 1, AcBits, AcVals)
     }
+    // DRI (optional)
+    if (restartInterval > 0) {
+      marker(o, 0xDD)
+      putU16(o, 4)
+      putU16(o, restartInterval)
+    }
     // SOS
     marker(o, 0xDA)
     putU16(o, 6 + 2 * channels)
@@ -358,6 +397,16 @@ object JpegCodec {
       java.util.Arrays.fill(zz, 0)
       zz(0) = v - 128 // quantized DC with q[DC]=8: round(8*(v-128)/8)
     }
+    var mcuSinceRst = 0
+    var rstIdx = 0
+    def maybeRestart(resetPred: () => Unit): Unit =
+      if (restartInterval > 0 && mcuSinceRst == restartInterval) {
+        w.align()
+        w.raw(0xFF, 0xD0 + rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        resetPred()
+        mcuSinceRst = 0
+      }
     if (channels == 1) {
       val bw = (width + 7) / 8
       val bh = (height + 7) / 8
@@ -366,9 +415,11 @@ object JpegCodec {
       while (by < bh) {
         var bx = 0
         while (bx < bw) {
+          maybeRestart(() => prev = 0)
           constBlock(blockY(seed, bx, by))
           if (acPlant) zz(1) = 1
           prev = encodeBlock(w, zz, prev, DcTable, AcTable)
+          mcuSinceRst += 1
           bx += 1
         }
         by += 1
@@ -379,6 +430,7 @@ object JpegCodec {
       var pY = 0; var pCb = 0; var pCr = 0
       var m = 0
       while (m < mx * my) {
+        maybeRestart(() => { pY = 0; pCb = 0; pCr = 0 })
         val cx = m % mx
         val cy = m / mx
         var sub = 0
@@ -394,6 +446,7 @@ object JpegCodec {
         pCb = encodeBlock(w, zz, pCb, DcTable, AcTable)
         constBlock(blockCr(seed, cx, cy))
         pCr = encodeBlock(w, zz, pCr, DcTable, AcTable)
+        mcuSinceRst += 1
         m += 1
       }
     }
@@ -427,6 +480,7 @@ object JpegCodec {
     val qSeen = new Array[Boolean](4)
     val dcT = new Array[HuffTable](4)
     val acT = new Array[HuffTable](4)
+    var restartInterval = 0
     var scanStart = -1
   }
 
@@ -531,7 +585,9 @@ object JpegCodec {
             }
             p.scanStart = segEnd
             return p
-          case 0xDD => return null // DRI out of contract
+          case 0xDD => // DRI — restart interval in MCUs (round 10)
+            if (len != 4) return null
+            p.restartInterval = u16(b, seg)
           case sof if sof >= 0xC1 && sof <= 0xCF && sof != 0xC4 && sof != 0xC8 =>
             return null // progressive/extended/arithmetic
           case _ => () // APPn, COM, others: skip
@@ -633,6 +689,14 @@ object JpegCodec {
     val blk = new Array[Int](64)
     val sums = new Array[Long](3)
     val peaks = new Array[Long](3)
+    var mcuSinceRst = 0
+    var rstIdx = 0
+    // true iff the scan is positioned correctly across a restart point
+    def syncRestart(): Boolean =
+      if (p.restartInterval > 0 && mcuSinceRst == p.restartInterval) {
+        if (!r.restart(rstIdx)) false
+        else { rstIdx = (rstIdx + 1) % 8; mcuSinceRst = 0; true }
+      } else true
     if (p.nComp == 1) {
       val qzz = p.quant(p.comps(0).tq)
       val dc = p.dcT(p.comps(0).td)
@@ -644,7 +708,10 @@ object JpegCodec {
       while (by < bh) {
         var bx = 0
         while (bx < bw) {
+          if (!syncRestart()) return null
+          if (mcuSinceRst == 0) prev = 0 // predictor resets at RST
           prev = decodeBlock(r, dc, ac, qzz, prev, blk)
+          mcuSinceRst += 1
           if (r.corrupt) return null
           val vw = math.min(8, w - bx * 8)
           val vh = math.min(8, h - by * 8)
@@ -675,6 +742,8 @@ object JpegCodec {
       var pY = 0; var pCb = 0; var pCr = 0
       var m = 0
       while (m < mx * my) {
+        if (!syncRestart()) return null
+        if (mcuSinceRst == 0) { pY = 0; pCb = 0; pCr = 0 }
         val cx = m % mx
         val cy = m / mx
         var sub = 0
@@ -707,6 +776,7 @@ object JpegCodec {
           System.arraycopy(blk, yy * 8, crPlane, (cy * 8 + yy) * cStride + cx * 8, 8)
           yy += 1
         }
+        mcuSinceRst += 1
         m += 1
       }
       // upsample (replication) + RGB + stats over visible pixels

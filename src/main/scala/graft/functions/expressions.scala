@@ -376,27 +376,40 @@ object PngPixelStats {
 }
 
 /** Synthesize a structurally complete baseline JFIF JPEG
-  * (JpegCodec.encode) from (width, height, channels, seed) — the LOSSY
-  * member of the media-producer family. NULL for invalid geometry or
-  * channel count. */
-case class EncodeJpeg(first: Expression, second: Expression,
-    third: Expression, fourth: Expression)
-    extends QuaternaryExpression {
+  * (JpegCodec.encode) from (width, height, channels, seed,
+  * restartInterval) — the LOSSY member of the media-producer family;
+  * restartInterval > 0 emits DRI + in-sequence RSTn markers. Five
+  * children, so it extends Expression directly with a hand-rolled
+  * codegen (the Unary..Quaternary helper bases stop at four). NULL for
+  * invalid geometry, channel count, or interval. */
+case class EncodeJpeg(children: Seq[Expression]) extends Expression {
+  require(children.length == 5, "encode_jpeg takes (w, h, ch, seed, dri)")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
-  override def nullSafeEval(w: Any, h: Any, ch: Any, s: Any): Any =
-    JpegCodec.encode(w.asInstanceOf[Int], h.asInstanceOf[Int],
-      ch.asInstanceOf[Int], s.asInstanceOf[Long])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (w, h, ch, s) => s"""
-       |${ev.value} = graft.functions.JpegCodec.encode($w, $h, $ch, $s, false);
-       |if (${ev.value} == null) { ${ev.isNull} = true; }
-     """.stripMargin)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else JpegCodec.encode(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
+      vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Long],
+      acPlant = false, restartInterval = vs(4).asInstanceOf[Int])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code = code"""
+       |${evs.map(_.code).mkString("\n")}
+       |boolean ${ev.isNull} = ${evs.map(_.isNull).mkString(" || ")};
+       |byte[] ${ev.value} = null;
+       |if (!${ev.isNull}) {
+       |  ${ev.value} = graft.functions.JpegCodec.encode(
+       |    ${evs(0).value}, ${evs(1).value}, ${evs(2).value},
+       |    ${evs(3).value}, false, ${evs(4).value});
+       |  if (${ev.value} == null) { ${ev.isNull} = true; }
+       |}""".stripMargin)
+  }
   override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression,
-      newThird: Expression, newFourth: Expression): EncodeJpeg =
-    copy(first = newFirst, second = newSecond, third = newThird,
-      fourth = newFourth)
+      newChildren: IndexedSeq[Expression]): EncodeJpeg =
+    copy(children = newChildren)
 }
 
 /** Parse the JPEG marker stream up to the scan header
@@ -774,12 +787,13 @@ object GraftFunctions {
     GraftColumnBridge.column(PngAHash(GraftColumnBridge.expression(bytes)))
 
   def encode_jpeg(width: Column, height: Column, channels: Column,
-      seed: Column): Column =
-    GraftColumnBridge.column(EncodeJpeg(
+      seed: Column, restartInterval: Column): Column =
+    GraftColumnBridge.column(EncodeJpeg(Seq(
       GraftColumnBridge.expression(width),
       GraftColumnBridge.expression(height),
       GraftColumnBridge.expression(channels),
-      GraftColumnBridge.expression(seed)))
+      GraftColumnBridge.expression(seed),
+      GraftColumnBridge.expression(restartInterval))))
 
   def parse_jpeg_header(bytes: Column): Column =
     GraftColumnBridge.column(ParseJpegHeader(GraftColumnBridge.expression(bytes)))
@@ -833,7 +847,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("png_pixel_stats", es => PngPixelStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bmp_pixel_stats", es => BmpPixelStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_ahash", es => PngAHash(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("encode_jpeg", es => EncodeJpeg(es(0), es(1), es(2), es(3)), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_jpeg", es => EncodeJpeg(es.take(5)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_jpeg_header", es => ParseJpegHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("jpeg_pixel_stats", es => JpegPixelStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_resample", es => PngResample(es(0), es(1), es(2)), "scala_udf")

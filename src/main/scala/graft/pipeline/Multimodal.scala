@@ -600,7 +600,7 @@ object Multimodal {
           col("doc_id").cast(LongType)))
       .when(col("doc_id") % 5 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
-          lit(3), col("doc_id").cast(LongType)))
+          lit(3), col("doc_id").cast(LongType), lit(0).cast("int")))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -666,7 +666,7 @@ object Multimodal {
         encode_wav(lit(8000), lit(1), ln.cast("int"), ln.cast(LongType)))
       .when(col("doc_id") % 5 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
-          lit(3), ln.cast(LongType)))
+          lit(3), ln.cast(LongType), lit(0).cast("int")))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -1386,7 +1386,12 @@ object Multimodal {
           (length(col("text")) % 80 + 1).cast("int"),
           (length(col("text")) % 60 + 1).cast("int"),
           when(col("doc_id") % 2 === 0, 3).otherwise(1).cast("int"),
-          col("doc_id").cast(LongType)),
+          col("doc_id").cast(LongType),
+          // every 7th-ish doc carries DRI/RSTn restarts (interval 2
+          // MCUs) — transparent to content (same oracle), but the
+          // decoder must resync and reset predictors to stay
+          // hash-green on that slice of the corpus
+          when(col("doc_id") % 7 === 3, 2).otherwise(0).cast("int")),
         lit(frameSize)).as("container"))
 
   /** Expression-path header decode: deframe, slice the FIRST frame,

@@ -124,6 +124,43 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(s(7) > constPeak + 1)
   }
 
+  test("restart markers (DRI/RSTn) are transparent to content and strictly sequenced") {
+    // identical decoded stats with and without restarts, across
+    // intervals that hit mid-row, per-MCU, and multi-row boundaries
+    for ((w, h, ch) <- Seq((33, 17, 3), (40, 24, 1), (17, 9, 1));
+         interval <- Seq(1, 2, 5)) {
+      val plain = JpegCodec.pixelStatsRaw(JpegCodec.encode(w, h, ch, 77L))
+      val rst = JpegCodec.pixelStatsRaw(
+        JpegCodec.encode(w, h, ch, 77L, restartInterval = interval))
+      assert(rst != null, s"${w}x$h ch=$ch dri=$interval failed to decode")
+      assert(rst.toSeq === plain.toSeq,
+        s"restarts must be content-transparent at ${w}x$h ch=$ch dri=$interval")
+    }
+    // header parse sees the same geometry through a DRI stream
+    assert(JpegCodec.parseHeaderRaw(
+      JpegCodec.encode(33, 17, 3, 5L, restartInterval = 2)).toSeq ===
+      Seq(33L, 17L, 3L, 36L))
+    // an out-of-sequence restart marker is CORRUPT, not resynced: find
+    // the first RST0 (FF D0 after SOS) and bump its index
+    val jpg = JpegCodec.encode(33, 17, 3, 5L, restartInterval = 1)
+    var i = 2
+    var sos = -1
+    while (sos < 0 && i + 1 < jpg.length) {
+      if ((jpg(i) & 0xFF) == 0xFF && (jpg(i + 1) & 0xFF) == 0xDA) sos = i
+      i += 1
+    }
+    var patched = false
+    i = sos
+    while (!patched && i + 1 < jpg.length) {
+      if ((jpg(i) & 0xFF) == 0xFF && (jpg(i + 1) & 0xFF) == 0xD0) {
+        jpg(i + 1) = 0xD5.toByte; patched = true
+      }
+      i += 1
+    }
+    assert(patched)
+    assert(JpegCodec.pixelStatsRaw(jpg) == null)
+  }
+
   test("corruption envelope: null, never throw") {
     val good = JpegCodec.encode(24, 16, 3, 9L)
     // truncations at every boundary class
