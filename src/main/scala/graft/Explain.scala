@@ -130,7 +130,8 @@ object Explain {
       "m_image_resize" -> "full-payload PNG decode + nearest-neighbor grid resize (output-bounded), pure narrow map",
       "d_dup_span_winnow" -> "winnowed span fingerprints: in-array hash+window minima, only MINIMIZERS reach the gram-keyed dup join (~2/(w+1) of d_dup_span's shuffle)",
       "t_quality_model_score" -> "naive-Bayes quality model: ONE token-keyed training shuffle, vocab-sized model BROADCAST to the scoring join, doc-keyed re-agg",
-      "m_jpeg_pixels" -> "full baseline JPEG decode: Huffman entropy walk + dequant + IDCT + 4:2:0 upsample + fixed-point RGB, pure narrow map")
+      "m_jpeg_pixels" -> "full baseline JPEG decode: Huffman entropy walk + dequant + IDCT + 4:2:0 upsample + fixed-point RGB, pure narrow map",
+      "d_crawl_frontier_polite" -> "robots longest-match filter: broadcast rule join + link-keyed (len, allow) max verdict over the frontier")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -107,7 +107,11 @@ object ScaleTrend {
     // round 10: split-trained gate (train standing + score batch) and
     // the O(vocab) incremental statistics merge — both ride the
     // token-keyed train shuffle linearly
-    "st_quality_model_gate", "t_quality_model_incremental")
+    "st_quality_model_gate", "t_quality_model_incremental",
+    // round 10: robots longest-match filter over the frontier — the
+    // broadcast rule join adds one link-keyed verdict agg to the
+    // frontier's own exchanges
+    "d_crawl_frontier_polite")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

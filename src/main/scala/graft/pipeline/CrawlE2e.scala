@@ -309,21 +309,24 @@ object CrawlE2e {
            |  WHERE k + 1 NOT IN (SELECT doc_id // 2 FROM documents)
            |  GROUP BY k)
            |ORDER BY link""".stripMargin),
-    (s, d) => {
-      val withUrls = pagesWithUrls(s, d)
-      val links = withUrls
-        .select(col("doc_id"), col("url"),
-          explode(graft.functions.GraftFunctions.html_links(col("html")))
-            .as("href"))
-        .select(col("doc_id"),
-          Urls.canonicalize(Urls.resolve(col("url"), col("href"))).as("link"))
-      val seen = withUrls
-        .select(Urls.canonicalize(col("url")).as("link")).distinct()
-      links.distinct()
-        .groupBy(col("link")).agg(count(lit(1)).as("n_refs"))
-        .join(seen, Seq("link"), "left_anti")
-        .orderBy(col("link"))
-    })
+    (s, d) => frontierOf(s, d).orderBy(col("link")))
+
+  /** The frontier computation (unordered) — shared by the registered
+    * d_crawl_frontier and the robots-filtered polite twin. */
+  def frontierOf(s: SparkSession, d: String): DataFrame = {
+    val withUrls = pagesWithUrls(s, d)
+    val links = withUrls
+      .select(col("doc_id"), col("url"),
+        explode(graft.functions.GraftFunctions.html_links(col("html")))
+          .as("href"))
+      .select(col("doc_id"),
+        Urls.canonicalize(Urls.resolve(col("url"), col("href"))).as("link"))
+    val seen = withUrls
+      .select(Urls.canonicalize(col("url")).as("link")).distinct()
+    links.distinct()
+      .groupBy(col("link")).agg(count(lit(1)).as("n_refs"))
+      .join(seen, Seq("link"), "left_anti")
+  }
 
   // ---- incremental crawl -------------------------------------------------
 

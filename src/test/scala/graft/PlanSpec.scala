@@ -309,6 +309,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d_crawl_frontier_polite: rules broadcast, link-keyed verdict agg, no nested loop") {
+    val p = plan("d_crawl_frontier_polite")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p) // the frontier's seen-set drop survives
+  }
+
   test("t_quality_model_score: model broadcast to the scoring join, aggs partial, no cartesian") {
     val p = plan("t_quality_model_score")
     // the vocab-sized weight table must reach the corpus-sized token
