@@ -464,6 +464,94 @@ object JpegPixelStats {
       .map(StructField(_, LongType, nullable = false)))
 }
 
+/** Synthesize an MJPEG AVI (AviCodec.encode) from (width, height,
+  * nFrames, fps, seed, restartInterval) — the VIDEO member of the
+  * media-producer family; every frame is a complete baseline JFIF JPEG.
+  * Six children → hand-rolled codegen like [[EncodeJpeg]]. NULL for
+  * invalid geometry, non-divisor fps, or frame-count bounds. */
+case class EncodeAvi(children: Seq[Expression]) extends Expression {
+  require(children.length == 6, "encode_avi takes (w, h, nFrames, fps, seed, dri)")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else AviCodec.encode(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
+      vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int],
+      vs(4).asInstanceOf[Long], vs(5).asInstanceOf[Int])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code = code"""
+       |${evs.map(_.code).mkString("\n")}
+       |boolean ${ev.isNull} = ${evs.map(_.isNull).mkString(" || ")};
+       |byte[] ${ev.value} = null;
+       |if (!${ev.isNull}) {
+       |  ${ev.value} = graft.functions.AviCodec.encode(
+       |    ${evs(0).value}, ${evs(1).value}, ${evs(2).value},
+       |    ${evs(3).value}, ${evs(4).value}, ${evs(5).value});
+       |  if (${ev.value} == null) { ${ev.isNull} = true; }
+       |}""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): EncodeAvi =
+    copy(children = newChildren)
+}
+
+/** Parse the AVI RIFF structure (AviCodec.parseHeaderRaw): hdrl/avih/
+  * strh/strf consistency, full movi chunk walk with SOI-led payloads,
+  * idx1 entry-for-entry cross-check. struct(width, height, n_frames,
+  * fps, duration_ms); NULL on anything outside the MJPG contract. */
+case class ParseAviHeader(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ParseAviHeader.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    AviCodec.parseHeader(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.AviCodec.parseHeader($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ParseAviHeader =
+    copy(child = newChild)
+}
+
+object ParseAviHeader {
+  val schema: StructType = StructType(
+    Seq("width", "height", "n_frames", "fps", "duration_ms")
+      .map(StructField(_, LongType, nullable = false)))
+}
+
+/** Demux + decode every stride-th MJPEG frame (AviCodec.frameStatsRaw):
+  * RIFF walk, then the FULL baseline JPEG path per sampled frame, each
+  * frame's decoded geometry cross-checked against the container header.
+  * array<struct(frame_idx, sum_r, sum_g, sum_b, peak_r, peak_g,
+  * peak_b)>; NULL when the container or any sampled frame is invalid. */
+case class AviFrameStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    ArrayType(AviFrameStats.frameSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any, sv: Any): Any =
+    AviCodec.frameStats(v.asInstanceOf[Array[Byte]], sv.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, sv) => s"""
+       |${ev.value} = graft.functions.AviCodec.frameStats($c, $sv);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AviFrameStats =
+    copy(left = newLeft, right = newRight)
+}
+
+object AviFrameStats {
+  val frameSchema: StructType = StructType(
+    Seq("frame_idx", "sum_r", "sum_g", "sum_b", "peak_r", "peak_g", "peak_b")
+      .map(StructField(_, LongType, nullable = false)))
+}
+
 /** Perceptual average-hash of a PNG payload (PngCodec.aHash63): full
   * byte-path decode (CRC walk + inflate + unfilter), then the classic
   * 8x8-grid mean-threshold fingerprint — the image-dedup key. NULL on
@@ -801,6 +889,24 @@ object GraftFunctions {
   def jpeg_pixel_stats(bytes: Column): Column =
     GraftColumnBridge.column(JpegPixelStats(GraftColumnBridge.expression(bytes)))
 
+  def encode_avi(width: Column, height: Column, nFrames: Column, fps: Column,
+      seed: Column, restartInterval: Column): Column =
+    GraftColumnBridge.column(EncodeAvi(Seq(
+      GraftColumnBridge.expression(width),
+      GraftColumnBridge.expression(height),
+      GraftColumnBridge.expression(nFrames),
+      GraftColumnBridge.expression(fps),
+      GraftColumnBridge.expression(seed),
+      GraftColumnBridge.expression(restartInterval))))
+
+  def parse_avi_header(bytes: Column): Column =
+    GraftColumnBridge.column(ParseAviHeader(GraftColumnBridge.expression(bytes)))
+
+  def avi_frame_stats(bytes: Column, stride: Column): Column =
+    GraftColumnBridge.column(AviFrameStats(
+      GraftColumnBridge.expression(bytes),
+      GraftColumnBridge.expression(stride)))
+
   def png_resample(bytes: Column, w2: Column, h2: Column): Column =
     GraftColumnBridge.column(PngResample(GraftColumnBridge.expression(bytes),
       GraftColumnBridge.expression(w2), GraftColumnBridge.expression(h2)))
@@ -850,6 +956,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("encode_jpeg", es => EncodeJpeg(es.take(5)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_jpeg_header", es => ParseJpegHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("jpeg_pixel_stats", es => JpegPixelStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_avi", es => EncodeAvi(es.take(6)), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_avi_header", es => ParseAviHeader(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("avi_frame_stats", es => AviFrameStats(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("png_resample", es => PngResample(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("wav_audio_fp", es => WavAudioFp(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gzip_text", es => GzipText(es.head), "scala_udf")

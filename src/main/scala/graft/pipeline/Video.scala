@@ -1,0 +1,226 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.AviCodec
+import graft.functions.GraftFunctions.{avi_frame_stats, encode_avi, parse_avi_header}
+import graft.registry.Q
+
+/** Video lane of the multimodal family: MJPEG-in-AVI demux + per-frame
+  * decode ([[graft.functions.AviCodec]]) — the composition a crawl's
+  * video path actually runs (container walk → frame sample → per-frame
+  * pixel decode → content fingerprint → dedup). Everything is a pure
+  * narrow map over the binary column; at 100 TB the only exchange in
+  * this file is the dedup's single key shuffle.
+  *
+  * Corpus construction (all geometry from doc_id arithmetic, so every
+  * oracle is direct construction — it never touches bytes):
+  *
+  *   eff  = doc_id - (doc_id % 10 == 6 ? 1 : 0)   ← planted exact dups:
+  *          every %10==6 doc carries a bit-identical re-encode of its
+  *          predecessor's video (same geometry, same per-frame seeds)
+  *   w    = (eff % 24) + 8,  h = (eff % 19) + 8
+  *          (19 prime: the planted-block formulas only see seeds mod
+  *          256 and frame seeds step by 1000 ≡ 232, so video CONTENT
+  *          has period lcm(32, 24, 19, 6, 4) = 1824 in eff — beyond
+  *          the 500-doc correctness corpus, every multi-member dedup
+  *          group at sf0.01 is a planted mirror; at larger SFs the
+  *          wrap-around re-encode collisions are real content dups and
+  *          the oracle derives them from the same arithmetic)
+  *   nf   = (eff % 6) + 2    frames, fps ∈ {10,20,25,50} by eff % 4
+  *   dri  = 2 when eff % 5 == 2 (restart markers thread through to
+  *          every frame — transparent to content, the decoder resyncs)
+  *   frame f seed = eff*1000 + f (JpegCodec's planted-block formulas)
+  */
+object Video {
+
+  /** documents -> (doc_id, video BINARY): one MJPEG AVI per document. */
+  def withVideos(docs: DataFrame): DataFrame = {
+    val eff = (col("doc_id") -
+      when(col("doc_id") % 10 === 6, 1).otherwise(0)).cast(LongType)
+    docs.select(
+      col("doc_id"),
+      encode_avi(
+        (eff % 24 + 8).cast("int"),
+        (eff % 19 + 8).cast("int"),
+        (eff % 6 + 2).cast("int"),
+        element_at(array(lit(10), lit(20), lit(25), lit(50)),
+          (eff % 4 + 1).cast("int")),
+        eff,
+        when(eff % 5 === 2, 2).otherwise(0).cast("int")).as("video"))
+  }
+
+  /** Expression-path header decode: the full RIFF structural walk
+    * (hdrl/strh/strf consistency, movi chunk walk, idx1 cross-check),
+    * codegen'd, one narrow pass. */
+  def parseHeaders(videos: DataFrame): DataFrame =
+    videos.select(col("doc_id"), parse_avi_header(col("video")).as("h"))
+      .select(col("doc_id"),
+        col("h.width").as("width"), col("h.height").as("height"),
+        col("h.n_frames").as("n_frames"), col("h.fps").as("fps"),
+        col("h.duration_ms").as("duration_ms"))
+
+  final case class VideoRow(doc_id: Long, video: Array[Byte])
+  final case class AviHeaderRow(doc_id: Long, width: Long,
+      height: Long, n_frames: Long, fps: Long, duration_ms: Long)
+
+  /** Batched header path (one dispatch per batch, like the JPEG twin). */
+  def parseHeadersBatch(videos: DataFrame, batchSize: Int = 512): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select(col("doc_id"), col("video")).as[VideoRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val headers = AviCodec.parseBatch(batch.map(_.video).toArray)
+          batch.iterator.zip(headers.iterator).collect {
+            case (v, h) if h != null =>
+              AviHeaderRow(v.doc_id, h(0), h(1), h(2), h(3), h(4))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Demux + decode every `stride`-th frame to exact per-frame pixel
+    * stats, exploded to (doc_id, frame_idx) rows. */
+  def frameStats(videos: DataFrame, stride: Int): DataFrame =
+    videos.select(col("doc_id"),
+        explode(avi_frame_stats(col("video"), lit(stride))).as("f"))
+      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+        col("f.sum_b").as("sum_b"), col("f.peak_r").as("peak_r"),
+        col("f.peak_g").as("peak_g"), col("f.peak_b").as("peak_b"))
+
+  /** Content-level video dedup: the fingerprint is the DECODED
+    * per-frame color-sum sequence (all frames, stride 1) plus geometry
+    * — container-representation-independent, exactly what catches a
+    * re-encoded mirror whose bytes differ but whose frames don't. One
+    * key shuffle; survivor = min doc_id per content group. */
+  def dedupVideos(videos: DataFrame): DataFrame = {
+    val keyed = videos.select(
+      col("doc_id"),
+      parse_avi_header(col("video")).as("h"),
+      avi_frame_stats(col("video"), lit(1)).as("fs"))
+      .select(col("doc_id"), concat_ws("|",
+        col("h.width").cast("string"), col("h.height").cast("string"),
+        col("h.fps").cast("string"),
+        array_join(transform(col("fs"), x =>
+          concat_ws(":", x.getField("sum_r").cast("string"),
+            x.getField("sum_g").cast("string"),
+            x.getField("sum_b").cast("string"))), ",")).as("key"))
+    keyed.groupBy(col("key"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_copies"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("members"))
+      .select(col("keeper"), col("n_copies"), col("members"))
+  }
+
+  // ---- oracles (direct construction from doc_id arithmetic alone) --------
+
+  private val EffCte =
+    """g AS (
+      |  SELECT doc_id,
+      |    doc_id - CASE WHEN doc_id % 10 = 6 THEN 1 ELSE 0 END AS eff
+      |  FROM documents),
+      |geo AS (
+      |  SELECT doc_id, eff,
+      |    CAST((eff % 24) + 8 AS BIGINT) AS w,
+      |    CAST((eff % 19) + 8 AS BIGINT) AS h,
+      |    CAST((eff % 6) + 2 AS BIGINT) AS nf,
+      |    CAST([10,20,25,50][CAST(eff % 4 AS INT) + 1] AS BIGINT) AS fps
+      |  FROM g)""".stripMargin
+
+  private val HeaderOracle =
+    s"""WITH $EffCte
+       |SELECT doc_id, w AS width, h AS height, nf AS n_frames, fps,
+       |  nf * (1000 // fps) AS duration_ms
+       |FROM geo ORDER BY doc_id""".stripMargin
+
+  /** Per-block planted values with frame seed `fs`; identical biased
+    * fixed-point RGB arithmetic to the JPEG oracle (Multimodal). */
+  private def blocks(expr: String): String =
+    s"""flatten(list_transform(range((h + 7) // 8), by ->
+       |      list_transform(range((w + 7) // 8), bx -> $expr)))""".stripMargin
+  private def rgb(fs: String): (String, String, String) = {
+    val yv = s"(($fs + 7*bx + 13*by) % 256)"
+    val cb = s"(($fs + 11*(bx//2) + 3*(by//2)) % 256)"
+    val cr = s"(($fs + 5*(bx//2) + 17*(by//2)) % 256)"
+    val r = s"greatest(0, least(255, $yv + ((91881*($cr - 128) + 32768 + 16777216) >> 16) - 256))"
+    val g = s"greatest(0, least(255, $yv - ((22554*($cb - 128) + 46802*($cr - 128) + 32768 + 33554432) >> 16) + 512))"
+    val b = s"greatest(0, least(255, $yv + ((116130*($cb - 128) + 32768 + 16777216) >> 16) - 256))"
+    (r, g, b)
+  }
+  private val Vis = "(least(8, w - 8*bx) * least(8, h - 8*by))"
+
+  private val FramesOracle: String = {
+    val (r, g, b) = rgb("fs")
+    s"""WITH $EffCte,
+       |fr AS (
+       |  SELECT doc_id, w, h, CAST(f AS BIGINT) AS frame_idx,
+       |    eff * 1000 + f AS fs
+       |  FROM geo, UNNEST(range(0, nf, 2)) AS t(f))
+       |SELECT doc_id, frame_idx,
+       |  CAST(list_sum(${blocks(s"$r * $Vis")}) AS BIGINT) AS sum_r,
+       |  CAST(list_sum(${blocks(s"$g * $Vis")}) AS BIGINT) AS sum_g,
+       |  CAST(list_sum(${blocks(s"$b * $Vis")}) AS BIGINT) AS sum_b,
+       |  CAST(list_max(${blocks(r)}) AS BIGINT) AS peak_r,
+       |  CAST(list_max(${blocks(g)}) AS BIGINT) AS peak_g,
+       |  CAST(list_max(${blocks(b)}) AS BIGINT) AS peak_b
+       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
+  private val DedupOracle: String = {
+    val (r, g, b) = rgb("(eff * 1000 + f)")
+    def sum(e: String) = s"CAST(list_sum(${blocks(s"$e * $Vis")}) AS BIGINT)"
+    s"""WITH $EffCte,
+       |keyed AS (
+       |  SELECT doc_id,
+       |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' ||
+       |    CAST(fps AS VARCHAR) || '|' ||
+       |    array_to_string(list_transform(range(nf), f ->
+       |      CAST(${sum(r)} AS VARCHAR) || ':' ||
+       |      CAST(${sum(g)} AS VARCHAR) || ':' ||
+       |      CAST(${sum(b)} AS VARCHAR)), ',') AS key
+       |  FROM geo)
+       |SELECT min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies,
+       |  array_to_string(list_transform(list_sort(list(doc_id)),
+       |    x -> CAST(x AS VARCHAR)), ',') AS members
+       |FROM keyed GROUP BY key ORDER BY keeper""".stripMargin
+  }
+
+  // ---- registered queries --------------------------------------------------
+
+  val videoDecodeQ: Q = Q(
+    "m_video_decode",
+    Some(HeaderOracle),
+    (s, d) =>
+      parseHeaders(withVideos(Tables.documents(s, d))).orderBy(col("doc_id")))
+
+  val videoDecodeBatchQ: Q = Q(
+    "m_video_decode_batch",
+    Some(HeaderOracle),
+    (s, d) =>
+      parseHeadersBatch(withVideos(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  val videoFramesQ: Q = Q(
+    "m_video_frames",
+    Some(FramesOracle),
+    (s, d) =>
+      frameStats(withVideos(Tables.documents(s, d)), 2)
+        .orderBy(col("doc_id"), col("frame_idx")))
+
+  val videoDedupQ: Q = Q(
+    "m_dedup_video",
+    Some(DedupOracle),
+    (s, d) =>
+      dedupVideos(withVideos(Tables.documents(s, d)))
+        .orderBy(col("keeper")))
+
+  val all: Seq[Q] = Seq(videoDecodeQ, videoDecodeBatchQ, videoFramesQ,
+    videoDedupQ)
+}

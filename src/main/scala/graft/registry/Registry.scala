@@ -73,6 +73,7 @@ object Registry {
       graft.pipeline.QualityModel.all ++
       graft.pipeline.CrawlE2e.all ++
       graft.pipeline.Robots.all ++
+      graft.pipeline.Video.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 

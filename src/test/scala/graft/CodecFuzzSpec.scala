@@ -37,7 +37,11 @@ class CodecFuzzSpec extends SparkSpec {
     // round 10: the JPEG path crosses an ENTROPY-CODED boundary — the
     // bit-level Huffman walk is the family's most corruption-sensitive
     "jpeg" -> (b => JpegCodec.parseHeaderRaw(b)),
-    "jpeg_pixels" -> (b => JpegCodec.pixelStatsRaw(b)))
+    "jpeg_pixels" -> (b => JpegCodec.pixelStatsRaw(b)),
+    // round 10 continuation: the AVI walk composes RIFF structure over
+    // the JPEG entropy path — two failure surfaces in one parse
+    "avi" -> (b => graft.functions.AviCodec.parseHeaderRaw(b)),
+    "avi_frames" -> (b => graft.functions.AviCodec.frameStatsRaw(b, 1)))
 
   test("random blobs never throw through any codec parse (200 seeded cases)") {
     (1L to 200L).foreach { seed =>
@@ -58,7 +62,8 @@ class CodecFuzzSpec extends SparkSpec {
       WavCodec.encode(16000, 2, 50, 7L),
       PngCodec.encode(13, 9, 2, 42L),
       JpegCodec.encode(13, 9, 3, 42L),
-      graft.functions.GzipCodec.gzip("fuzz this member".getBytes("UTF-8")))
+      graft.functions.GzipCodec.gzip("fuzz this member".getBytes("UTF-8")),
+      graft.functions.AviCodec.encode(13, 9, 3, 25, 42L))
     (1L to 300L).foreach { seed =>
       val v = valids((seed % valids.length).toInt)
       val pos = sample(Gen.chooseNum(0, v.length - 1), seed)
