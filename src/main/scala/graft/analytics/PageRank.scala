@@ -71,8 +71,29 @@ object PageRank {
       pageRankPinned(spark, edgesRaw, iters, ckptEvery, seedMax = Some(seedMax))
     }
 
+  /** Warm-start PageRank: run `iters` rounds of the SAME exact-integer
+    * recurrence on `edgesRaw`, but initialize from `init` (id, r) ranks
+    * instead of uniform — vertices absent from `init` (new arrivals)
+    * start at the uniform Scale/n of the NEW graph. This is the
+    * incremental-maintenance primitive: rank is a GLOBAL fixpoint (an
+    * inserted edge perturbs every vertex, unlike CC's local merges), so
+    * the incremental lever is ROUNDS — and it only pays on SLOW-MIXING
+    * graphs (chains, cycles, long-diameter webs), where PageRankSpec
+    * measures warm-3 beating cold-3 by >100x. On the rapid-mixing
+    * citation graph (avg degree ~10, mixes in ~3 rounds) a cold start
+    * is already converged and warm restart saves NOTHING — a measured
+    * negative result, pinned in PageRankSpec so it can't silently rot
+    * into a false claim. Per-round cost and plan shape are unchanged. */
+  def pageRankWarm(spark: SparkSession, edgesRaw: DataFrame,
+      init: DataFrame, iters: Int, ckptEvery: Int = CkptEvery): DataFrame =
+    LoopConf.pinned(spark, edgesRaw.count()) {
+      pageRankPinned(spark, edgesRaw, iters, ckptEvery, seedMax = None,
+        warmFrom = Some(init))
+    }
+
   private def pageRankPinned(spark: SparkSession, edgesRaw: DataFrame,
-      iters: Int, ckptEvery: Int, seedMax: Option[Long]): DataFrame = {
+      iters: Int, ckptEvery: Int, seedMax: Option[Long],
+      warmFrom: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
 
     val e = edgesRaw.select(col("src"), col("dst"))
@@ -114,7 +135,14 @@ object PageRank {
             lit(((100L - DampPct) * Scale) / (100L * nS))).otherwise(lit(0L)))
     }
 
-    var r = v.select(col("id"), r0Col.as("r"))
+    var r = warmFrom match {
+      case None => v.select(col("id"), r0Col.as("r"))
+      case Some(init) =>
+        // standing ranks where known; the new graph's uniform mass for
+        // new vertices — one |V|-keyed join, before the loop
+        v.join(init.select(col("id"), col("r").as("r0")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("r0"), lit(Scale / n)).as("r"))
+    }
     var prevCkpt: Option[DataFrame] = None
     var sinceCkpt = 0
     for (k <- 1 to iters) {
@@ -228,5 +256,71 @@ object PageRank {
         seedMax = PprSeedMax, iters = 10)
         .orderBy(col("id")))
 
-  val all: Seq[Q] = Seq(pageRankQ, pprQ)
+  /** Incremental maintenance: standing ranks = `itersOld` rounds on the
+    * standing edges; a batch (src ≡ 7 mod 10, the established split)
+    * arrives; the warm restart runs only `itersWarm` rounds on the
+    * union graph. The oracle replays EXACTLY that — K cold levels on
+    * the old graph, the coalesced warm init, J levels on the new graph
+    * — so the warm-start semantics are pinned bit-for-bit (this is the
+    * DESIGNED recurrence, not an approximation of the cold run; the
+    * rounds-saved convergence claim is measured in PageRankSpec). */
+  private def incrOracleSql(itersOld: Int, itersWarm: Int): String = {
+    import graft.graph.CitationGraph.edgesSql
+    val head =
+      s"""WITH $edgesSql,
+         |eo AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst AND src % 10 <> 7),
+         |vo AS (SELECT DISTINCT id FROM (SELECT src AS id FROM eo UNION ALL SELECT dst FROM eo)),
+         |cnto AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vo),
+         |dego AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM eo GROUP BY 1),
+         |pr0 AS (SELECT id, $Scale // (SELECT n FROM cnto) AS r FROM vo)""".stripMargin
+    val oldLevels = (1 to itersOld).map { k =>
+      s"""pr$k AS (
+         |  SELECT v.id,
+         |    ((100 - $DampPct) * $Scale) // (100 * (SELECT n FROM cnto))
+         |      + ($DampPct * COALESCE(c.contrib, 0)) // 100 AS r
+         |  FROM vo v LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM(p.r // dg.d) AS BIGINT) AS contrib
+         |    FROM pr${k - 1} p JOIN dego dg ON dg.id = p.id JOIN eo e ON e.src = p.id
+         |    GROUP BY e.dst
+         |  ) c ON c.id = v.id)""".stripMargin
+    }
+    val bridge =
+      s"""en AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |vn AS (SELECT DISTINCT id FROM (SELECT src AS id FROM en UNION ALL SELECT dst FROM en)),
+         |cntn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vn),
+         |degn AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM en GROUP BY 1),
+         |w0 AS (
+         |  SELECT v.id,
+         |    COALESCE(p.r, $Scale // (SELECT n FROM cntn)) AS r
+         |  FROM vn v LEFT JOIN pr$itersOld p ON p.id = v.id)""".stripMargin
+    val warmLevels = (1 to itersWarm).map { k =>
+      s"""w$k AS (
+         |  SELECT v.id,
+         |    ((100 - $DampPct) * $Scale) // (100 * (SELECT n FROM cntn))
+         |      + ($DampPct * COALESCE(c.contrib, 0)) // 100 AS r
+         |  FROM vn v LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM(p.r // dg.d) AS BIGINT) AS contrib
+         |    FROM w${k - 1} p JOIN degn dg ON dg.id = p.id JOIN en e ON e.src = p.id
+         |    GROUP BY e.dst
+         |  ) c ON c.id = v.id)""".stripMargin
+    }
+    ((head +: oldLevels) ++ (bridge +: warmLevels)).mkString(",\n") +
+      s"\nSELECT id, r FROM w$itersWarm ORDER BY id"
+  }
+
+  private val IncrItersOld = 10
+  private val IncrItersWarm = 3
+
+  val incrementalQ: Q = Q(
+    "g_pagerank_incremental",
+    Some(incrOracleSql(IncrItersOld, IncrItersWarm)),
+    (s, d) => {
+      val all = graft.graph.CitationGraph.edges(s, d)
+      val standing = all.filter(col("src") % 10 =!= 7)
+      val rOld = pageRank(s, standing, iters = IncrItersOld)
+      pageRankWarm(s, all, rOld, iters = IncrItersWarm)
+        .orderBy(col("id"))
+    })
+
+  val all: Seq[Q] = Seq(pageRankQ, pprQ, incrementalQ)
 }

@@ -88,4 +88,73 @@ class PageRankSpec extends SparkSpec {
       seedMax = Long.MaxValue, iters = 5).collect().map(_.toSeq).toSet
     assert(ppr === plain)
   }
+
+  test("warm start from uniform init equals a cold start bit-for-bit") {
+    import spark.implicits._
+    val edges = CitationGraph.edges(spark, sf())
+    val cold = PageRank.pageRank(spark, edges, iters = 4)
+    // uniform init = cold init; the warm path must be the same recurrence
+    val n = edges.filter(org.apache.spark.sql.functions.col("src") =!=
+      org.apache.spark.sql.functions.col("dst"))
+      .select("src").union(edges.select("dst")).distinct().count()
+    val uniform = cold.select(org.apache.spark.sql.functions.col("id"))
+      .withColumn("r", org.apache.spark.sql.functions.lit(PageRank.Scale / n))
+    val warm = PageRank.pageRankWarm(spark, edges, uniform, iters = 4)
+    assert(warm.collect().map(_.toSeq).toSet === cold.collect().map(_.toSeq).toSet)
+  }
+
+  test("rounds saved on a deep non-uniform graph: warm-3 beats cold-3 ≥100x") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{abs => sabs, col, max => smax}
+    // warm restart pays when (a) the fixpoint is FAR from the uniform
+    // cold init and (b) the batch perturbs it locally. A "caterpillar"
+    // has both: a 30-hub chain, each hub fed by 20 leaves — rank
+    // accumulates along the chain (tail hubs ≈ 17x uniform) and needs
+    // ~chain-length rounds to build from cold. The batch is one new
+    // leaf at the TAIL hub: nothing downstream to re-propagate, so the
+    // converged standing state is already ~the new fixpoint. Modeled
+    // ratio 515x (float twin); asserted ≥100x in exact integers.
+    val L = 30; val F = 20
+    val chain = (0 until L - 1).map(k => (k.toLong, (k + 1).toLong))
+    val leaves = for (k <- 0 until L; j <- 0 until F)
+      yield ((L + k * F + j).toLong, k.toLong)
+    val standingEdges = chain ++ leaves
+    val newLeaf = (L + L * F).toLong
+    val all = (standingEdges :+ ((newLeaf, (L - 1).toLong))).toDF("src", "dst")
+    val standing = standingEdges.toDF("src", "dst")
+    val rOld = PageRank.pageRank(spark, standing, iters = 80)
+    val target = PageRank.pageRank(spark, all, iters = 160)
+      .withColumnRenamed("r", "rt")
+    def linfTo(ranks: org.apache.spark.sql.DataFrame): Long =
+      ranks.join(target, Seq("id"))
+        .agg(smax(sabs(col("r") - col("rt")))).head.getLong(0)
+    val warm3 = linfTo(PageRank.pageRankWarm(spark, all, rOld, iters = 3))
+    val cold3 = linfTo(PageRank.pageRank(spark, all, iters = 3))
+    assert(warm3 * 100 <= cold3,
+      s"warm-3 L∞ $warm3 must beat cold-3 L∞ $cold3 by ≥100x")
+  }
+
+  test("negative result, recorded: on the rapid-mixing citation graph warm start saves nothing") {
+    import org.apache.spark.sql.functions.{abs => sabs, col, max => smax}
+    // avg-degree ~10 random digraph mixes in ~3 rounds — a cold start
+    // is already ~converged, so a warm start from a 10%-of-sources
+    // standing state is WORSE (the standing graph's extra dangling
+    // leak biases its fixpoint away from the union's). Measured round
+    // 10: warm3 2.03e9 vs cold3 3.9e7 (m=10), still 3.6e8 vs 3.9e7 at
+    // a 1% batch (m=100). The operator's value claim is therefore
+    // scoped to slow-mixing graphs (test above); this pin keeps the
+    // negative result from silently regressing into a false claim.
+    val all = CitationGraph.edges(spark, sf())
+    val standing = all.filter(col("src") % 10 =!= 7)
+    val rOld = PageRank.pageRank(spark, standing, iters = 10)
+    val target = PageRank.pageRank(spark, all, iters = 12)
+      .withColumnRenamed("r", "rt")
+    def linfTo(ranks: org.apache.spark.sql.DataFrame): Long =
+      ranks.join(target, Seq("id"))
+        .agg(smax(sabs(col("r") - col("rt")))).head.getLong(0)
+    val warm3 = linfTo(PageRank.pageRankWarm(spark, all, rOld, iters = 3))
+    val cold3 = linfTo(PageRank.pageRank(spark, all, iters = 3))
+    assert(cold3 < warm3, s"if this flips ($warm3 vs $cold3), the " +
+      "negative result above no longer holds — update the scoping note")
+  }
 }
