@@ -131,7 +131,10 @@ object Explain {
       "d_dup_span_winnow" -> "winnowed span fingerprints: in-array hash+window minima, only MINIMIZERS reach the gram-keyed dup join (~2/(w+1) of d_dup_span's shuffle)",
       "t_quality_model_score" -> "naive-Bayes quality model: ONE token-keyed training shuffle, vocab-sized model BROADCAST to the scoring join, doc-keyed re-agg",
       "m_jpeg_pixels" -> "full baseline JPEG decode: Huffman entropy walk + dequant + IDCT + 4:2:0 upsample + fixed-point RGB, pure narrow map",
-      "d_crawl_frontier_polite" -> "robots longest-match filter: broadcast rule join + link-keyed (len, allow) max verdict over the frontier")
+      "d_crawl_frontier_polite" -> "robots longest-match filter: broadcast rule join + link-keyed (len, allow) max verdict over the frontier",
+      "m_video_frames" -> "AVI RIFF demux + per-sampled-frame baseline JPEG decode, exploded to frame rows — pure narrow map over doc_id alone",
+      "m_dedup_video" -> "video dedup on the DECODED per-frame color-sum sequence: narrow demux+decode, ONE content-key shuffle elects survivors",
+      "g_pagerank_incremental" -> "warm-restart PageRank: standing ranks coalesced into the union graph's init, 3 supersteps vs the cold 10")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

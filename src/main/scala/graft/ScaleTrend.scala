@@ -111,7 +111,13 @@ object ScaleTrend {
     // round 10: robots longest-match filter over the frontier — the
     // broadcast rule join adds one link-keyed verdict agg to the
     // frontier's own exchanges
-    "d_crawl_frontier_polite")
+    "d_crawl_frontier_polite",
+    // round 10 continuation: AVI demux + per-frame JPEG decode are
+    // narrow maps riding total frame-pixel count; the video dedup adds
+    // ONE decoded-content key shuffle; warm-restart PageRank rides the
+    // union-graph supersteps (3 rounds vs the standing build's 10)
+    "m_video_decode", "m_video_frames", "m_dedup_video",
+    "g_pagerank_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

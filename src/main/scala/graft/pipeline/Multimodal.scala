@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{bmp_pixel_stats, byte_histogram, encode_bmp, encode_jpeg, encode_png, encode_wav, gunzip_text, gzip_text, jpeg_pixel_stats, pack_frames, parse_bmp_header, parse_frames, parse_jpeg_header, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, wav_audio_fp}
+import graft.functions.GraftFunctions.{avi_frame_stats, bmp_pixel_stats, byte_histogram, encode_avi, encode_bmp, encode_jpeg, encode_png, encode_wav, gunzip_text, gzip_text, jpeg_pixel_stats, pack_frames, parse_avi_header, parse_bmp_header, parse_frames, parse_jpeg_header, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, wav_audio_fp}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -589,18 +589,22 @@ object Multimodal {
     * blob to the right decoder". */
   def withMixedContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 5 === 0,
+    val payload = when(col("doc_id") % 6 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 5 === 1,
+      .when(col("doc_id") % 6 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 5 === 2,
+      .when(col("doc_id") % 6 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 5 === 4,
+      .when(col("doc_id") % 6 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(3), col("doc_id").cast(LongType), lit(0).cast("int")))
+      .when(col("doc_id") % 6 === 5,
+        encode_avi((ln % 24 + 8).cast("int"), (ln % 19 + 8).cast("int"),
+          (ln % 4 + 2).cast("int"), lit(25),
+          col("doc_id").cast(LongType), lit(0).cast("int")))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -615,13 +619,16 @@ object Multimodal {
     * corrupt payload sniffs 'unknown' with stat -1 — route-and-quarantine,
     * not abort, is the 100-TB contract. */
   /** Payload kind from magic bytes alone (the sniffer never sees
-    * doc_id): PNG signature, BM, RIFF....WAVE, gzip 1f 8b,
-    * JPEG ff d8 ff. */
+    * doc_id): PNG signature, BM, RIFF....WAVE, RIFF....AVI(space),
+    * gzip 1f 8b, JPEG ff d8 ff — the two RIFF forms disambiguate on
+    * the form-type fourcc, like a real sniffer. */
   def sniffKind(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(hex(substring(p, 1, 4)) === "89504E47", "image/png")
       .when(hex(substring(p, 1, 2)) === "424D", "image/bmp")
       .when(hex(substring(p, 1, 4)) === "52494646" &&
         hex(substring(p, 9, 4)) === "57415645", "audio/wav")
+      .when(hex(substring(p, 1, 4)) === "52494646" &&
+        hex(substring(p, 9, 4)) === "41564920", "video/avi")
       .when(hex(substring(p, 1, 2)) === "1F8B", "text/gzip")
       .when(hex(substring(p, 1, 3)) === "FFD8FF", "image/jpeg")
       .otherwise("unknown")
@@ -646,7 +653,11 @@ object Multimodal {
             length(gunzip_text(col("p"))).cast(LongType))
           .when(col("kind") === "image/jpeg",
             parse_jpeg_header(col("p")).getField("width") *
-              parse_jpeg_header(col("p")).getField("height")),
+              parse_jpeg_header(col("p")).getField("height"))
+          .when(col("kind") === "video/avi",
+            parse_avi_header(col("p")).getField("width") *
+              parse_avi_header(col("p")).getField("height") *
+              parse_avi_header(col("p")).getField("n_frames")),
         lit(-1L)).as("stat"))
   }
 
@@ -656,17 +667,21 @@ object Multimodal {
     * planted-pair property, mixed-corpus flavor. */
   def withMixedContentContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 5 === 0,
+    val payload = when(col("doc_id") % 6 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 5 === 1,
+      .when(col("doc_id") % 6 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           ln.cast(LongType)))
-      .when(col("doc_id") % 5 === 2,
+      .when(col("doc_id") % 6 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"), ln.cast(LongType)))
-      .when(col("doc_id") % 5 === 4,
+      .when(col("doc_id") % 6 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(3), ln.cast(LongType), lit(0).cast("int")))
+      .when(col("doc_id") % 6 === 5,
+        encode_avi((ln % 24 + 8).cast("int"), (ln % 19 + 8).cast("int"),
+          (ln % 4 + 2).cast("int"), lit(25), ln.cast(LongType),
+          lit(0).cast("int")))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -703,7 +718,22 @@ object Multimodal {
           md5(concat_ws("|",
             j.getField("width"), j.getField("height"), j.getField("n_px"),
             j.getField("sum_c0"), j.getField("sum_c1"), j.getField("sum_c2"),
-            j.getField("peak_c0"), j.getField("peak_c1"), j.getField("peak_c2")))))
+            j.getField("peak_c0"), j.getField("peak_c1"), j.getField("peak_c2"))))
+        .when(col("kind") === "video/avi", {
+          // decoded-content key: geometry + every frame's color sums —
+          // representation-independent, the same construction as
+          // m_dedup_video's (Video.dedupVideos), md5'd into this
+          // query's uniform key type
+          val h = parse_avi_header(col("p"))
+          md5(concat_ws("|",
+            h.getField("width").cast("string"),
+            h.getField("height").cast("string"),
+            h.getField("fps").cast("string"),
+            array_join(transform(avi_frame_stats(col("p"), lit(1)), x =>
+              concat_ws(":", x.getField("sum_r").cast("string"),
+                x.getField("sum_g").cast("string"),
+                x.getField("sum_b").cast("string"))), ",")))
+        }))
       .select(col("doc_id"), col("kind"), col("key"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("kind"), col("key"))
@@ -1201,21 +1231,25 @@ object Multimodal {
       audioNearDups(withWavContentContainers(Tables.documents(s, d))))
 
   /** The oracle knows which kind each doc_id CARRIES (the generator's
-    * mod-5 rule) and that kind's canonical stat formula — the Spark
+    * mod-6 rule) and that kind's canonical stat formula — the Spark
     * side must recover both from the BYTES alone (magic sniff, then
-    * the kind's real decoder), so a mis-route, a magic collision, or a
-    * wrong decoder output all hash-fail. */
+    * the kind's real decoder), so a mis-route, a magic collision
+    * (including the WAVE/AVI shared RIFF prefix), or a wrong decoder
+    * output all hash-fail. Video's stat = total pixels w·h·frames. */
   private val SniffOracleSql: String =
     """SELECT doc_id,
-      |  CASE CAST(doc_id % 5 AS INT)
+      |  CASE CAST(doc_id % 6 AS INT)
       |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
       |    WHEN 2 THEN 'audio/wav' WHEN 4 THEN 'image/jpeg'
+      |    WHEN 5 THEN 'video/avi'
       |    ELSE 'text/gzip' END AS kind,
-      |  CAST(CASE CAST(doc_id % 5 AS INT)
+      |  CAST(CASE CAST(doc_id % 6 AS INT)
       |    WHEN 0 THEN (length(text) % 80 + 1) * (length(text) % 60 + 1)
       |    WHEN 1 THEN (length(text) % 64 + 1) * (length(text) % 48 + 1)
       |    WHEN 2 THEN length(text)
       |    WHEN 4 THEN (length(text) % 80 + 1) * (length(text) % 60 + 1)
+      |    WHEN 5 THEN (length(text) % 24 + 8) * (length(text) % 19 + 8)
+      |      * (length(text) % 4 + 2)
       |    ELSE length(text) END AS BIGINT) AS stat
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -1227,13 +1261,13 @@ object Multimodal {
         .orderBy(col("doc_id")))
 
   /** The oracle re-derives every kind's duplicate key from (doc_id mod
-    * 5, text) by the generator formulas — the PNG aHash, BMP per-channel
-    * sum/peak digest, WAV energy-fingerprint, and JPEG decoded-RGB
-    * digest constructions above, restricted to each kind's docs — and
-    * elects survivors with the same (kind, key) min-id window. The
-    * Spark side must reproduce keeper elections through sniff + five
-    * REAL decoders, so a mis-route, a decode bug, or a digest
-    * field-order slip all hash-fail. */
+    * 6, text) by the generator formulas — the PNG aHash, BMP per-channel
+    * sum/peak digest, WAV energy-fingerprint, JPEG decoded-RGB digest,
+    * and AVI per-frame-sum digest constructions above, restricted to
+    * each kind's docs — and elects survivors with the same (kind, key)
+    * min-id window. The Spark side must reproduce keeper elections
+    * through sniff + six REAL decoders, so a mis-route, a decode bug,
+    * or a digest field-order slip all hash-fail. */
   private val MixedDedupOracleSql: String = {
     val raw = "((2*k*7 + L) % 251) + 256*(((2*k+1)*7 + L) % 251)"
     def bmpChan(expr: String) =
@@ -1250,6 +1284,14 @@ object Multimodal {
     def jBlocks(expr: String) =
       s"""flatten(list_transform(range((h + 7) // 8), by ->
          |      list_transform(range((w + 7) // 8), bx -> $expr)))""".stripMargin
+    // AVI: per-frame JPEG planted formulas with frame seed L*1000 + f
+    // (f is the enclosing list_transform's lambda var)
+    val vy = "(((L*1000 + f) + 7*bx + 13*by) % 256)"
+    val vcb = "(((L*1000 + f) + 11*(bx//2) + 3*(by//2)) % 256)"
+    val vcr = "(((L*1000 + f) + 5*(bx//2) + 17*(by//2)) % 256)"
+    val vr = s"greatest(0, least(255, $vy + ((91881*($vcr - 128) + 32768 + 16777216) >> 16) - 256))"
+    val vg = s"greatest(0, least(255, $vy - ((22554*($vcb - 128) + 46802*($vcr - 128) + 32768 + 33554432) >> 16) + 512))"
+    val vb = s"greatest(0, least(255, $vy + ((116130*($vcb - 128) + 32768 + 16777216) >> 16) - 256))"
     s"""WITH
        |pimg AS (
        |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 62),
@@ -1264,7 +1306,7 @@ object Multimodal {
        |        SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) % 80 + 1 AS BIGINT) AS w,
        |          CAST(length(text) % 60 + 1 AS BIGINT) AS h
-       |        FROM documents WHERE doc_id % 5 = 0)))),
+       |        FROM documents WHERE doc_id % 6 = 0)))),
        |bstat AS (
        |  SELECT doc_id, w, h,
        |    ${bmpChan("(L + 7*x + 13*y) % 251")} AS bs,
@@ -1273,7 +1315,7 @@ object Multimodal {
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |      CAST(length(text) % 64 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 48 + 1 AS BIGINT) AS h
-       |    FROM documents WHERE doc_id % 5 = 1)),
+       |    FROM documents WHERE doc_id % 6 = 1)),
        |jkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
@@ -1286,7 +1328,19 @@ object Multimodal {
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |      CAST(length(text) % 80 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 60 + 1 AS BIGINT) AS h
-       |    FROM documents WHERE doc_id % 5 = 4)),
+       |    FROM documents WHERE doc_id % 6 = 4)),
+       |vkey AS (
+       |  SELECT doc_id, md5(
+       |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|25|' ||
+       |    array_to_string(list_transform(range(nf), f ->
+       |      CAST(CAST(list_sum(${jBlocks(s"$vr * $jvis")}) AS BIGINT) AS VARCHAR) || ':' ||
+       |      CAST(CAST(list_sum(${jBlocks(s"$vg * $jvis")}) AS BIGINT) AS VARCHAR) || ':' ||
+       |      CAST(CAST(list_sum(${jBlocks(s"$vb * $jvis")}) AS BIGINT) AS VARCHAR)), ',')) AS key
+       |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+       |      CAST(length(text) % 24 + 8 AS BIGINT) AS w,
+       |      CAST(length(text) % 19 + 8 AS BIGINT) AS h,
+       |      CAST(length(text) % 4 + 2 AS BIGINT) AS nf
+       |    FROM documents WHERE doc_id % 6 = 5)),
        |bkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
@@ -1305,7 +1359,7 @@ object Multimodal {
        |           ELSE CAST($raw AS BIGINT) * ($raw) END) AS ss
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) AS BIGINT) AS n
-       |        FROM documents WHERE doc_id % 5 = 2)),
+       |        FROM documents WHERE doc_id % 6 = 2)),
        |es AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(0, 62), w ->
@@ -1324,9 +1378,11 @@ object Multimodal {
        |  UNION ALL
        |  SELECT doc_id, 'audio/wav', CAST(afp AS VARCHAR) FROM paud
        |  UNION ALL
-       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 5 = 3
+       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 6 = 3
        |  UNION ALL
-       |  SELECT doc_id, 'image/jpeg', key FROM jkey)
+       |  SELECT doc_id, 'image/jpeg', key FROM jkey
+       |  UNION ALL
+       |  SELECT doc_id, 'video/avi', key FROM vkey)
        |SELECT doc_id, kind,
        |  min(doc_id) OVER (PARTITION BY kind, key) AS keeper_id,
        |  doc_id > min(doc_id) OVER (PARTITION BY kind, key) AS is_dup

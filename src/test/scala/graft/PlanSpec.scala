@@ -329,6 +329,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("m_video_frames: demux + per-frame entropy decode is a pure narrow map over doc_id alone") {
+    val p = plan("m_video_frames")
+    // the video corpus derives entirely from doc_id — the scan must
+    // prune text/lang/source away
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    assert(p.split("Exchange").length - 1 <= 1, p) // output sort only
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("m_dedup_video: decoded-content key is ONE shuffle, aggs partial") {
+    val p = plan("m_dedup_video")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    // key exchange + final sort — nothing else moves data
+    assert(p.split("Exchange").length - 1 <= 2, p)
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("g_walks superstep: walk state broadcasts against edges (checkpointed result hides it)") {
     // the registered query's final plan is checkpoint-truncated frames,
     // so assert the per-step shape directly: seed-sized state joined to
