@@ -117,7 +117,10 @@ object ScaleTrend {
     // ONE decoded-content key shuffle; warm-restart PageRank rides the
     // union-graph supersteps (3 rounds vs the standing build's 10)
     "m_video_decode", "m_video_frames", "m_dedup_video",
-    "g_pagerank_incremental")
+    "g_pagerank_incremental",
+    // clip detection: postings join — pair output rides frame-key
+    // popularity (docs-per-library-frame), the banded-join contract
+    "m_video_clip_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

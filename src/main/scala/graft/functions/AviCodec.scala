@@ -75,19 +75,23 @@ object AviCodec {
   // ---- generator -----------------------------------------------------------
 
   /** A COMPLETE MJPEG AVI: `nFrames` color (4:2:0) baseline JPEGs of
-    * `width` x `height`, frame f seeded `seed*1000 + f`. `fps` must
-    * divide 1,000,000 exactly (the avih usec/frame field is integral —
-    * 10/20/25/50-class rates; anything else nulls). `restartInterval`
-    * threads through to every frame's DRI. NULL on invalid geometry,
-    * rate, or frame count — degrade, never throw. */
+    * `width` x `height`, frame f seeded `seed*seedStride + f`. The
+    * default stride 1000 gives every video its own frame space; stride
+    * 1 makes frames SHARED LIBRARY items (consecutive seeds produce
+    * overlapping frame windows — the clip-detection corpus). `fps`
+    * must divide 1,000,000 exactly (the avih usec/frame field is
+    * integral — 10/20/25/50-class rates; anything else nulls).
+    * `restartInterval` threads through to every frame's DRI. NULL on
+    * invalid geometry, rate, or frame count — degrade, never throw. */
   def encode(width: Int, height: Int, nFrames: Int, fps: Int, seed: Long,
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0, seedStride: Long = 1000L): Array[Byte] = {
     if (nFrames < 1 || nFrames > MaxFrames) return null
     if (fps <= 0 || 1000000 % fps != 0) return null
+    if (seedStride < 1) return null
     val frames = new Array[Array[Byte]](nFrames)
     var f = 0
     while (f < nFrames) {
-      val jpg = JpegCodec.encode(width, height, 3, seed * 1000L + f,
+      val jpg = JpegCodec.encode(width, height, 3, seed * seedStride + f,
         acPlant = false, restartInterval = restartInterval)
       if (jpg == null) return null
       frames(f) = jpg
@@ -303,6 +307,29 @@ object AviCodec {
     out
   }
 
+  /** Demux + per-frame BYTE identity: rows [frame_idx, md5-hex of the
+    * frame's JPEG bytes]. Byte-level keys are the re-packaging dedup
+    * primitive — two containers built from the same frames (re-muxed,
+    * re-ordered, subset clips) share keys even when their container
+    * bytes differ entirely. (A re-ENCODE changes frame bytes; catching
+    * that is the decoded-content dedup's job, not this one's.) Null on
+    * a structurally invalid container. */
+  def frameKeysRaw(b: Array[Byte]): Array[(Long, String)] = {
+    val p = parse(b)
+    if (p == null) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[(Long, String)](p.nFrames)
+    var f = 0
+    while (f < p.nFrames) {
+      md.reset()
+      md.update(b, p.frameOff(f), p.frameLen(f))
+      val hex = md.digest().map(x => f"$x%02x").mkString
+      out(f) = (f.toLong, hex)
+      f += 1
+    }
+    out
+  }
+
   // ---- Spark-facing wrappers -----------------------------------------------
 
   def parseHeader(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
@@ -316,6 +343,15 @@ object AviCodec {
     if (rows == null) null
     else new GenericArrayData(
       rows.map(r => new GenericInternalRow(r.map(v => v: Any)): Any))
+  }
+
+  def frameKeys(b: Array[Byte]): GenericArrayData = {
+    val rows = frameKeysRaw(b)
+    if (rows == null) null
+    else new GenericArrayData(rows.map { case (i, k) =>
+      new GenericInternalRow(Array[Any](i,
+        org.apache.spark.unsafe.types.UTF8String.fromString(k))): Any
+    })
   }
 
   /** Batched header parse (one dispatch per batch). */

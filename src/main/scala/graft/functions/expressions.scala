@@ -470,18 +470,22 @@ object JpegPixelStats {
   * Six children → hand-rolled codegen like [[EncodeJpeg]]. NULL for
   * invalid geometry, non-divisor fps, or frame-count bounds. */
 case class EncodeAvi(children: Seq[Expression]) extends Expression {
-  require(children.length == 6, "encode_avi takes (w, h, nFrames, fps, seed, dri)")
+  require(children.length == 6 || children.length == 7,
+    "encode_avi takes (w, h, nFrames, fps, seed, dri[, seedStride])")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
+  private def strideOf(vs: Seq[Any]): Long =
+    if (vs.length == 7) vs(6).asInstanceOf[Long] else 1000L
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) null
     else AviCodec.encode(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
       vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int],
-      vs(4).asInstanceOf[Long], vs(5).asInstanceOf[Int])
+      vs(4).asInstanceOf[Long], vs(5).asInstanceOf[Int], strideOf(vs))
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val evs = children.map(_.genCode(ctx))
+    val stride = if (evs.length == 7) evs(6).value.toString else "1000L"
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     ev.copy(code = code"""
        |${evs.map(_.code).mkString("\n")}
@@ -490,13 +494,40 @@ case class EncodeAvi(children: Seq[Expression]) extends Expression {
        |if (!${ev.isNull}) {
        |  ${ev.value} = graft.functions.AviCodec.encode(
        |    ${evs(0).value}, ${evs(1).value}, ${evs(2).value},
-       |    ${evs(3).value}, ${evs(4).value}, ${evs(5).value});
+       |    ${evs(3).value}, ${evs(4).value}, ${evs(5).value}, $stride);
        |  if (${ev.value} == null) { ${ev.isNull} = true; }
        |}""".stripMargin)
   }
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): EncodeAvi =
     copy(children = newChildren)
+}
+
+/** Per-frame byte-identity keys (AviCodec.frameKeysRaw): RIFF walk +
+  * md5 over each frame's JPEG bytes — the re-packaging dedup key
+  * (re-muxed/subset containers share keys; re-encodes don't).
+  * array<struct(frame_idx BIGINT, fkey STRING)>; NULL on a
+  * structurally invalid container. */
+case class AviFrameKeys(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(AviFrameKeys.frameSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    AviCodec.frameKeys(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.AviCodec.frameKeys($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): AviFrameKeys =
+    copy(child = newChild)
+}
+
+object AviFrameKeys {
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("fkey", StringType, nullable = false)))
 }
 
 /** Parse the AVI RIFF structure (AviCodec.parseHeaderRaw): hdrl/avih/
@@ -899,6 +930,21 @@ object GraftFunctions {
       GraftColumnBridge.expression(seed),
       GraftColumnBridge.expression(restartInterval))))
 
+  def encode_avi_lib(width: Column, height: Column, nFrames: Column,
+      fps: Column, seed: Column, restartInterval: Column,
+      seedStride: Column): Column =
+    GraftColumnBridge.column(EncodeAvi(Seq(
+      GraftColumnBridge.expression(width),
+      GraftColumnBridge.expression(height),
+      GraftColumnBridge.expression(nFrames),
+      GraftColumnBridge.expression(fps),
+      GraftColumnBridge.expression(seed),
+      GraftColumnBridge.expression(restartInterval),
+      GraftColumnBridge.expression(seedStride))))
+
+  def avi_frame_keys(bytes: Column): Column =
+    GraftColumnBridge.column(AviFrameKeys(GraftColumnBridge.expression(bytes)))
+
   def parse_avi_header(bytes: Column): Column =
     GraftColumnBridge.column(ParseAviHeader(GraftColumnBridge.expression(bytes)))
 
@@ -956,9 +1002,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("encode_jpeg", es => EncodeJpeg(es.take(5)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_jpeg_header", es => ParseJpegHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("jpeg_pixel_stats", es => JpegPixelStats(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("encode_avi", es => EncodeAvi(es.take(6)), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_avi", es => EncodeAvi(es.take(7)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_avi_header", es => ParseAviHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("avi_frame_stats", es => AviFrameStats(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("avi_frame_keys", es => AviFrameKeys(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_resample", es => PngResample(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("wav_audio_fp", es => WavAudioFp(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gzip_text", es => GzipText(es.head), "scala_udf")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.AviCodec
-import graft.functions.GraftFunctions.{avi_frame_stats, encode_avi, parse_avi_header}
+import graft.functions.GraftFunctions.{avi_frame_keys, avi_frame_stats, encode_avi, encode_avi_lib, parse_avi_header}
 import graft.registry.Q
 
 /** Video lane of the multimodal family: MJPEG-in-AVI demux + per-frame
@@ -119,6 +119,61 @@ object Video {
       .select(col("keeper"), col("n_copies"), col("members"))
   }
 
+  // ---- clip detection (partial-overlap video dedup) ----------------------
+
+  /** Clip corpus: every video is a SLIDING WINDOW over a shared frame
+    * library — doc i carries library frames [i%200, i%200 + nf) at
+    * fixed 16x12 geometry (seedStride=1, so frame seeds ARE library
+    * indices; all < 256, hence bit-distinct JPEGs). Videos with nearby
+    * window starts genuinely share frames — the partial-overlap
+    * structure full-video dedup cannot see. */
+  def withClipVideos(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode_avi_lib(lit(16), lit(12),
+        (col("doc_id") % 4 + 3).cast("int"), lit(25),
+        (col("doc_id") % 200).cast(LongType), lit(0), lit(1L)).as("video"))
+
+  /** Clip detection: pairs of videos sharing >= `minShared` BYTE-
+    * identical frames (the re-packaging dup class: re-muxed, subset,
+    * or re-ordered containers keep frame bytes; a re-ENCODE does not —
+    * that's the decoded-content dedup's job). Shape: demux to
+    * (doc, frame-key) postings, equi-join on the key (an inverted
+    * index — pair work rides per-frame popularity, never all-pairs),
+    * count shared keys per pair. */
+  def clipPairs(videos: DataFrame, minShared: Int): DataFrame = {
+    val fk = videos
+      .select(col("doc_id"), explode(avi_frame_keys(col("video"))).as("f"))
+      .select(col("doc_id"), col("f.fkey").as("fkey"))
+    fk.as("a").join(fk.as("b"),
+        col("a.fkey") === col("b.fkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Window-overlap arithmetic IS the ground truth: doc i's frames are
+    * exactly library indices [i%200, i%200+nf), so the shared count is
+    * the interval intersection — the oracle never touches bytes, yet a
+    * demux bug, a frame-hash slip, or a join miscount all hash-fail. */
+  private val ClipOracle =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 200 AS s, doc_id % 4 + 3 AS nf
+      |  FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(least(a.s + a.nf, b.s + b.nf) - greatest(a.s, b.s) AS BIGINT) AS shared
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  AND least(a.s + a.nf, b.s + b.nf) - greatest(a.s, b.s) >= 2
+      |ORDER BY a_id, b_id""".stripMargin
+
+  val videoClipPairsQ: Q = Q(
+    "m_video_clip_pairs",
+    Some(ClipOracle),
+    (s, d) =>
+      clipPairs(withClipVideos(Tables.documents(s, d)), minShared = 2)
+        .orderBy(col("a_id"), col("b_id")))
+
   // ---- oracles (direct construction from doc_id arithmetic alone) --------
 
   private val EffCte =
@@ -222,5 +277,5 @@ object Video {
         .orderBy(col("keeper")))
 
   val all: Seq[Q] = Seq(videoDecodeQ, videoDecodeBatchQ, videoFramesQ,
-    videoDedupQ)
+    videoDedupQ, videoClipPairsQ)
 }

@@ -347,6 +347,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("m_video_clip_pairs: inverted-index frame-key join, never all-pairs") {
+    val p = plan("m_video_clip_pairs")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    // the only join is the fkey equi-join (postings self-join)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p) // pair counts map-side combine
+  }
+
   test("g_walks superstep: walk state broadcasts against edges (checkpointed result hides it)") {
     // the registered query's final plan is checkpoint-truncated frames,
     // so assert the per-step shape directly: seed-sized state joined to
