@@ -135,7 +135,8 @@ object Explain {
       "m_video_frames" -> "AVI RIFF demux + per-sampled-frame baseline JPEG decode, exploded to frame rows — pure narrow map over doc_id alone",
       "m_dedup_video" -> "video dedup on the DECODED per-frame color-sum sequence: narrow demux+decode, ONE content-key shuffle elects survivors",
       "g_pagerank_incremental" -> "warm-restart PageRank: standing ranks coalesced into the union graph's init, 3 supersteps vs the cold 10",
-      "m_video_clip_pairs" -> "clip detection: demux to (doc, frame-key) postings, ONE key equi-join + pair count — partial overlap, never all-pairs")
+      "m_video_clip_pairs" -> "clip detection: demux to (doc, frame-key) postings, ONE key equi-join + pair count — partial overlap, never all-pairs",
+      "d_decontaminate_embedding" -> "semantic eval-leak scan: corpus x BROADCAST eval set (bounded by nature), per-row max-cosine, every vector reported")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -118,8 +118,14 @@ object ScaleTrend {
     // union-graph supersteps (3 rounds vs the standing build's 10)
     "m_video_decode", "m_video_frames", "m_dedup_video",
     "g_pagerank_incremental",
-    // clip detection: postings join — pair output rides frame-key
-    // popularity (docs-per-library-frame), the banded-join contract
+    // embedding decontamination: corpus scanned once vs the BROADCAST
+    // bounded eval set — wall rides corpus x |eval| dot products
+    "d_decontaminate_embedding",
+    // clip detection: postings join — pair OUTPUT is quadratic in
+    // docs-per-library-frame by construction (fixed 200-slot library:
+    // 368.7k pairs sf0.1 / 37.1M sf1 = 100.6x), so the honest slope
+    // rides the pair count like the image/audio dedup twins — measured
+    // 61x wall at 10x data = sublinear in pairs
     "m_video_clip_pairs")
 
   def main(args: Array[String]): Unit = {

@@ -26,6 +26,28 @@ class AnnSpec extends SparkSpec {
     assert(rMp >= rLsh)
   }
 
+  test("embedding decontamination: verdicts equal the exact pair set restricted to the eval boundary") {
+    import org.apache.spark.sql.functions.col
+    // ground truth: the exact all-pairs near-dup set (>=0.45) — a
+    // corpus vec is contaminated iff it pairs with an eval vec (<25)
+    val pairs = graft.pipeline.ExactBaselines.ndPairs(spark, sf("0.01"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val contaminatedTruth = pairs.collect {
+      case (a, b) if a < 25 && b >= 25 => b
+      case (a, b) if b < 25 && a >= 25 => a
+    }.toSet
+    val out = graft.registry.Registry.byName("d_decontaminate_embedding")
+      .run(spark, sf("0.01")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(out.count(_._2) === contaminatedTruth.size)
+    assert(out.filter(_._2).map(_._1).toSet === contaminatedTruth)
+    // the report covers EVERY corpus vector, verdict or not
+    val nCorpus = graft.Tables.embeddings(spark, sf("0.01"))
+      .filter(col("vec_id") >= 25).count()
+    assert(out.length.toLong === nCorpus)
+    assert(contaminatedTruth.nonEmpty, "the corpus must plant >=1 leak")
+  }
+
   test("multiprobe ranks reflect a candidate superset per query") {
     // multiprobe sees every nprobe=1 candidate plus the flipped-bit
     // bucket, so a pair appearing in both top-3 lists can only move DOWN

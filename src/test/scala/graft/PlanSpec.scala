@@ -356,6 +356,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // pair counts map-side combine
   }
 
+  test("d_decontaminate_embedding: eval side broadcasts (bounded-eval class), corpus scanned once") {
+    val p = plan("d_decontaminate_embedding")
+    // the nested loop is the DESIGNED shape here: corpus x BROADCAST
+    // eval (<25 rows) — the coreset/k-means bounded-broadcast class,
+    // never corpus x corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id)"), p) // both range filters reach the scan
+    assert(p.contains("partial_max") || p.contains("partial"), p)
+  }
+
   test("g_walks superstep: walk state broadcasts against edges (checkpointed result hides it)") {
     // the registered query's final plan is checkpoint-truncated frames,
     // so assert the per-step shape directly: seed-sized state joined to
