@@ -80,5 +80,70 @@ object DataQuality {
       rowAudit.crossJoin(orphans).crossJoin(dups)
     })
 
-  def all: Seq[Q] = Seq(dqChecks)
+  /** k-anonymity / l-diversity audit — the privacy-governance check a
+    * training-data release runs before shipping a table: group rows by
+    * their QUASI-IDENTIFIER combination (here nation + account-balance
+    * kilo-bucket — attributes an adversary can link externally) and
+    * flag groups smaller than k=3 (re-identifiable) or with fewer than l
+    * distinct SENSITIVE values (attribute-disclosing even at size >= k
+    * — the homogeneity attack l-diversity exists for; sensitive =
+    * market segment). Output is the per-group audit artifact the
+    * suppression/generalization pass consumes. ONE shuffle: the QI
+    * groupBy (count-distinct expands in the same aggregation); floor()
+    * buckets on both engines — CAST(double AS INT) rounds in DuckDB
+    * but truncates in Spark, the one cross-engine trap here. */
+  val kAnonymity: Q = Q(
+    "x_k_anonymity",
+    Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           |  CAST(count(*) AS BIGINT) AS group_size,
+           |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+           |  count(*) >= 3 AS k_anonymous,
+           |  count(DISTINCT c_mktsegment) >= 2 AS l_diverse
+           |FROM customer
+           |GROUP BY 1, 2 ORDER BY nation, bal_bucket""".stripMargin),
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey").cast("long").as("nation"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("group_size"),
+          countDistinct(col("c_mktsegment")).as("n_sensitive"))
+        .select(col("nation"), col("bal_bucket"), col("group_size"),
+          col("n_sensitive"),
+          (col("group_size") >= 3).as("k_anonymous"),
+          (col("n_sensitive") >= 2).as("l_diverse"))
+        .orderBy(col("nation"), col("bal_bucket")))
+
+  /** The APPLY step: release only rows whose QI group passes BOTH
+    * gates (suppression — generalization is the other lever, out of
+    * contract here). The audit side is at most |QI-combinations| rows
+    * (aggregated, small), so it BROADCASTS back onto the table: the
+    * corpus is scanned once and never shuffled. */
+  val kSuppress: Q = Q(
+    "x_k_suppress",
+    Some("""WITH audit AS (
+           |  SELECT c_nationkey AS nation,
+           |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bb,
+           |    count(*) >= 3 AND count(DISTINCT c_mktsegment) >= 2 AS ok
+           |  FROM customer GROUP BY 1, 2)
+           |SELECT c.c_custkey, c.c_mktsegment
+           |FROM customer c JOIN audit a
+           |  ON c.c_nationkey = a.nation
+           |  AND CAST(floor(c.c_acctbal / 1000) AS BIGINT) = a.bb
+           |WHERE a.ok ORDER BY c.c_custkey""".stripMargin),
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .withColumn("bb", floor(col("c_acctbal") / 1000).cast("long"))
+      val audit = cust
+        .groupBy(col("c_nationkey").as("nation"), col("bb").as("abb"))
+        .agg(((count(lit(1)) >= 3) &&
+          (countDistinct(col("c_mktsegment")) >= 2)).as("ok"))
+        .filter(col("ok"))
+      cust.join(broadcast(audit),
+          cust("c_nationkey") === audit("nation") && col("bb") === col("abb"))
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    })
+
+  def all: Seq[Q] = Seq(dqChecks, kAnonymity, kSuppress)
 }

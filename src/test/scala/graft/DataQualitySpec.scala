@@ -57,4 +57,44 @@ class DataQualitySpec extends SparkSpec {
     (0 until row.length).foreach(i => assert(row.getLong(i) == 0L,
       s"clean testdata flagged at column $i"))
   }
+
+  test("k-anonymity audit: boundary semantics on both gates") {
+    // sf0.01: sf0.001's 150 customers spread over 122 QI groups — every
+    // group sub-k, both gates vacuous there
+    val audit = DataQuality.kAnonymity.run(spark, sf("0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(audit.nonEmpty)
+    audit.values.foreach { case (size, nSens, kOk, lOk) =>
+      assert(kOk === (size >= 3))
+      assert(lOk === (nSens >= 2))
+      assert(nSens <= size, "distinct sensitive values cannot exceed rows")
+      assert(nSens >= 1)
+    }
+    // the corpus must exercise BOTH failure modes, or the gates are
+    // vacuous: some group too small, and some group size>=k but l<2
+    // (the homogeneity attack l-diversity exists for)
+    assert(audit.values.exists(v => !v._3), "need a sub-k group")
+    assert(audit.values.exists(v => v._3 && !v._4),
+      "need a k-anonymous but non-diverse group")
+    assert(audit.values.exists(v => v._3 && v._4), "need a passing group")
+  }
+
+  test("suppression releases exactly the rows of passing groups") {
+    import org.apache.spark.sql.functions.{col, floor}
+    val audit = DataQuality.kAnonymity.run(spark, sf("0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getBoolean(4) && r.getBoolean(5)))
+      .toMap
+    val released = DataQuality.kSuppress.run(spark, sf("0.01")).collect()
+      .map(_.getLong(0)).toSet
+    val all = graft.Tables.customer(spark, sf("0.01"))
+      .select(col("c_custkey"), col("c_nationkey").cast("long"),
+        floor(col("c_acctbal") / 1000).cast("long")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    all.foreach { case (ck, qi) =>
+      assert(released.contains(ck) === audit(qi),
+        s"customer $ck release verdict must equal its group's audit")
+    }
+    assert(released.nonEmpty && released.size < all.length)
+  }
 }
