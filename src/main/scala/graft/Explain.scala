@@ -136,7 +136,8 @@ object Explain {
       "m_dedup_video" -> "video dedup on the DECODED per-frame color-sum sequence: narrow demux+decode, ONE content-key shuffle elects survivors",
       "g_pagerank_incremental" -> "warm-restart PageRank: standing ranks coalesced into the union graph's init, 3 supersteps vs the cold 10",
       "m_video_clip_pairs" -> "clip detection: demux to (doc, frame-key) postings, ONE key equi-join + pair count — partial overlap, never all-pairs",
-      "d_decontaminate_embedding" -> "semantic eval-leak scan: corpus x BROADCAST eval set (bounded by nature), per-row max-cosine, every vector reported")
+      "d_decontaminate_embedding" -> "semantic eval-leak scan: corpus x BROADCAST eval set (bounded by nature), per-row max-cosine, every vector reported",
+      "t_warc_extract" -> "WARC ingest: record walk -> embedded HTTP message -> page body -> HtmlCodec extract, ONE narrow pass (sort only for output)")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -118,6 +118,9 @@ object ScaleTrend {
     // union-graph supersteps (3 rounds vs the standing build's 10)
     "m_video_decode", "m_video_frames", "m_dedup_video",
     "g_pagerank_incremental",
+    // WARC ingest: record walk + embedded HTTP + HTML extract, one
+    // narrow pass riding total archive bytes
+    "t_warc_parse", "t_warc_extract",
     // embedding decontamination: corpus scanned once vs the BROADCAST
     // bounded eval set — wall rides corpus x |eval| dot products
     "d_decontaminate_embedding",

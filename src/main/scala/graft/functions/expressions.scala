@@ -530,6 +530,56 @@ object AviFrameKeys {
     StructField("fkey", StringType, nullable = false)))
 }
 
+/** Synthesize one page's WARC/1.0 capture triplet (WarcCodec.encode)
+  * from (docId, uri, html) — warcinfo + request + response with the
+  * embedded HTTP messages. NULL on null inputs. */
+case class EncodeWarc(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(d: Any, u: Any, h: Any): Any =
+    WarcCodec.encode(d.asInstanceOf[Long], u.toString, h.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, u, h) => s"""
+       |${ev.value} = graft.functions.WarcCodec.encode($d, $u.toString(), $h.toString());
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): EncodeWarc = copy(first = f, second = s, third = t)
+}
+
+/** Parse a WARC file to its records (WarcCodec.parseRaw): version line,
+  * CRLF header walk with required-header checks, Content-Length-framed
+  * block, CRLF CRLF terminator, repeated to EOF; embedded HTTP status/
+  * payload recovered from msgtype=response blocks. array<struct(
+  * rec_idx, rec_type, uri, content_length, http_status, body)>; NULL
+  * on anything outside the WARC/1.0 contract. */
+case class WarcRecords(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(WarcRecords.recSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    WarcCodec.records(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.WarcCodec.records($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): WarcRecords =
+    copy(child = newChild)
+}
+
+object WarcRecords {
+  val recSchema: StructType = StructType(Seq(
+    StructField("rec_idx", LongType, nullable = false),
+    StructField("rec_type", StringType, nullable = false),
+    StructField("uri", StringType, nullable = false),
+    StructField("content_length", LongType, nullable = false),
+    StructField("http_status", LongType, nullable = false),
+    StructField("body", StringType, nullable = false)))
+}
+
 /** Parse the AVI RIFF structure (AviCodec.parseHeaderRaw): hdrl/avih/
   * strh/strf consistency, full movi chunk walk with SOI-led payloads,
   * idx1 entry-for-entry cross-check. struct(width, height, n_frames,
@@ -945,6 +995,15 @@ object GraftFunctions {
   def avi_frame_keys(bytes: Column): Column =
     GraftColumnBridge.column(AviFrameKeys(GraftColumnBridge.expression(bytes)))
 
+  def encode_warc(docId: Column, uri: Column, html: Column): Column =
+    GraftColumnBridge.column(EncodeWarc(
+      GraftColumnBridge.expression(docId),
+      GraftColumnBridge.expression(uri),
+      GraftColumnBridge.expression(html)))
+
+  def warc_records(bytes: Column): Column =
+    GraftColumnBridge.column(WarcRecords(GraftColumnBridge.expression(bytes)))
+
   def parse_avi_header(bytes: Column): Column =
     GraftColumnBridge.column(ParseAviHeader(GraftColumnBridge.expression(bytes)))
 
@@ -1006,6 +1065,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("parse_avi_header", es => ParseAviHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("avi_frame_stats", es => AviFrameStats(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("avi_frame_keys", es => AviFrameKeys(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_warc", es => EncodeWarc(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("warc_records", es => WarcRecords(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_resample", es => PngResample(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("wav_audio_fp", es => WavAudioFp(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gzip_text", es => GzipText(es.head), "scala_udf")

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.WarcCodec
+import graft.functions.GraftFunctions.{encode_warc, html_extract, warc_records}
+import graft.registry.Q
+
+/** WARC ingestion (ISO 28500) — crawl corpora arrive as WARC capture
+  * files, so the text lane's real entry point is: WARC record walk →
+  * embedded HTTP message → page body → HTML extraction. Each document
+  * carries the standard capture triplet (warcinfo, request, response);
+  * the parse explodes records, and the extract query chains the
+  * response payload STRAIGHT into the existing HtmlCodec — same
+  * output, same oracle, as t_html_extract, proving the ingest path is
+  * lossless. Everything is a narrow map until the output sort; at
+  * 100 TB the gzip lane composes upstream (.warc.gz = gzip members
+  * over these bytes, GzipCodec's boundary). */
+object Warc {
+
+  /** documents -> (doc_id, warc BINARY): uri http://w{id%50}.example/p{id},
+    * page = the Html lane's deterministic messy page. */
+  def withWarc(docs: DataFrame): DataFrame =
+    Html.withHtml(docs)
+      .select(col("doc_id"), col("html"),
+        concat(lit("http://w"), col("doc_id") % 50,
+          lit(".example/p"), col("doc_id")).as("uri"))
+      .select(col("doc_id"),
+        encode_warc(col("doc_id"), col("uri"), col("html")).as("warc"))
+
+  /** Record-level parse, exploded to (doc, record) rows. */
+  def parseRecords(warcs: DataFrame): DataFrame =
+    warcs.select(col("doc_id"), explode(warc_records(col("warc"))).as("r"))
+      .select(col("doc_id"), col("r.rec_idx").as("rec_idx"),
+        col("r.rec_type").as("rec_type"), col("r.uri").as("uri"),
+        col("r.content_length").as("content_length"),
+        col("r.http_status").as("http_status"))
+
+  final case class WarcIn(doc_id: Long, warc: Array[Byte])
+  final case class WarcRecOut(doc_id: Long, rec_idx: Long, rec_type: String,
+      uri: String, content_length: Long, http_status: Long)
+
+  /** Batched parse twin (one dispatch per batch, the family discipline). */
+  def parseRecordsBatch(warcs: DataFrame, batchSize: Int = 512): DataFrame = {
+    val spark = warcs.sparkSession
+    import spark.implicits._
+    warcs.select(col("doc_id"), col("warc")).as[WarcIn]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val parsed = WarcCodec.parseBatch(batch.map(_.warc).toArray)
+          batch.iterator.zip(parsed.iterator).flatMap {
+            case (w, rs) if rs != null =>
+              rs.iterator.zipWithIndex.map { case (r, i) =>
+                WarcRecOut(w.doc_id, i.toLong, r.recType, r.uri,
+                  r.contentLength, r.httpStatus)
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** The ingest composition: response payloads through the HTML
+    * extractor — output-identical to t_html_extract (same oracle). */
+  def extractFromWarc(warcs: DataFrame): DataFrame =
+    warcs.select(col("doc_id"), explode(warc_records(col("warc"))).as("r"))
+      .filter(col("r.rec_type") === "response")
+      .select(col("doc_id"), html_extract(col("r.body")).as("extract"))
+      .withColumn("n_chars", length(col("extract")).cast(LongType))
+
+  // ---- oracles -------------------------------------------------------------
+
+  /** The Html.withHtml page rebuilt as a DuckDB expression (same
+    * concats, same CASE branches) — record 2's Content-Length is the
+    * fixed HTTP prefix (44 bytes) + the page (ASCII corpus: bytes ==
+    * chars; the codec's byte-correctness on multi-byte pages is
+    * spec-pinned separately). */
+  private val HtmlLenSql: String = {
+    val esc = "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    val id = "CAST(doc_id AS VARCHAR)"
+    s"""length('<html><head><title>Doc ' || $id || '</title>'
+       |  || '<script type="text/javascript">var x = ' || $id || '; if (x < 99) { x = x*2; }</script>'
+       |  || '<style>p { margin: 0; }</style></head>'
+       |  || '<body><!-- generated ' || $id || ' -->'
+       |  || '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a> <a href="/p'
+       |  || CAST(doc_id // 2 + 1 AS VARCHAR) || '?a=1&amp;b=2">next</a></nav>'
+       |  || CASE WHEN doc_id % 3 = 0 THEN '<nav><a href="/x">Archive index</a> <a href="/y">Tag cloud</a></nav>' ELSE '' END
+       |  || '<div class="main">' || $esc || ' A &amp; B &lt;ok&gt; &#65;&#x42;.</div>'
+       |  || CASE WHEN doc_id % 10 = 0 THEN '<p>Paragraph two of document ' || $id || ' follows <a href="/n">here</a>.</p>'
+       |       WHEN doc_id % 5 = 0 THEN '<p>Paragraph two of document ' || $id || ' follows here.</p>' ELSE '' END
+       |  || '<div class="promo"><a href="/buy">Buy now and save twenty percent today</a></div>'
+       |  || '<footer>&copy; 2026 example</footer></body></html>')""".stripMargin
+      // flattened to ONE line: this fragment embeds in ParseOracle's
+      // stripMargin block, which would otherwise eat the leading pipe
+      // of every '||' continuation line
+      .replaceAll("\n\\s*", " ")
+  }
+
+  private val ParseOracle: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    'http://w' || CAST(doc_id % 50 AS VARCHAR) || '.example/p'
+       |      || CAST(doc_id AS VARCHAR) AS u,
+       |    $HtmlLenSql AS hlen
+       |  FROM documents)
+       |SELECT doc_id, rec_idx, rec_type, uri, content_length, http_status
+       |FROM (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx,
+       |    'warcinfo' AS rec_type, '' AS uri,
+       |    CAST(39 AS BIGINT) AS content_length,
+       |    CAST(-1 AS BIGINT) AS http_status FROM h
+       |  UNION ALL
+       |  SELECT doc_id, CAST(1 AS BIGINT), 'request', u,
+       |    CAST(length('GET /p' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1') + 2
+       |      + length('Host: w' || CAST(doc_id % 50 AS VARCHAR) || '.example') + 2
+       |      + 2 AS BIGINT),
+       |    CAST(-1 AS BIGINT) FROM h
+       |  UNION ALL
+       |  SELECT doc_id, CAST(2 AS BIGINT), 'response', u,
+       |    CAST(44 + hlen AS BIGINT), CAST(200 AS BIGINT) FROM h)
+       |ORDER BY doc_id, rec_idx""".stripMargin
+
+  /** The extract oracle is t_html_extract's, verbatim by construction
+    * — the WARC hop must be lossless. */
+  private val ExtractOracle: String =
+    s"""WITH e AS (
+       |  SELECT doc_id, ${Html.extractConstructSql} AS extract FROM documents)
+       |SELECT doc_id, extract,
+       |  CAST(length(extract) AS BIGINT) AS n_chars
+       |FROM e ORDER BY doc_id""".stripMargin
+
+  // ---- registered queries --------------------------------------------------
+
+  val warcParseQ: Q = Q(
+    "t_warc_parse",
+    Some(ParseOracle),
+    (s, d) =>
+      parseRecords(withWarc(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("rec_idx")))
+
+  val warcParseBatchQ: Q = Q(
+    "t_warc_parse_batch",
+    Some(ParseOracle),
+    (s, d) =>
+      parseRecordsBatch(withWarc(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("rec_idx")))
+
+  val warcExtractQ: Q = Q(
+    "t_warc_extract",
+    Some(ExtractOracle),
+    (s, d) =>
+      extractFromWarc(withWarc(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  val all: Seq[Q] = Seq(warcParseQ, warcParseBatchQ, warcExtractQ)
+}

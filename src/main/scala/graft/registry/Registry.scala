@@ -74,6 +74,7 @@ object Registry {
       graft.pipeline.CrawlE2e.all ++
       graft.pipeline.Robots.all ++
       graft.pipeline.Video.all ++
+      graft.pipeline.Warc.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 

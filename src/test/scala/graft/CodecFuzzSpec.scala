@@ -41,7 +41,10 @@ class CodecFuzzSpec extends SparkSpec {
     // round 10 continuation: the AVI walk composes RIFF structure over
     // the JPEG entropy path — two failure surfaces in one parse
     "avi" -> (b => graft.functions.AviCodec.parseHeaderRaw(b)),
-    "avi_frames" -> (b => graft.functions.AviCodec.frameStatsRaw(b, 1)))
+    "avi_frames" -> (b => graft.functions.AviCodec.frameStatsRaw(b, 1)),
+    // WARC: text framing (CRLF headers + byte-counted blocks) rather
+    // than binary framing — a different corruption surface
+    "warc" -> (b => graft.functions.WarcCodec.parseRaw(b)))
 
   test("random blobs never throw through any codec parse (200 seeded cases)") {
     (1L to 200L).foreach { seed =>
@@ -63,7 +66,9 @@ class CodecFuzzSpec extends SparkSpec {
       PngCodec.encode(13, 9, 2, 42L),
       JpegCodec.encode(13, 9, 3, 42L),
       graft.functions.GzipCodec.gzip("fuzz this member".getBytes("UTF-8")),
-      graft.functions.AviCodec.encode(13, 9, 3, 25, 42L))
+      graft.functions.AviCodec.encode(13, 9, 3, 25, 42L),
+      graft.functions.WarcCodec.encode(42L, "http://w7.example/p42",
+        "<html><body>fuzz page</body></html>"))
     (1L to 300L).foreach { seed =>
       val v = valids((seed % valids.length).toInt)
       val pos = sample(Gen.chooseNum(0, v.length - 1), seed)

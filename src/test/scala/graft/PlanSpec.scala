@@ -356,6 +356,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // pair counts map-side combine
   }
 
+  test("t_warc_extract: WARC walk + HTTP parse + HTML extract is one narrow pass") {
+    val p = plan("t_warc_extract")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.split("Exchange").length - 1 <= 1, p) // output sort only
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d_decontaminate_embedding: eval side broadcasts (bounded-eval class), corpus scanned once") {
     val p = plan("d_decontaminate_embedding")
     // the nested loop is the DESIGNED shape here: corpus x BROADCAST
