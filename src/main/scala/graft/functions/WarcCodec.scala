@@ -61,10 +61,9 @@ object WarcCodec {
     out
   }
 
-  /** One page's WARC file: warcinfo + request + response, the standard
-    * capture triplet. Null html is out of contract → null. */
-  def encode(docId: Long, uri: String, html: String): Array[Byte] = {
-    if (uri == null || html == null) return null
+  /** The capture triplet as three record byte-spans. */
+  private def tripletRecords(docId: Long, uri: String,
+      html: String): Array[Array[Byte]] = {
     val path = {
       val i = uri.indexOf('/', uri.indexOf("//") + 2)
       if (i < 0) "/" else uri.substring(i)
@@ -82,11 +81,30 @@ object WarcCodec {
     val respBody = (HttpRespPrefix + html).getBytes("UTF-8")
     val resp = record("response", docId, 2, uri,
       "application/http;msgtype=response", respBody)
-    val out = new Array[Byte](info.length + req.length + resp.length)
-    System.arraycopy(info, 0, out, 0, info.length)
-    System.arraycopy(req, 0, out, info.length, req.length)
-    System.arraycopy(resp, 0, out, info.length + req.length, resp.length)
-    out
+    Array(info, req, resp)
+  }
+
+  /** One page's WARC file: warcinfo + request + response, the standard
+    * capture triplet. Null html is out of contract → null. */
+  def encode(docId: Long, uri: String, html: String): Array[Byte] = {
+    if (uri == null || html == null) return null
+    val rs = tripletRecords(docId, uri, html)
+    val out = new java.io.ByteArrayOutputStream(rs.map(_.length).sum)
+    rs.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** The same capture triplet as .warc.gz: each record gzipped as its
+    * OWN member, members concatenated — the standard layout (one
+    * member per record keeps the archive seekable at record
+    * granularity; `cat`-concatenated members decode to the plain file,
+    * which is exactly what GzipCodec.gunzip implements). */
+  def encodeGz(docId: Long, uri: String, html: String): Array[Byte] = {
+    if (uri == null || html == null) return null
+    val rs = tripletRecords(docId, uri, html)
+    val out = new java.io.ByteArrayOutputStream(256)
+    rs.foreach(r => out.write(GzipCodec.gzip(r)))
+    out.toByteArray
   }
 
   /** One parsed record. `httpStatus` is the embedded HTTP status for

@@ -548,6 +548,41 @@ case class EncodeWarc(first: Expression, second: Expression,
       t: Expression): EncodeWarc = copy(first = f, second = s, third = t)
 }
 
+/** The .warc.gz form (WarcCodec.encodeGz): each record its own gzip
+  * member, members concatenated — the standard seekable layout. */
+case class EncodeWarcGz(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(d: Any, u: Any, h: Any): Any =
+    WarcCodec.encodeGz(d.asInstanceOf[Long], u.toString, h.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, u, h) => s"""
+       |${ev.value} = graft.functions.WarcCodec.encodeGz($d, $u.toString(), $h.toString());
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): EncodeWarcGz = copy(first = f, second = s, third = t)
+}
+
+/** Binary gunzip (GzipCodec.gunzip — CRC/ISIZE-verified, bomb-capped,
+  * multi-member): bytes in, bytes out. The BINARY sibling of
+  * GunzipText for payloads that are not UTF-8 text. */
+case class GunzipBytes(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GzipCodec.gunzip(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.GzipCodec.gunzip($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): GunzipBytes =
+    copy(child = newChild)
+}
+
 /** Parse a WARC file to its records (WarcCodec.parseRaw): version line,
   * CRLF header walk with required-header checks, Content-Length-framed
   * block, CRLF CRLF terminator, repeated to EOF; embedded HTTP status/
@@ -1004,6 +1039,15 @@ object GraftFunctions {
   def warc_records(bytes: Column): Column =
     GraftColumnBridge.column(WarcRecords(GraftColumnBridge.expression(bytes)))
 
+  def encode_warc_gz(docId: Column, uri: Column, html: Column): Column =
+    GraftColumnBridge.column(EncodeWarcGz(
+      GraftColumnBridge.expression(docId),
+      GraftColumnBridge.expression(uri),
+      GraftColumnBridge.expression(html)))
+
+  def gunzip_bytes(bytes: Column): Column =
+    GraftColumnBridge.column(GunzipBytes(GraftColumnBridge.expression(bytes)))
+
   def parse_avi_header(bytes: Column): Column =
     GraftColumnBridge.column(ParseAviHeader(GraftColumnBridge.expression(bytes)))
 
@@ -1067,6 +1111,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("avi_frame_keys", es => AviFrameKeys(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_warc", es => EncodeWarc(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("warc_records", es => WarcRecords(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_warc_gz", es => EncodeWarcGz(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("gunzip_bytes", es => GunzipBytes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_resample", es => PngResample(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("wav_audio_fp", es => WavAudioFp(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gzip_text", es => GzipText(es.head), "scala_udf")

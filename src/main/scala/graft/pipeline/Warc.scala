@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.WarcCodec
-import graft.functions.GraftFunctions.{encode_warc, html_extract, warc_records}
+import graft.functions.GraftFunctions.{encode_warc, encode_warc_gz, gunzip_bytes, html_extract, warc_records}
 import graft.registry.Q
 
 /** WARC ingestion (ISO 28500) — crawl corpora arrive as WARC capture
@@ -156,5 +156,32 @@ object Warc {
       extractFromWarc(withWarc(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
-  val all: Seq[Q] = Seq(warcParseQ, warcParseBatchQ, warcExtractQ)
+  /** documents -> (doc_id, warcgz): the .warc.gz form — one gzip
+    * member PER RECORD, concatenated (the standard seekable layout). */
+  def withWarcGz(docs: DataFrame): DataFrame =
+    Html.withHtml(docs)
+      .select(col("doc_id"),
+        encode_warc_gz(col("doc_id"),
+          concat(lit("http://w"), col("doc_id") % 50,
+            lit(".example/p"), col("doc_id")), col("html")).as("warcgz"))
+
+  /** The compressed path: multi-member gunzip (CRC/ISIZE-verified,
+    * bomb-capped) back to the plain file, then the same record walk —
+    * the full .warc.gz ingest a crawl shard actually takes. Same
+    * oracle as the plain parse: compression must be transparent. */
+  val warcGzParseQ: Q = Q(
+    "t_warc_gz_parse",
+    Some(ParseOracle),
+    (s, d) =>
+      withWarcGz(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(warc_records(gunzip_bytes(col("warcgz")))).as("r"))
+        .select(col("doc_id"), col("r.rec_idx").as("rec_idx"),
+          col("r.rec_type").as("rec_type"), col("r.uri").as("uri"),
+          col("r.content_length").as("content_length"),
+          col("r.http_status").as("http_status"))
+        .orderBy(col("doc_id"), col("rec_idx")))
+
+  val all: Seq[Q] = Seq(warcParseQ, warcParseBatchQ, warcExtractQ,
+    warcGzParseQ)
 }

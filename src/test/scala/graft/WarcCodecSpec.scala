@@ -74,6 +74,20 @@ class WarcCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("warc.gz: per-record members concatenate and decode to the plain file") {
+    val plain = file()
+    val gz = WarcCodec.encodeGz(42L, uri, "<html><body>hello world</body></html>")
+    // three members: three gzip magics in the stream
+    var magics = 0
+    (0 until gz.length - 1).foreach { i =>
+      if ((gz(i) & 0xFF) == 0x1F && (gz(i + 1) & 0xFF) == 0x8B) magics += 1
+    }
+    assert(magics == 3, s"expected 3 gzip members, saw $magics magics")
+    assert(java.util.Arrays.equals(
+      graft.functions.GzipCodec.gunzip(gz), plain),
+      "multi-member gunzip must reproduce the plain WARC byte-for-byte")
+  }
+
   test("status must be three digits and the block HTTP-led") {
     val ok = file()
     val text = new String(ok, "ISO-8859-1")
