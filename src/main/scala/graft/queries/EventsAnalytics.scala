@@ -162,5 +162,57 @@ object EventsAnalytics {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(funnelQ, cohortQ, attributionQ)
+  /** Batch sessionization — the clickstream primitive (the streaming
+    * twin is st_sessionize/st_session_window): a user's events split
+    * into sessions at inactivity gaps > 2 h, via the classic
+    * lag-flag-cumsum: break = (gap > threshold), session = running sum
+    * of breaks. Output one row per session (seq, size, exact integer
+    * duration in seconds).
+    *
+    * Scale shape: every window is PARTITIONED BY user_id ordered by
+    * (ts, event_id) — one user-key shuffle feeds both windows AND the
+    * final session aggregation (same partitioning, no re-exchange); no
+    * global sort anywhere. The (ts, event_id) tie-break makes the lag
+    * deterministic under equal timestamps on both engines. */
+  val sessionizeQ: Q = Q(
+    "x_sessionize_batch",
+    Some("""WITH l AS (
+           |  SELECT user_id, event_id, ts,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST(7200 AS BIGINT) * 1000000
+           |      THEN 1 ELSE 0 END AS brk
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (
+           |  SELECT user_id, ts,
+           |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS sess
+           |  FROM l)
+           |SELECT user_id, CAST(sess AS BIGINT) AS session_seq,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec
+           |FROM s GROUP BY user_id, sess
+           |ORDER BY user_id, session_seq""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val lagTs = lag(col("ts"), 1).over(w)
+      val brk = when(lagTs.isNull ||
+        unix_micros(col("ts")) - unix_micros(lagTs) > 7200L * 1000000L,
+        1L).otherwise(0L)
+      Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("brk", brk)
+        .withColumn("sess", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess").as("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            / 1000000L).cast(LongType).as("duration_sec"))
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("duration_sec"))
+        .orderBy(col("user_id"), col("session_seq"))
+    })
+
+  val all: Seq[Q] = Seq(funnelQ, cohortQ, attributionQ, sessionizeQ)
 }

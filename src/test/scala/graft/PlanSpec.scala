@@ -356,6 +356,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // pair counts map-side combine
   }
 
+  test("x_sessionize_batch: ONE user-key exchange feeds both windows AND the session agg") {
+    val p = plan("x_sessionize_batch")
+    // hashpartitioning(user_id) satisfies the (user_id, sess) clustered
+    // distribution (subset rule), so the aggregation rides the window's
+    // exchange — only the user shuffle + the output sort move data
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(p.split("Exchange").length - 1 <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t_warc_extract: WARC walk + HTTP parse + HTML extract is one narrow pass") {
     val p = plan("t_warc_extract")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
