@@ -137,7 +137,8 @@ object Explain {
       "g_pagerank_incremental" -> "warm-restart PageRank: standing ranks coalesced into the union graph's init, 3 supersteps vs the cold 10",
       "m_video_clip_pairs" -> "clip detection: demux to (doc, frame-key) postings, ONE key equi-join + pair count — partial overlap, never all-pairs",
       "d_decontaminate_embedding" -> "semantic eval-leak scan: corpus x BROADCAST eval set (bounded by nature), per-row max-cosine, every vector reported",
-      "t_warc_extract" -> "WARC ingest: record walk -> embedded HTTP message -> page body -> HtmlCodec extract, ONE narrow pass (sort only for output)")
+      "t_warc_extract" -> "WARC ingest: record walk -> embedded HTTP message -> page body -> HtmlCodec extract, ONE narrow pass (sort only for output)",
+      "m_gif_pixels" -> "full GIF87a decode: hand-rolled GIF-LZW (LSB-first growing widths, clear/EOI, KwKwK, 12-bit reset) + palette fold, pure narrow map")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -121,6 +121,8 @@ object ScaleTrend {
     // WARC ingest: record walk + embedded HTTP + HTML extract, one
     // narrow pass riding total archive bytes
     "t_warc_parse", "t_warc_extract",
+    // GIF: hand-rolled LZW decode, narrow map riding pixel count
+    "m_gif_pixels",
     // embedding decontamination: corpus scanned once vs the BROADCAST
     // bounded eval set — wall rides corpus x |eval| dot products
     "d_decontaminate_embedding",

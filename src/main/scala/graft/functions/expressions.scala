@@ -548,6 +548,79 @@ case class EncodeWarc(first: Expression, second: Expression,
       t: Expression): EncodeWarc = copy(first = f, second = s, third = t)
 }
 
+/** Synthesize a GIF87a of the planted palette/index formulas
+  * (GifCodec.encode) from (width, height, palBits, seed) — the
+  * palette + hand-rolled-LZW member of the media-producer family.
+  * NULL for invalid geometry or palette size. */
+case class EncodeGif(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(w: Any, h: Any, pb: Any, s: Any): Any =
+    GifCodec.encode(w.asInstanceOf[Int], h.asInstanceOf[Int],
+      pb.asInstanceOf[Int], s.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, pb, s) => s"""
+       |${ev.value} = graft.functions.GifCodec.encode($w, $h, $pb, $s);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): EncodeGif =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** GIF header parse (GifCodec.parseHeaderRaw): magic, screen
+  * descriptor, global table, image descriptor, sub-block framing, and
+  * trailer validated — the LZW stream framed but NOT decoded (the
+  * demux/decode split). struct(width, height, palette_size, n_px). */
+case class ParseGifHeader(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ParseGifHeader.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GifCodec.parseHeader(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.GifCodec.parseHeader($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ParseGifHeader =
+    copy(child = newChild)
+}
+
+object ParseGifHeader {
+  val schema: StructType = StructType(
+    Seq("width", "height", "palette_size", "n_px")
+      .map(StructField(_, LongType, nullable = false)))
+}
+
+/** FULL GIF decode (GifCodec.pixelStatsRaw): hand-rolled GIF-LZW
+  * (LSB-first growing code width, clear/EOI, KwKwK, 12-bit cap) +
+  * palette lookup, folded to exact per-channel sum/peak. struct(width,
+  * height, palette_size, n_px, sum_r, sum_g, sum_b, peak_r, peak_g,
+  * peak_b); NULL on any violation. */
+case class GifPixelStats(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = GifPixelStats.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GifCodec.pixelStats(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.GifCodec.pixelStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): GifPixelStats =
+    copy(child = newChild)
+}
+
+object GifPixelStats {
+  val schema: StructType = StructType(
+    Seq("width", "height", "palette_size", "n_px",
+      "sum_r", "sum_g", "sum_b", "peak_r", "peak_g", "peak_b")
+      .map(StructField(_, LongType, nullable = false)))
+}
+
 /** The .warc.gz form (WarcCodec.encodeGz): each record its own gzip
   * member, members concatenated — the standard seekable layout. */
 case class EncodeWarcGz(first: Expression, second: Expression,
@@ -1048,6 +1121,20 @@ object GraftFunctions {
   def gunzip_bytes(bytes: Column): Column =
     GraftColumnBridge.column(GunzipBytes(GraftColumnBridge.expression(bytes)))
 
+  def encode_gif(width: Column, height: Column, palBits: Column,
+      seed: Column): Column =
+    GraftColumnBridge.column(EncodeGif(
+      GraftColumnBridge.expression(width),
+      GraftColumnBridge.expression(height),
+      GraftColumnBridge.expression(palBits),
+      GraftColumnBridge.expression(seed)))
+
+  def parse_gif_header(bytes: Column): Column =
+    GraftColumnBridge.column(ParseGifHeader(GraftColumnBridge.expression(bytes)))
+
+  def gif_pixel_stats(bytes: Column): Column =
+    GraftColumnBridge.column(GifPixelStats(GraftColumnBridge.expression(bytes)))
+
   def parse_avi_header(bytes: Column): Column =
     GraftColumnBridge.column(ParseAviHeader(GraftColumnBridge.expression(bytes)))
 
@@ -1113,6 +1200,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("warc_records", es => WarcRecords(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_warc_gz", es => EncodeWarcGz(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("gunzip_bytes", es => GunzipBytes(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_gif", es => EncodeGif(es(0), es(1), es(2), es(3)), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_gif_header", es => ParseGifHeader(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("gif_pixel_stats", es => GifPixelStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_resample", es => PngResample(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("wav_audio_fp", es => WavAudioFp(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gzip_text", es => GzipText(es.head), "scala_udf")

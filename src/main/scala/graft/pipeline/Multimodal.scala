@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{avi_frame_stats, bmp_pixel_stats, byte_histogram, encode_avi, encode_bmp, encode_jpeg, encode_png, encode_wav, gunzip_text, gzip_text, jpeg_pixel_stats, pack_frames, parse_avi_header, parse_bmp_header, parse_frames, parse_jpeg_header, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, wav_audio_fp}
+import graft.functions.GraftFunctions.{avi_frame_stats, bmp_pixel_stats, byte_histogram, encode_avi, encode_bmp, encode_gif, encode_jpeg, encode_png, encode_wav, gif_pixel_stats, gunzip_text, gzip_text, jpeg_pixel_stats, pack_frames, parse_avi_header, parse_bmp_header, parse_frames, parse_gif_header, parse_jpeg_header, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, wav_audio_fp}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -1579,12 +1579,123 @@ object Multimodal {
       jpegPixels(withJpegContainers(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
+  // ---- GIF87a (palette + hand-rolled LZW) ---------------------------------
+
+  /** documents -> (doc_id, container): one GIF87a per document (dims
+    * from the text, palette size 4/8/16 by doc_id mod 3, planted
+    * palette/index formulas — GifCodec's exactness design), framed into
+    * GRFT1 like the other image lanes. */
+  def withGifContainers(docs: DataFrame, frameSize: Int = 512): DataFrame =
+    docs.select(
+      col("doc_id"),
+      pack_frames(
+        encode_gif(
+          (length(col("text")) % 60 + 1).cast("int"),
+          (length(col("text")) % 40 + 1).cast("int"),
+          (col("doc_id") % 3 + 2).cast("int"),
+          col("doc_id").cast(LongType)),
+        lit(frameSize)).as("container"))
+
+  private val GifHeaderOracle =
+    """SELECT doc_id,
+      |  CAST(length(text) % 60 + 1 AS BIGINT) AS width,
+      |  CAST(length(text) % 40 + 1 AS BIGINT) AS height,
+      |  CAST(1 << CAST(doc_id % 3 + 2 AS INT) AS BIGINT) AS palette_size,
+      |  CAST((length(text) % 60 + 1) * (length(text) % 40 + 1) AS BIGINT) AS n_px
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def parseGifHeaders(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"), parse_gif_header(col("f.payload")).as("h"))
+      .select(col("doc_id"),
+        col("h.width").as("width"), col("h.height").as("height"),
+        col("h.palette_size").as("palette_size"), col("h.n_px").as("n_px"))
+
+  final case class GifHeaderRow(doc_id: Long, width: Long, height: Long,
+      palette_size: Long, n_px: Long)
+
+  def parseGifHeadersBatch(containers: DataFrame, batchSize: Int = 512): DataFrame = {
+    val spark = containers.sparkSession
+    import spark.implicits._
+    containers.select(col("doc_id"), col("container")).as[Container]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val deframed = FrameCodec.parseBatch(batch.map(_.container).toArray)
+          val payloads: Array[Array[Byte]] = deframed.map { r =>
+            if (r == null) null else r._2
+          }
+          val headers = graft.functions.GifCodec.parseBatch(payloads)
+          batch.iterator.zip(headers.iterator).collect {
+            case (c, h) if h != null =>
+              GifHeaderRow(c.doc_id, h(0), h(1), h(2), h(3))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  val gifDecodeQ: Q = Q(
+    "m_gif_decode",
+    Some(GifHeaderOracle),
+    (s, d) =>
+      parseGifHeaders(withGifContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  val gifDecodeBatchQ: Q = Q(
+    "m_gif_decode_batch",
+    Some(GifHeaderOracle),
+    (s, d) =>
+      parseGifHeadersBatch(withGifContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** Pixel oracle by direct construction: the engine must run the
+    * whole hand-rolled LZW (growing widths, clear/EOI, KwKwK) +
+    * palette path to reproduce sums the oracle derives from the
+    * planted formulas alone — any bit-packing or table-rebuild bug
+    * hash-fails. */
+  private val GifPixelsOracleSql: String = {
+    val idx = "((doc_id + x + 3*y) % P)"
+    def chan(mult: Int) = s"((doc_id + $mult * $idx) % 256)"
+    def grid(expr: String) =
+      s"""flatten(list_transform(generate_series(0, h - 1), y ->
+         |      list_transform(generate_series(0, w - 1), x -> $expr)))""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) % 60 + 1 AS BIGINT) AS w,
+       |    CAST(length(text) % 40 + 1 AS BIGINT) AS h,
+       |    CAST(1 << CAST(doc_id % 3 + 2 AS INT) AS BIGINT) AS P
+       |  FROM documents)
+       |SELECT doc_id, w AS width, h AS height, P AS palette_size,
+       |  w * h AS n_px,
+       |  CAST(list_sum(${grid(chan(3))}) AS BIGINT) AS sum_r,
+       |  CAST(list_sum(${grid(chan(5))}) AS BIGINT) AS sum_g,
+       |  CAST(list_sum(${grid(chan(7))}) AS BIGINT) AS sum_b,
+       |  CAST(list_max(${grid(chan(3))}) AS BIGINT) AS peak_r,
+       |  CAST(list_max(${grid(chan(5))}) AS BIGINT) AS peak_g,
+       |  CAST(list_max(${grid(chan(7))}) AS BIGINT) AS peak_b
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  private val GifPixelCols = Seq("width", "height", "palette_size", "n_px",
+    "sum_r", "sum_g", "sum_b", "peak_r", "peak_g", "peak_b")
+
+  val gifPixelsQ: Q = Q(
+    "m_gif_pixels",
+    Some(GifPixelsOracleSql),
+    (s, d) =>
+      withGifContainers(Tables.documents(s, d))
+        .select(col("doc_id"), parse_frames(col("container")).as("f"))
+        .select(col("doc_id"), gif_pixel_stats(col("f.payload")).as("s"))
+        .select(col("doc_id") +: GifPixelCols.map(c => col(s"s.$c").as(c)): _*)
+        .orderBy(col("doc_id")))
+
   val all: Seq[Q] = Seq(decodeQ, frameSampleQ, decodeBatchQ,
     containerDecodeQ, containerDecodeBatchQ, bmpDecodeQ, bmpDecodeBatchQ,
     wavDecodeQ, wavDecodeBatchQ, wavLoudnessQ, wavLoudnessBatchQ,
     pngDecodeQ, pngDecodeBatchQ, pngPixelsQ, pngPixelsBatchQ,
     bmpPixelsQ, bmpPixelsBatchQ, gzipDecodeQ, gzipDecodeBatchQ,
     jpegDecodeQ, jpegDecodeBatchQ, jpegPixelsQ,
+    gifDecodeQ, gifDecodeBatchQ, gifPixelsQ,
     imageAHashQ, imageResizeQ, imageDedupQ, audioFpQ, audioDedupQ,
     sniffDispatchQ, mixedDedupQ)
 }

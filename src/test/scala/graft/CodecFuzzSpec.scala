@@ -44,7 +44,11 @@ class CodecFuzzSpec extends SparkSpec {
     "avi_frames" -> (b => graft.functions.AviCodec.frameStatsRaw(b, 1)),
     // WARC: text framing (CRLF headers + byte-counted blocks) rather
     // than binary framing — a different corruption surface
-    "warc" -> (b => graft.functions.WarcCodec.parseRaw(b)))
+    "warc" -> (b => graft.functions.WarcCodec.parseRaw(b)),
+    // GIF: the hand-rolled LZW boundary — bit-level corruption must
+    // surface as null, never a crash or a silent wrong decode length
+    "gif" -> (b => graft.functions.GifCodec.parseHeaderRaw(b)),
+    "gif_pixels" -> (b => graft.functions.GifCodec.pixelStatsRaw(b)))
 
   test("random blobs never throw through any codec parse (200 seeded cases)") {
     (1L to 200L).foreach { seed =>
@@ -68,7 +72,8 @@ class CodecFuzzSpec extends SparkSpec {
       graft.functions.GzipCodec.gzip("fuzz this member".getBytes("UTF-8")),
       graft.functions.AviCodec.encode(13, 9, 3, 25, 42L),
       graft.functions.WarcCodec.encode(42L, "http://w7.example/p42",
-        "<html><body>fuzz page</body></html>"))
+        "<html><body>fuzz page</body></html>"),
+      graft.functions.GifCodec.encode(13, 9, 3, 42L))
     (1L to 300L).foreach { seed =>
       val v = valids((seed % valids.length).toInt)
       val pos = sample(Gen.chooseNum(0, v.length - 1), seed)

@@ -356,6 +356,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // pair counts map-side combine
   }
 
+  test("m_gif_pixels: hand-rolled LZW decode is a pure narrow map") {
+    val p = plan("m_gif_pixels")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.split("Exchange").length - 1 <= 1, p) // output sort only
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_sessionize_batch: ONE user-key exchange feeds both windows AND the session agg") {
     val p = plan("x_sessionize_batch")
     // hashpartitioning(user_id) satisfies the (user_id, sess) clustered
