@@ -589,22 +589,25 @@ object Multimodal {
     * blob to the right decoder". */
   def withMixedContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 6 === 0,
+    val payload = when(col("doc_id") % 7 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 6 === 1,
+      .when(col("doc_id") % 7 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 6 === 2,
+      .when(col("doc_id") % 7 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 6 === 4,
+      .when(col("doc_id") % 7 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(3), col("doc_id").cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 6 === 5,
+      .when(col("doc_id") % 7 === 5,
         encode_avi((ln % 24 + 8).cast("int"), (ln % 19 + 8).cast("int"),
           (ln % 4 + 2).cast("int"), lit(25),
           col("doc_id").cast(LongType), lit(0).cast("int")))
+      .when(col("doc_id") % 7 === 6,
+        encode_gif((ln % 60 + 1).cast("int"), (ln % 40 + 1).cast("int"),
+          (ln % 3 + 2).cast("int"), col("doc_id").cast(LongType)))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -631,6 +634,7 @@ object Multimodal {
         hex(substring(p, 9, 4)) === "41564920", "video/avi")
       .when(hex(substring(p, 1, 2)) === "1F8B", "text/gzip")
       .when(hex(substring(p, 1, 3)) === "FFD8FF", "image/jpeg")
+      .when(hex(substring(p, 1, 4)) === "47494638", "image/gif")
       .otherwise("unknown")
 
   def sniffDispatch(containers: DataFrame): DataFrame = {
@@ -657,7 +661,9 @@ object Multimodal {
           .when(col("kind") === "video/avi",
             parse_avi_header(col("p")).getField("width") *
               parse_avi_header(col("p")).getField("height") *
-              parse_avi_header(col("p")).getField("n_frames")),
+              parse_avi_header(col("p")).getField("n_frames"))
+          .when(col("kind") === "image/gif",
+            parse_gif_header(col("p")).getField("n_px")),
         lit(-1L)).as("stat"))
   }
 
@@ -667,21 +673,24 @@ object Multimodal {
     * planted-pair property, mixed-corpus flavor. */
   def withMixedContentContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 6 === 0,
+    val payload = when(col("doc_id") % 7 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 6 === 1,
+      .when(col("doc_id") % 7 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           ln.cast(LongType)))
-      .when(col("doc_id") % 6 === 2,
+      .when(col("doc_id") % 7 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"), ln.cast(LongType)))
-      .when(col("doc_id") % 6 === 4,
+      .when(col("doc_id") % 7 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(3), ln.cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 6 === 5,
+      .when(col("doc_id") % 7 === 5,
         encode_avi((ln % 24 + 8).cast("int"), (ln % 19 + 8).cast("int"),
           (ln % 4 + 2).cast("int"), lit(25), ln.cast(LongType),
           lit(0).cast("int")))
+      .when(col("doc_id") % 7 === 6,
+        encode_gif((ln % 60 + 1).cast("int"), (ln % 40 + 1).cast("int"),
+          (ln % 3 + 2).cast("int"), ln.cast(LongType)))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -719,6 +728,14 @@ object Multimodal {
             j.getField("width"), j.getField("height"), j.getField("n_px"),
             j.getField("sum_c0"), j.getField("sum_c1"), j.getField("sum_c2"),
             j.getField("peak_c0"), j.getField("peak_c1"), j.getField("peak_c2"))))
+        .when(col("kind") === "image/gif", {
+          val gs = gif_pixel_stats(col("p"))
+          md5(concat_ws("|",
+            gs.getField("width"), gs.getField("height"),
+            gs.getField("palette_size"), gs.getField("n_px"),
+            gs.getField("sum_r"), gs.getField("sum_g"), gs.getField("sum_b"),
+            gs.getField("peak_r"), gs.getField("peak_g"), gs.getField("peak_b")))
+        })
         .when(col("kind") === "video/avi", {
           // decoded-content key: geometry + every frame's color sums —
           // representation-independent, the same construction as
@@ -1231,25 +1248,26 @@ object Multimodal {
       audioNearDups(withWavContentContainers(Tables.documents(s, d))))
 
   /** The oracle knows which kind each doc_id CARRIES (the generator's
-    * mod-6 rule) and that kind's canonical stat formula — the Spark
+    * mod-7 rule) and that kind's canonical stat formula — the Spark
     * side must recover both from the BYTES alone (magic sniff, then
     * the kind's real decoder), so a mis-route, a magic collision
     * (including the WAVE/AVI shared RIFF prefix), or a wrong decoder
     * output all hash-fail. Video's stat = total pixels w·h·frames. */
   private val SniffOracleSql: String =
     """SELECT doc_id,
-      |  CASE CAST(doc_id % 6 AS INT)
+      |  CASE CAST(doc_id % 7 AS INT)
       |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
       |    WHEN 2 THEN 'audio/wav' WHEN 4 THEN 'image/jpeg'
-      |    WHEN 5 THEN 'video/avi'
+      |    WHEN 5 THEN 'video/avi' WHEN 6 THEN 'image/gif'
       |    ELSE 'text/gzip' END AS kind,
-      |  CAST(CASE CAST(doc_id % 6 AS INT)
+      |  CAST(CASE CAST(doc_id % 7 AS INT)
       |    WHEN 0 THEN (length(text) % 80 + 1) * (length(text) % 60 + 1)
       |    WHEN 1 THEN (length(text) % 64 + 1) * (length(text) % 48 + 1)
       |    WHEN 2 THEN length(text)
       |    WHEN 4 THEN (length(text) % 80 + 1) * (length(text) % 60 + 1)
       |    WHEN 5 THEN (length(text) % 24 + 8) * (length(text) % 19 + 8)
       |      * (length(text) % 4 + 2)
+      |    WHEN 6 THEN (length(text) % 60 + 1) * (length(text) % 40 + 1)
       |    ELSE length(text) END AS BIGINT) AS stat
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -1261,12 +1279,12 @@ object Multimodal {
         .orderBy(col("doc_id")))
 
   /** The oracle re-derives every kind's duplicate key from (doc_id mod
-    * 6, text) by the generator formulas — the PNG aHash, BMP per-channel
+    * 7, text) by the generator formulas — the PNG aHash, BMP per-channel
     * sum/peak digest, WAV energy-fingerprint, JPEG decoded-RGB digest,
-    * and AVI per-frame-sum digest constructions above, restricted to
+    * AVI per-frame-sum, and GIF decoded-stat digest constructions above, restricted to
     * each kind's docs — and elects survivors with the same (kind, key)
     * min-id window. The Spark side must reproduce keeper elections
-    * through sniff + six REAL decoders, so a mis-route, a decode bug,
+    * through sniff + seven REAL decoders, so a mis-route, a decode bug,
     * or a digest field-order slip all hash-fail. */
   private val MixedDedupOracleSql: String = {
     val raw = "((2*k*7 + L) % 251) + 256*(((2*k+1)*7 + L) % 251)"
@@ -1289,6 +1307,12 @@ object Multimodal {
     val vy = "(((L*1000 + f) + 7*bx + 13*by) % 256)"
     val vcb = "(((L*1000 + f) + 11*(bx//2) + 3*(by//2)) % 256)"
     val vcr = "(((L*1000 + f) + 5*(bx//2) + 17*(by//2)) % 256)"
+    // GIF: the GifPixelsOracle arithmetic, content-seeded (L)
+    val gIdx = "((L + x + 3*y) % P)"
+    def gChan(m: Int) = s"((L + $m * $gIdx) % 256)"
+    def gGrid(expr: String) =
+      s"""flatten(list_transform(generate_series(0, h - 1), y ->
+         |      list_transform(generate_series(0, w - 1), x -> $expr)))""".stripMargin
     val vr = s"greatest(0, least(255, $vy + ((91881*($vcr - 128) + 32768 + 16777216) >> 16) - 256))"
     val vg = s"greatest(0, least(255, $vy - ((22554*($vcb - 128) + 46802*($vcr - 128) + 32768 + 33554432) >> 16) + 512))"
     val vb = s"greatest(0, least(255, $vy + ((116130*($vcb - 128) + 32768 + 16777216) >> 16) - 256))"
@@ -1306,7 +1330,7 @@ object Multimodal {
        |        SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) % 80 + 1 AS BIGINT) AS w,
        |          CAST(length(text) % 60 + 1 AS BIGINT) AS h
-       |        FROM documents WHERE doc_id % 6 = 0)))),
+       |        FROM documents WHERE doc_id % 7 = 0)))),
        |bstat AS (
        |  SELECT doc_id, w, h,
        |    ${bmpChan("(L + 7*x + 13*y) % 251")} AS bs,
@@ -1315,7 +1339,7 @@ object Multimodal {
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |      CAST(length(text) % 64 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 48 + 1 AS BIGINT) AS h
-       |    FROM documents WHERE doc_id % 6 = 1)),
+       |    FROM documents WHERE doc_id % 7 = 1)),
        |jkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
@@ -1328,7 +1352,7 @@ object Multimodal {
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |      CAST(length(text) % 80 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 60 + 1 AS BIGINT) AS h
-       |    FROM documents WHERE doc_id % 6 = 4)),
+       |    FROM documents WHERE doc_id % 7 = 4)),
        |vkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|25|' ||
@@ -1340,7 +1364,22 @@ object Multimodal {
        |      CAST(length(text) % 24 + 8 AS BIGINT) AS w,
        |      CAST(length(text) % 19 + 8 AS BIGINT) AS h,
        |      CAST(length(text) % 4 + 2 AS BIGINT) AS nf
-       |    FROM documents WHERE doc_id % 6 = 5)),
+       |    FROM documents WHERE doc_id % 7 = 5)),
+       |gkey AS (
+       |  SELECT doc_id, md5(
+       |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' ||
+       |    CAST(P AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
+       |    || '|' || CAST(CAST(list_sum(${gGrid(gChan(3))}) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_sum(${gGrid(gChan(5))}) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_sum(${gGrid(gChan(7))}) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_max(${gGrid(gChan(3))}) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_max(${gGrid(gChan(5))}) AS BIGINT) AS VARCHAR)
+       |    || '|' || CAST(CAST(list_max(${gGrid(gChan(7))}) AS BIGINT) AS VARCHAR)) AS key
+       |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+       |      CAST(length(text) % 60 + 1 AS BIGINT) AS w,
+       |      CAST(length(text) % 40 + 1 AS BIGINT) AS h,
+       |      CAST(1 << CAST(length(text) % 3 + 2 AS INT) AS BIGINT) AS P
+       |    FROM documents WHERE doc_id % 7 = 6)),
        |bkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
@@ -1359,7 +1398,7 @@ object Multimodal {
        |           ELSE CAST($raw AS BIGINT) * ($raw) END) AS ss
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) AS BIGINT) AS n
-       |        FROM documents WHERE doc_id % 6 = 2)),
+       |        FROM documents WHERE doc_id % 7 = 2)),
        |es AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(0, 62), w ->
@@ -1378,11 +1417,13 @@ object Multimodal {
        |  UNION ALL
        |  SELECT doc_id, 'audio/wav', CAST(afp AS VARCHAR) FROM paud
        |  UNION ALL
-       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 6 = 3
+       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 7 = 3
        |  UNION ALL
        |  SELECT doc_id, 'image/jpeg', key FROM jkey
        |  UNION ALL
-       |  SELECT doc_id, 'video/avi', key FROM vkey)
+       |  SELECT doc_id, 'video/avi', key FROM vkey
+       |  UNION ALL
+       |  SELECT doc_id, 'image/gif', key FROM gkey)
        |SELECT doc_id, kind,
        |  min(doc_id) OVER (PARTITION BY kind, key) AS keeper_id,
        |  doc_id > min(doc_id) OVER (PARTITION BY kind, key) AS is_dup
