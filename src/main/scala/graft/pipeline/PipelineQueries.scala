@@ -1143,6 +1143,89 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     })
 
+  /** Gopher rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) — the
+    * canonical composite document filter, as a per-rule verdict table:
+    * word-count bounds [50, 100k], mean word length in [3, 10],
+    * alphabetic-word fraction >= 0.8, and the stop-word REQUIREMENT
+    * (>= 2 distinct members of the canonical function-word set — the
+    * rule that kills keyword-stuffing pages TTR cannot). Every
+    * threshold is integer cross-multiplied (3n <= chars, 5·alpha >=
+    * 4n), so there is no float tie to diverge on; mean_len_x100 is the
+    * integer-scaled diagnostic. One narrow pass + output sort. */
+  val gopherRules: Q = Q(
+    "t_gopher_rules",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+            |  WHERE len(trim(text)) > 0),
+            |m AS (SELECT doc_id,
+            |    CAST(len(toks) AS BIGINT) AS n,
+            |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS chars,
+            |    CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$$'))) AS BIGINT) AS alpha,
+            |    (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+            |      + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+            |      + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+            |      + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+            |      + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END) AS stops
+            |  FROM t)
+            |SELECT doc_id, n AS n_words, chars * 100 // n AS mean_len_x100,
+            |  n >= 50 AND n <= 100000 AS r_word_count,
+            |  3 * n <= chars AND chars <= 10 * n AS r_mean_len,
+            |  5 * alpha >= 4 * n AS r_alpha,
+            |  stops >= 2 AS r_stopwords,
+            |  (n >= 50 AND n <= 100000) AND (3 * n <= chars AND chars <= 10 * n)
+            |    AND (5 * alpha >= 4 * n) AND (stops >= 2) AS pass
+            |FROM m ORDER BY doc_id""".stripMargin),
+    (s, d) => gopherRulesOf(Tables.documents(s, d)).orderBy(col("doc_id")))
+
+  /** t_gopher_rules over any (doc_id, text) frame. */
+  def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val t = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+    val m = t.select(
+      col("doc_id"),
+      size(col("toks")).cast(LongType).as("n"),
+      expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").as("chars"),
+      expr("cast(size(filter(toks, x -> x rlike '^[a-z]+$')) as long)").as("alpha"),
+      (when(array_contains(col("toks"), "the"), 1).otherwise(0)
+        + when(array_contains(col("toks"), "a"), 1).otherwise(0)
+        + when(array_contains(col("toks"), "of"), 1).otherwise(0)
+        + when(array_contains(col("toks"), "and"), 1).otherwise(0)
+        + when(array_contains(col("toks"), "to"), 1).otherwise(0)).as("stops"))
+    val rWc = col("n") >= 50 && col("n") <= 100000L
+    val rMl = lit(3) * col("n") <= col("chars") && col("chars") <= lit(10) * col("n")
+    val rAl = lit(5) * col("alpha") >= lit(4) * col("n")
+    val rSt = col("stops") >= 2
+    m.select(col("doc_id"), col("n").as("n_words"),
+      expr("chars * 100 div n").as("mean_len_x100"),
+      rWc.as("r_word_count"), rMl.as("r_mean_len"),
+      rAl.as("r_alpha"), rSt.as("r_stopwords"),
+      (rWc && rMl && rAl && rSt).as("pass"))
+  }
+
+  /** The apply step: the released corpus under the Gopher gate. */
+  val gopherFilter: Q = Q(
+    "d_gopher_filter",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+            |  WHERE len(trim(text)) > 0),
+            |m AS (SELECT doc_id,
+            |    CAST(len(toks) AS BIGINT) AS n,
+            |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS chars,
+            |    CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$$'))) AS BIGINT) AS alpha,
+            |    (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+            |      + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+            |      + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+            |      + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+            |      + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END) AS stops
+            |  FROM t)
+            |SELECT doc_id, n AS n_words FROM m
+            |WHERE n >= 50 AND n <= 100000 AND 3 * n <= chars
+            |  AND chars <= 10 * n AND 5 * alpha >= 4 * n AND stops >= 2
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      gopherRulesOf(Tables.documents(s, d))
+        .filter(col("pass"))
+        .select(col("doc_id"), col("n_words"))
+        .orderBy(col("doc_id")))
+
   /** Repetition detection (a Gopher-rule quality signal): the fraction
     * of a document's word trigrams that are repeats of an earlier
     * trigram. Boilerplate, keyword-stuffed, and looping generator
@@ -2015,5 +2098,6 @@ object PipelineQueries {
     fingerprint, quality, langId, rarity, dsirScore, gini, bigramLm,
     tfidfTopTerms, vocabStats,
     repetition, cooccurrence,
-    decontaminate, decontaminateEmbedding, dupSpan, qualityFilter)
+    decontaminate, decontaminateEmbedding, dupSpan, qualityFilter,
+    gopherRules, gopherFilter)
 }

@@ -126,4 +126,36 @@ class QualityModelSpec extends SparkSpec {
     val vals = (1L to 4096L).map(ilog)
     assert(vals.zip(vals.tail).forall { case (a, b) => a <= b })
   }
+
+  test("gopher rules: constructed docs pin every rule's boundary; corpus exercises both outcomes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fifty = (1 to 50).map(_ => "word").mkString(" ")
+    val docs = Seq(
+      // 0: 50 words, mean 4, all alpha, has the+a -> pass
+      (0L, "the a " + (1 to 48).map(_ => "word").mkString(" ")),
+      // 1: 49 words -> r_word_count fails alone
+      (1L, "the a " + (1 to 47).map(_ => "word").mkString(" ")),
+      // 2: mean word length < 3 (all "ab") -> r_mean_len fails
+      (2L, "the a " + (1 to 48).map(_ => "ab").mkString(" ")),
+      // 3: only one stopword kind -> r_stopwords fails
+      (3L, "the " + (1 to 49).map(_ => "word").mkString(" ")),
+      // 4: >20% non-alpha tokens -> r_alpha fails
+      (4L, "the a " + (1 to 36).map(_ => "word").mkString(" ") + " " +
+        (1 to 12).map(_ => "123").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.PipelineQueries.gopherRulesOf(docs)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+    assert(out(0) === ((0L, true, true, true, true, true)))
+    assert(out(1) === ((1L, false, true, true, true, false)))
+    assert(out(2)._1 === 2L); assert(!out(2)._3 && !out(2)._6) // mean len
+    assert(out(3) === ((3L, true, true, true, false, false)))
+    assert(out(4)._1 === 4L); assert(!out(4)._4 && !out(4)._6) // alpha
+    // the real corpus must exercise pass AND fail (the gate is live)
+    val corpus = graft.pipeline.PipelineQueries.gopherRulesOf(
+      Tables.documents(spark, sf())).collect().map(_.getBoolean(7))
+    assert(corpus.exists(identity) && corpus.exists(!_))
+  }
 }
