@@ -123,6 +123,8 @@ object ScaleTrend {
     "t_warc_parse", "t_warc_extract",
     // GIF: hand-rolled LZW decode, narrow map riding pixel count
     "m_gif_pixels",
+    // Gopher rules: one narrow pass; sessionize: one user-key exchange
+    "t_gopher_rules", "x_sessionize_batch",
     // embedding decontamination: corpus scanned once vs the BROADCAST
     // bounded eval set — wall rides corpus x |eval| dot products
     "d_decontaminate_embedding",
