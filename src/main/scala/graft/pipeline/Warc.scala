@@ -165,6 +165,17 @@ object Warc {
           concat(lit("http://w"), col("doc_id") % 50,
             lit(".example/p"), col("doc_id")), col("html")).as("warcgz"))
 
+  /** Paired-URI variant for the streaming ingest's seen set: docs
+    * 2k/2k+1 capture the SAME page URI (path key doc_id div 2, the
+    * crawl convention), so half the shards are genuine re-fetches. */
+  def withWarcGzPaired(docs: DataFrame): DataFrame =
+    Html.withHtml(docs)
+      .select(col("doc_id"),
+        encode_warc_gz(col("doc_id"),
+          concat(lit("http://w"), expr("(doc_id div 2) % 50"),
+            lit(".example/p"), expr("doc_id div 2")),
+          col("html")).as("warcgz"))
+
   /** The compressed path: multi-member gunzip (CRC/ISIZE-verified,
     * bomb-capped) back to the plain file, then the same record walk —
     * the full .warc.gz ingest a crawl shard actually takes. Same

@@ -273,6 +273,47 @@ object StreamingQueries {
         .orderBy(col("doc_id"))
     })
 
-  val all: Seq[Q] = Seq(crawlIngest, tumbling, sliding, sessionize, sessionWindow,
-    streamStreamJoin, streamStreamJoinOuter, dedup, enrich, topkWindow)
+  /** Deterministic batch form of [[graft.streaming.Streams.warcIngest]]:
+    * min(doc_id) survivor per URI (first-arrival under the spec's
+    * ordered feed). The corpus pairs URIs (path key doc_id div 2 — the
+    * crawl convention) so the seen set is REAL: half the shards are
+    * re-fetches of a page already ingested. The oracle re-derives the
+    * paired URI and the extract length by direct construction. */
+  val warcIngest: Q = Q(
+    "st_warc_ingest",
+    Some(s"""WITH u AS (
+            |  SELECT doc_id,
+            |    'http://w' || CAST((doc_id // 2) % 50 AS VARCHAR)
+            |      || '.example/p' || CAST(doc_id // 2 AS VARCHAR) AS uri
+            |  FROM documents),
+            |s AS (
+            |  SELECT doc_id, uri FROM (
+            |    SELECT doc_id, uri,
+            |      min(doc_id) OVER (PARTITION BY uri) AS k
+            |    FROM u) WHERE doc_id = k),
+            |e0 AS (
+            |  SELECT doc_id, ${graft.pipeline.Html.extractConstructSql} AS extract
+            |  FROM documents)
+            |SELECT s.doc_id, s.uri,
+            |  CAST(length(e0.extract) AS BIGINT) AS n_chars
+            |FROM s JOIN e0 ON e0.doc_id = s.doc_id
+            |ORDER BY s.doc_id""".stripMargin),
+    (s, d) => {
+      import graft.functions.GraftFunctions.{gunzip_bytes, html_extract, warc_records}
+      val shards = graft.pipeline.Warc.withWarcGzPaired(Tables.documents(s, d))
+      shards
+        .select(col("doc_id"),
+          explode(warc_records(gunzip_bytes(col("warcgz")))).as("r"))
+        .filter(col("r.rec_type") === "response")
+        .select(col("doc_id"), col("r.uri").as("uri"), col("r.body").as("body"))
+        .withColumn("k", min(col("doc_id")).over(Window.partitionBy(col("uri"))))
+        .filter(col("doc_id") === col("k"))
+        .select(col("doc_id"), col("uri"),
+          length(html_extract(col("body"))).cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
+    })
+
+  val all: Seq[Q] = Seq(crawlIngest, warcIngest, tumbling, sliding, sessionize,
+    sessionWindow, streamStreamJoin, streamStreamJoinOuter, dedup, enrich,
+    topkWindow)
 }

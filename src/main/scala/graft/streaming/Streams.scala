@@ -164,6 +164,30 @@ object Streams {
           .cast(LongType).as("n_chars"))
   }
 
+  /** Streaming WARC ingest — how crawl shards actually arrive: a
+    * stream of .warc.gz files; each is multi-member-gunzipped, the
+    * record walk explodes the capture triplets, response payloads
+    * surface through the embedded HTTP parse, and a URI seen-set in
+    * the state store elects first arrivals — a re-fetched page is
+    * suppressed by state BEFORE the HTML extraction pays anything.
+    * The demux/decode/extract chain is stateless narrow work; the one
+    * stateful op is the uri-keyed dropDuplicates (RocksDB-backed,
+    * watermark-boundable in production, like [[crawlIngest]]). Twin of
+    * the registered `st_warc_ingest` batch query; StreamingSpec proves
+    * row equality with ordered arrival + cross-micro-batch
+    * suppression. */
+  def warcIngest(shards: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.{gunzip_bytes, html_extract, warc_records}
+    shards
+      .select(col("doc_id"),
+        explode(warc_records(gunzip_bytes(col("warcgz")))).as("r"))
+      .filter(col("r.rec_type") === "response")
+      .select(col("doc_id"), col("r.uri").as("uri"), col("r.body").as("body"))
+      .dropDuplicates("uri")
+      .select(col("doc_id"), col("uri"),
+        length(html_extract(col("body"))).cast(LongType).as("n_chars"))
+  }
+
   /** Streaming learned-quality gate — the quality model's streaming
     * form: the naive-Bayes model trains OFFLINE on the standing corpus
     * (QualityModel.trainArtifact — a vocab-sized token→weight map),
