@@ -99,8 +99,11 @@ object Video {
     * — container-representation-independent, exactly what catches a
     * re-encoded mirror whose bytes differ but whose frames don't. One
     * key shuffle; survivor = min doc_id per content group. */
-  def dedupVideos(videos: DataFrame): DataFrame = {
-    val keyed = videos.select(
+  /** (doc_id, key): the decoded-content fingerprint stage, shared by
+    * the full dedup and the incremental probe so key derivation cannot
+    * drift between them (the d_dedup_incremental discipline). */
+  def keyedVideos(videos: DataFrame): DataFrame =
+    videos.select(
       col("doc_id"),
       parse_avi_header(col("video")).as("h"),
       avi_frame_stats(col("video"), lit(1)).as("fs"))
@@ -111,6 +114,9 @@ object Video {
           concat_ws(":", x.getField("sum_r").cast("string"),
             x.getField("sum_g").cast("string"),
             x.getField("sum_b").cast("string"))), ",")).as("key"))
+
+  def dedupVideos(videos: DataFrame): DataFrame = {
+    val keyed = keyedVideos(videos)
     keyed.groupBy(col("key"))
       .agg(min(col("doc_id")).as("keeper"),
         count(lit(1)).as("n_copies"),
@@ -273,6 +279,58 @@ object Video {
       frameStats(withVideos(Tables.documents(s, d)), 2)
         .orderBy(col("doc_id"), col("frame_idx")))
 
+  /** Incremental video dedup: an INGEST BATCH (doc_id % 10 in {5, 6} —
+    * %10==6 docs mirror their %10==5 predecessor, so the batch carries
+    * BOTH genuinely-new content and re-encodes of batch siblings)
+    * deduplicated against the standing corpus. The standing side
+    * collapses to a key→min-id index ONCE (precomputed in production);
+    * the batch probes it with one key join — cost O(|batch|), never a
+    * full re-dedup. Verdict per batch doc: keeper = min id over
+    * standing ∪ batch sharing its decoded-content key. */
+  private val IncrBatchPred = "doc_id % 10 = 5 OR doc_id % 10 = 6"
+
+  private val DedupIncrOracle: String = {
+    val (r, g, b) = rgb("(eff * 1000 + f)")
+    def sum(e: String) = s"CAST(list_sum(${blocks(s"$e * $Vis")}) AS BIGINT)"
+    s"""WITH $EffCte,
+       |keyed AS (
+       |  SELECT doc_id,
+       |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' ||
+       |    CAST(fps AS VARCHAR) || '|' ||
+       |    array_to_string(list_transform(range(nf), f ->
+       |      CAST(${sum(r)} AS VARCHAR) || ':' ||
+       |      CAST(${sum(g)} AS VARCHAR) || ':' ||
+       |      CAST(${sum(b)} AS VARCHAR)), ',') AS key
+       |  FROM geo)
+       |SELECT doc_id,
+       |  min(doc_id) OVER (PARTITION BY key) AS keeper,
+       |  doc_id > min(doc_id) OVER (PARTITION BY key) AS is_dup
+       |FROM keyed
+       |QUALIFY $IncrBatchPred
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val videoDedupIncrementalQ: Q = Q(
+    "m_dedup_video_incremental",
+    Some(DedupIncrOracle),
+    (s, d) => {
+      val keyed = keyedVideos(withVideos(Tables.documents(s, d)))
+      val batch = keyed.filter(expr(IncrBatchPred))
+      val standingIdx = keyed.filter(!expr(IncrBatchPred))
+        .groupBy(col("key")).agg(min(col("doc_id")).as("s_keeper"))
+      val inBatchIdx = batch
+        .groupBy(col("key")).agg(min(col("doc_id")).as("b_keeper"))
+      batch
+        .join(standingIdx, Seq("key"), "left")
+        .join(inBatchIdx, Seq("key"))
+        .select(col("doc_id"),
+          least(coalesce(col("s_keeper"), col("b_keeper")), col("b_keeper"))
+            .as("keeper"))
+        .select(col("doc_id"), col("keeper"),
+          (col("doc_id") > col("keeper")).as("is_dup"))
+        .orderBy(col("doc_id"))
+    })
+
   val videoDedupQ: Q = Q(
     "m_dedup_video",
     Some(DedupOracle),
@@ -281,5 +339,5 @@ object Video {
         .orderBy(col("keeper")))
 
   val all: Seq[Q] = Seq(videoDecodeQ, videoDecodeBatchQ, videoFramesQ,
-    videoDedupQ, videoClipPairsQ)
+    videoDedupQ, videoDedupIncrementalQ, videoClipPairsQ)
 }
