@@ -138,7 +138,8 @@ object Explain {
       "m_video_clip_pairs" -> "clip detection: demux to (doc, frame-key) postings, ONE key equi-join + pair count — partial overlap, never all-pairs",
       "d_decontaminate_embedding" -> "semantic eval-leak scan: corpus x BROADCAST eval set (bounded by nature), per-row max-cosine, every vector reported",
       "t_warc_extract" -> "WARC ingest: record walk -> embedded HTTP message -> page body -> HtmlCodec extract, ONE narrow pass (sort only for output)",
-      "m_gif_pixels" -> "full GIF87a decode: hand-rolled GIF-LZW (LSB-first growing widths, clear/EOI, KwKwK, 12-bit reset) + palette fold, pure narrow map")
+      "m_gif_pixels" -> "full GIF87a decode: hand-rolled GIF-LZW (LSB-first growing widths, clear/EOI, KwKwK, 12-bit reset) + palette fold, pure narrow map",
+      "m_webdataset_route" -> "WebDataset shard walk (ustar checksums + framing) + extension routing to per-modality decoders, narrow + one doc-keyed fold")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -125,6 +125,8 @@ object ScaleTrend {
     "m_gif_pixels",
     // Gopher rules: one narrow pass; sessionize: one user-key exchange
     "t_gopher_rules", "x_sessionize_batch",
+    // WebDataset: tar walk + extension routing, narrow + doc-key fold
+    "m_webdataset_route",
     // embedding decontamination: corpus scanned once vs the BROADCAST
     // bounded eval set — wall rides corpus x |eval| dot products
     "d_decontaminate_embedding",

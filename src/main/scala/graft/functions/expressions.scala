@@ -621,6 +621,51 @@ object GifPixelStats {
       .map(StructField(_, LongType, nullable = false)))
 }
 
+/** One WebDataset sample shard (TarCodec.packSample): a ustar tar of
+  * {id}.txt / {id}.bmp / {id}.json — the standard multimodal training
+  * layout. NULL on null inputs. */
+case class EncodeWds(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(d: Any, t: Any, l: Any): Any =
+    TarCodec.packSample(d.asInstanceOf[Long], t.toString, l.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, t, l) => s"""
+       |${ev.value} = graft.functions.TarCodec.packSample($d, $t.toString(), $l.toString());
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): EncodeWds = copy(first = f, second = s, third = t)
+}
+
+/** Tar member walk (TarCodec.parseRaw): ustar magic + version,
+  * recomputed header checksums, octal fields, zero padding, two-block
+  * end marker — array<struct(name, size, data)>; NULL on any
+  * structural violation. */
+case class TarMembers(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(TarMembers.memberSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TarCodec.members(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.TarCodec.members($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): TarMembers =
+    copy(child = newChild)
+}
+
+object TarMembers {
+  val memberSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+}
+
 /** The .warc.gz form (WarcCodec.encodeGz): each record its own gzip
   * member, members concatenated — the standard seekable layout. */
 case class EncodeWarcGz(first: Expression, second: Expression,
@@ -1135,6 +1180,15 @@ object GraftFunctions {
   def gif_pixel_stats(bytes: Column): Column =
     GraftColumnBridge.column(GifPixelStats(GraftColumnBridge.expression(bytes)))
 
+  def encode_wds(docId: Column, text: Column, lang: Column): Column =
+    GraftColumnBridge.column(EncodeWds(
+      GraftColumnBridge.expression(docId),
+      GraftColumnBridge.expression(text),
+      GraftColumnBridge.expression(lang)))
+
+  def tar_members(bytes: Column): Column =
+    GraftColumnBridge.column(TarMembers(GraftColumnBridge.expression(bytes)))
+
   def parse_avi_header(bytes: Column): Column =
     GraftColumnBridge.column(ParseAviHeader(GraftColumnBridge.expression(bytes)))
 
@@ -1203,6 +1257,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("encode_gif", es => EncodeGif(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_gif_header", es => ParseGifHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gif_pixel_stats", es => GifPixelStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_wds", es => EncodeWds(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("tar_members", es => TarMembers(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_resample", es => PngResample(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("wav_audio_fp", es => WavAudioFp(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gzip_text", es => GzipText(es.head), "scala_udf")

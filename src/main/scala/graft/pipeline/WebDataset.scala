@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.GraftFunctions.{bmp_pixel_stats, encode_wds, parse_bmp_header, tar_members}
+import graft.registry.Q
+
+/** WebDataset ingestion — the standard tar-shard layout for large
+  * multimodal training corpora: each sample is a member group keyed by
+  * id ({id}.txt, {id}.bmp, {id}.json). The shard walk (TarCodec:
+  * ustar checksums, octal framing, zero padding, end blocks) explodes
+  * members; routing by extension dispatches each to its modality's
+  * real decoder — the same route-by-sniff discipline as the mixed
+  * capstone, but keyed by NAME, the way WebDataset actually routes.
+  * Everything is narrow until the output sort; .tar.gz composes with
+  * gunzip_bytes upstream like the WARC lane. */
+object WebDataset {
+
+  /** documents -> (doc_id, shard BINARY): one sample shard each. */
+  def withShards(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode_wds(col("doc_id"), col("text"), col("lang")).as("shard"))
+
+  /** Member-level parse: (doc_id, name, size). */
+  def parseMembers(shards: DataFrame): DataFrame =
+    shards.select(col("doc_id"), explode(tar_members(col("shard"))).as("m"))
+      .select(col("doc_id"), col("m.name").as("name"),
+        col("m.size").as("size"))
+
+  /** Extension routing: each member to its modality's decoder —
+    * txt -> char count, bmp -> REAL header parse (pixel count),
+    * json -> field extraction. One row per sample. */
+  def routeSamples(shards: DataFrame): DataFrame = {
+    val m = shards
+      .select(col("doc_id"), explode(tar_members(col("shard"))).as("m"))
+      .select(col("doc_id"), col("m.name").as("name"),
+        col("m.data").as("data"))
+    val routed = m.select(col("doc_id"),
+      when(col("name").endsWith(".txt"),
+        length(col("data").cast("string")).cast(LongType)).as("n_chars"),
+      when(col("name").endsWith(".bmp"),
+        parse_bmp_header(col("data")).getField("width") *
+          parse_bmp_header(col("data")).getField("height")).as("n_px"),
+      when(col("name").endsWith(".json"),
+        get_json_object(col("data").cast("string"), "$.lang")).as("lang"))
+    routed.groupBy(col("doc_id"))
+      .agg(max(col("n_chars")).as("n_chars"), max(col("n_px")).as("n_px"),
+        max(col("lang")).as("lang"))
+  }
+
+  private val ParseOracle =
+    """SELECT doc_id, name, size FROM (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '.txt' AS name,
+      |    CAST(length(text) AS BIGINT) AS size FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '.bmp',
+      |    CAST(54 + ((3 * (length(text) % 64 + 1) + 3) // 4 * 4)
+      |      * (length(text) % 48 + 1) AS BIGINT) FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '.json',
+      |    CAST(length('{"id":' || CAST(doc_id AS VARCHAR)
+      |      || ',"lang":"' || lang || '"}') AS BIGINT) FROM documents)
+      |ORDER BY doc_id, name""".stripMargin
+
+  private val RouteOracle =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST((length(text) % 64 + 1) * (length(text) % 48 + 1) AS BIGINT) AS n_px,
+      |  lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val wdsParseQ: Q = Q(
+    "m_webdataset_parse",
+    Some(ParseOracle),
+    (s, d) =>
+      parseMembers(withShards(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("name")))
+
+  val wdsRouteQ: Q = Q(
+    "m_webdataset_route",
+    Some(RouteOracle),
+    (s, d) =>
+      routeSamples(withShards(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  val all: Seq[Q] = Seq(wdsParseQ, wdsRouteQ)
+}

@@ -75,6 +75,7 @@ object Registry {
       graft.pipeline.Robots.all ++
       graft.pipeline.Video.all ++
       graft.pipeline.Warc.all ++
+      graft.pipeline.WebDataset.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 

@@ -48,7 +48,9 @@ class CodecFuzzSpec extends SparkSpec {
     // GIF: the hand-rolled LZW boundary — bit-level corruption must
     // surface as null, never a crash or a silent wrong decode length
     "gif" -> (b => graft.functions.GifCodec.parseHeaderRaw(b)),
-    "gif_pixels" -> (b => graft.functions.GifCodec.pixelStatsRaw(b)))
+    "gif_pixels" -> (b => graft.functions.GifCodec.pixelStatsRaw(b)),
+    // tar: block framing + header checksums (the WebDataset shard walk)
+    "tar" -> (b => graft.functions.TarCodec.parseRaw(b)))
 
   test("random blobs never throw through any codec parse (200 seeded cases)") {
     (1L to 200L).foreach { seed =>
@@ -73,7 +75,8 @@ class CodecFuzzSpec extends SparkSpec {
       graft.functions.AviCodec.encode(13, 9, 3, 25, 42L),
       graft.functions.WarcCodec.encode(42L, "http://w7.example/p42",
         "<html><body>fuzz page</body></html>"),
-      graft.functions.GifCodec.encode(13, 9, 3, 42L))
+      graft.functions.GifCodec.encode(13, 9, 3, 42L),
+      graft.functions.TarCodec.packSample(42L, "fuzz this shard", "en"))
     (1L to 300L).foreach { seed =>
       val v = valids((seed % valids.length).toInt)
       val pos = sample(Gen.chooseNum(0, v.length - 1), seed)

@@ -356,6 +356,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // pair counts map-side combine
   }
 
+  test("m_webdataset_route: shard walk + extension dispatch is one narrow pass + a doc-keyed fold") {
+    val p = plan("m_webdataset_route")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"), p)
+    // doc-keyed re-group + output sort only
+    assert(p.split("Exchange").length - 1 <= 2, p)
+    assert(p.contains("partial_max") || p.contains("partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("m_gif_pixels: hand-rolled LZW decode is a pure narrow map") {
     val p = plan("m_gif_pixels")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
