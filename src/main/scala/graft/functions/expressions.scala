@@ -683,6 +683,24 @@ case class EncodeWarcGz(first: Expression, second: Expression,
       t: Expression): EncodeWarcGz = copy(first = f, second = s, third = t)
 }
 
+/** Binary gzip (GzipCodec.gzip): bytes in, one RFC 1952 member out —
+  * the BINARY sibling of GzipText for non-text payloads (tar shards,
+  * WARC records). */
+case class GzipBytes(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GzipCodec.gzip(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.GzipCodec.gzip($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): GzipBytes =
+    copy(child = newChild)
+}
+
 /** Binary gunzip (GzipCodec.gunzip — CRC/ISIZE-verified, bomb-capped,
   * multi-member): bytes in, bytes out. The BINARY sibling of
   * GunzipText for payloads that are not UTF-8 text. */
@@ -1163,6 +1181,9 @@ object GraftFunctions {
       GraftColumnBridge.expression(uri),
       GraftColumnBridge.expression(html)))
 
+  def gzip_bytes(bytes: Column): Column =
+    GraftColumnBridge.column(GzipBytes(GraftColumnBridge.expression(bytes)))
+
   def gunzip_bytes(bytes: Column): Column =
     GraftColumnBridge.column(GunzipBytes(GraftColumnBridge.expression(bytes)))
 
@@ -1253,6 +1274,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("encode_warc", es => EncodeWarc(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("warc_records", es => WarcRecords(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_warc_gz", es => EncodeWarcGz(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("gzip_bytes", es => GzipBytes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gunzip_bytes", es => GunzipBytes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_gif", es => EncodeGif(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_gif_header", es => ParseGifHeader(es.head), "scala_udf")

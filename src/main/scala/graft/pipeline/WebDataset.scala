@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.Tables
-import graft.functions.GraftFunctions.{bmp_pixel_stats, encode_wds, parse_bmp_header, tar_members}
+import graft.functions.GraftFunctions.{encode_wds, gunzip_bytes, gzip_bytes, parse_bmp_header, tar_members}
 import graft.registry.Q
 
 /** WebDataset ingestion — the standard tar-shard layout for large
@@ -86,5 +86,19 @@ object WebDataset {
       routeSamples(withShards(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
-  val all: Seq[Q] = Seq(wdsParseQ, wdsRouteQ)
+  /** The .tar.gz path: shards gzipped whole (tar members are already
+    * block-framed, so unlike WARC the compression unit IS the shard),
+    * parsed through gunzip → the same walk — one query, same oracle,
+    * compression transparent. */
+  val wdsGzParseQ: Q = Q(
+    "m_webdataset_gz_parse",
+    Some(ParseOracle),
+    (s, d) =>
+      parseMembers(
+        withShards(Tables.documents(s, d))
+          .select(col("doc_id"),
+            gunzip_bytes(gzip_bytes(col("shard"))).as("shard")))
+        .orderBy(col("doc_id"), col("name")))
+
+  val all: Seq[Q] = Seq(wdsParseQ, wdsRouteQ, wdsGzParseQ)
 }
