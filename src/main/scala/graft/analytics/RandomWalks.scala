@@ -108,5 +108,53 @@ object RandomWalks {
       walks(s, graft.graph.CitationGraph.edges(s, d))
         .orderBy(col("wid"), col("step")))
 
-  def all: Seq[Q] = Seq(walksQ)
+  /** Skip-gram pair generation (the DeepWalk step that actually FEEDS
+    * embedding training): each walk becomes (center, context) pairs
+    * within window 2. Shape: ONE wid-keyed collect folds a walk to its
+    * step array, then pair expansion is a per-row higher-order
+    * transform×filter — O(len²) per walk with len fixed at 9, map-only
+    * after the fold; no self-join touches the walk corpus (at 100 TB
+    * of walks, a step-level self-join would shuffle the corpus twice —
+    * the fold ships each walk once). Early-stopped walks (sinks) pair
+    * only their PRESENT steps, identically on both engines. */
+  private def skipgramOracle(walkLen: Int, seedMax: Long): String = {
+    val base = oracleSql(walkLen, seedMax)
+    // reuse the unrolled walk construction, swap the SELECT tail.
+    // Plain concatenation, NOT an interpolated stripMargin: the
+    // embedded body's '||' continuation lines would lose a pipe to a
+    // second margin strip (the Warc oracle's lesson).
+    val body = base.substring(0, base.lastIndexOf("\nSELECT wid, step, node"))
+    val union = (0 to walkLen).map(k =>
+      s"  SELECT wid, CAST($k AS BIGINT) AS step, cur AS node FROM s$k")
+      .mkString("\n  UNION ALL\n")
+    body + ",\nw AS (\n  SELECT wid, step, node FROM (\n" + union + "))\n" +
+      "SELECT a.wid, a.step AS center_step, b.step AS context_step,\n" +
+      "  a.node AS center, b.node AS context\n" +
+      "FROM w a JOIN w b ON a.wid = b.wid AND a.step <> b.step\n" +
+      "  AND abs(a.step - b.step) <= 2\n" +
+      "ORDER BY a.wid, center_step, context_step"
+  }
+
+  val skipgramsQ: Q = Q(
+    "g_walk_skipgrams",
+    Some(skipgramOracle(WalkLen, SeedMax)),
+    (s, d) => {
+      val w = walks(s, graft.graph.CitationGraph.edges(s, d))
+      w.groupBy(col("wid"))
+        .agg(sort_array(collect_list(struct(col("step"), col("node"))))
+          .as("seq"))
+        .select(col("wid"), explode(expr(
+          """flatten(transform(seq, c ->
+            |  transform(filter(seq, x -> x.step <> c.step
+            |      and abs(x.step - c.step) <= 2),
+            |    x -> struct(c.step as center_step, x.step as context_step,
+            |      c.node as center, x.node as context))))""".stripMargin))
+          .as("p"))
+        .select(col("wid"), col("p.center_step").as("center_step"),
+          col("p.context_step").as("context_step"),
+          col("p.center").as("center"), col("p.context").as("context"))
+        .orderBy(col("wid"), col("center_step"), col("context_step"))
+    })
+
+  def all: Seq[Q] = Seq(walksQ, skipgramsQ)
 }
