@@ -1591,6 +1591,63 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style LM buckets (Wenzek et al. 2020, arXiv:1911.00359):
+    * rank the corpus by LM fluency and cut head/middle/tail thirds —
+    * the canonical perplexity-bucketed mixture step (train mostly on
+    * the head, sample the middle, drop or downweight the tail). Bucket
+    * assignment is VALUE-level: all docs sharing a fluency score land
+    * in the bucket of that value's first rank (3·cum_before div n), so
+    * there is no per-doc tie-break and the result is exact on both
+    * engines. Scale shape: the corpus collapses map-side to (fluency,
+    * count) — the cumulative window runs over the SMALL histogram,
+    * never the corpus (the x_percentile_rank discipline), and docs get
+    * their bucket back through a value-keyed join. */
+  val fluencyBuckets: Q = Q(
+    "d_fluency_buckets",
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |p AS (SELECT doc_id, unnest(list_transform(
+            |    generate_series(1, len(toks) - 1),
+            |    i -> toks[i] || ' ' || toks[i + 1])) AS pr FROM t),
+            |c2 AS (SELECT pr, CAST(count(*) AS BIGINT) AS c2
+            |  FROM p GROUP BY pr),
+            |c1 AS (SELECT split_part(pr, ' ', 1) AS a,
+            |    CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+            |w AS (SELECT c2.pr, (c2.c2 * 1000000) // c1.c1 AS w
+            |  FROM c2 JOIN c1 ON split_part(c2.pr, ' ', 1) = c1.a),
+            |s AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+            |    CAST(sum(w.w) AS BIGINT) AS wsum
+            |  FROM p JOIN w ON p.pr = w.pr GROUP BY p.doc_id),
+            |f AS (SELECT d.doc_id,
+            |    CAST(coalesce(s.wsum // s.n_pairs, 0) AS BIGINT) AS fluency
+            |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+            |hist AS (SELECT fluency, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1),
+            |ranked AS (SELECT fluency,
+            |    sum(c) OVER (ORDER BY fluency ROWS UNBOUNDED PRECEDING) - c AS cumb,
+            |    sum(c) OVER () AS n
+            |  FROM hist)
+            |SELECT f.doc_id, f.fluency,
+            |  CAST((3 * r.cumb) // r.n AS BIGINT) AS bucket
+            |FROM f JOIN ranked r ON f.fluency = r.fluency
+            |ORDER BY f.doc_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = bigramLmOf(Tables.documents(s, d))
+        .select(col("doc_id"), col("fluency"))
+      val hist = f.groupBy(col("fluency")).agg(count(lit(1)).as("c"))
+      val cum = Window.orderBy(col("fluency"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the windows run over the VALUE HISTOGRAM (small), not the corpus
+      val ranked = hist
+        .withColumn("cumb", sum(col("c")).over(cum) - col("c"))
+        .withColumn("n", sum(col("c")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("fluency"),
+          expr("(3 * cumb) div n").as("bucket"))
+      f.join(broadcast(ranked), Seq("fluency"))
+        .select(col("doc_id"), col("fluency"), col("bucket"))
+        .orderBy(col("doc_id"))
+    })
+
   /** DSIR-style importance score (Xie et al. 2023, arXiv:2302.03169):
     * score each doc by how much its unigram distribution looks like a
     * TARGET domain relative to the raw corpus — the data-selection
@@ -2099,5 +2156,5 @@ object PipelineQueries {
     tfidfTopTerms, vocabStats,
     repetition, cooccurrence,
     decontaminate, decontaminateEmbedding, dupSpan, qualityFilter,
-    gopherRules, gopherFilter)
+    gopherRules, gopherFilter, fluencyBuckets)
 }
