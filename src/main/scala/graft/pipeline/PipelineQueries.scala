@@ -733,6 +733,52 @@ object PipelineQueries {
       .select(col("qid"), col("nid"), col("sim"), col("rnk").cast(LongType).as("rnk"))
   }
 
+  /** Hard-negative mining (contrastive-training data prep): for each
+    * query vector, the top-3 CLOSEST neighbors that are NOT near-dups
+    * (cosine < 0.45, the dedup threshold) — the "hard" negatives that
+    * actually teach a contrastive model, as opposed to random
+    * negatives (d_negative_samples) which are trivially far. Same
+    * bounded-query-side shape as sim_ann_topk: the broadcast query set
+    * scans the corpus once; the positives filter drops a candidate
+    * BEFORE ranking, so a near-dup never crowds out a usable negative. */
+  val hardNegatives: Q = Q(
+    "sim_hard_negatives",
+    Some("""WITH n AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+           |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           |  FROM embeddings),
+           |p AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |    round(list_sum(list_transform(generate_series(1, len(q.vd)), i -> q.vd[i]*c.vd[i]))
+           |      / (q.nrm*c.nrm), 6) AS sim
+           |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 10)
+           |SELECT qid, nid, sim, rnk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+           |  FROM p WHERE sim < 0.45)
+           |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
+    (s, d) => {
+      val n = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd"))
+        .withColumn("nrm", sqrt(GraftFunctions.array_dot(col("vd"), col("vd"))))
+      val q = requireBounded(n.filter(col("vec_id") < 10),
+        "sim_hard_negatives query side", 1024L)
+        .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qn"))
+      val c = n.select(col("vec_id").as("nid"), col("vd").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      broadcast(q).join(c, col("qid") =!= col("nid"))
+        .withColumn("sim",
+          round(GraftFunctions.array_dot(col("qv"), col("cv"))
+            / (col("qn") * col("cn")), 6))
+        .filter(col("sim") < 0.45)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rnk").cast(LongType).as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    })
+
   /** Deterministic random-projection hyperplane j: component i derives
     * from an LCG over integers, so Spark (Scala-computed literals) and
     * DuckDB (in-SQL integer arithmetic) produce bit-identical doubles
@@ -2156,5 +2202,5 @@ object PipelineQueries {
     tfidfTopTerms, vocabStats,
     repetition, cooccurrence,
     decontaminate, decontaminateEmbedding, dupSpan, qualityFilter,
-    gopherRules, gopherFilter, fluencyBuckets)
+    gopherRules, gopherFilter, fluencyBuckets, hardNegatives)
 }
