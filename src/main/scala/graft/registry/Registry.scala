@@ -76,6 +76,7 @@ object Registry {
       graft.pipeline.Video.all ++
       graft.pipeline.Warc.all ++
       graft.pipeline.WebDataset.all ++
+      graft.pipeline.Chat.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 
