@@ -127,6 +127,11 @@ object ScaleTrend {
     "t_gopher_rules", "x_sessionize_batch",
     // WebDataset: tar walk + extension routing, narrow + doc-key fold
     "m_webdataset_route",
+    // continuation-2 additions: incremental video probe, streaming
+    // WARC twin, skip-gram fold, fluency histogram buckets, broadcast
+    // hard negatives, chat parse — all narrow or single-key shapes
+    "m_dedup_video_incremental", "st_warc_ingest", "g_walk_skipgrams",
+    "d_fluency_buckets", "sim_hard_negatives", "t_chat_validate",
     // embedding decontamination: corpus scanned once vs the BROADCAST
     // bounded eval set — wall rides corpus x |eval| dot products
     "d_decontaminate_embedding",
