@@ -224,7 +224,10 @@ object Bench {
       // round 10 (VERDICT r9 #7): the incremental path is what a
       // production crawl actually RE-RUNS — its round-over-round trend
       // belongs in the stdout line, with spreads, same as the capstone
-      "d_crawl_incremental", "st_crawl_ingest")
+      "d_crawl_incremental", "st_crawl_ingest",
+      // round 10 continuation: the three new ingest capstones — WARC
+      // extraction, WebDataset routing, and the 7-modality mixed dedup
+      "t_warc_extract", "m_webdataset_route", "m_dedup_mixed")
     // Headline queries run 3x at their slot (VERDICT r6 #2: single-shot
     // numbers made a 3x swing on unchanged code indistinguishable from a
     // regression) — repeating IN PLACE keeps session caches warm across

@@ -100,5 +100,31 @@ object WebDataset {
             gunzip_bytes(gzip_bytes(col("shard"))).as("shard")))
         .orderBy(col("doc_id"), col("name")))
 
-  val all: Seq[Q] = Seq(wdsParseQ, wdsRouteQ, wdsGzParseQ)
+  /** The SINK side: export each document AS a WebDataset sample shard
+    * and audit the produced bytes — member count recovered by
+    * re-parsing our own output (write-then-read honesty), shard size
+    * pinned by the oracle's pure tar arithmetic (3 headers + members
+    * padded to 512-byte blocks + the two end blocks), so a framing or
+    * padding bug in the WRITER hash-fails even though the reader would
+    * happily accept its own mistake. */
+  val wdsExportQ: Q = Q(
+    "m_webdataset_export",
+    Some("""SELECT doc_id,
+           |  CAST(3 AS BIGINT) AS n_members,
+           |  CAST(3 * 512
+           |    + (length(text) + 511) // 512 * 512
+           |    + (54 + ((3 * (length(text) % 64 + 1) + 3) // 4 * 4)
+           |        * (length(text) % 48 + 1) + 511) // 512 * 512
+           |    + (length('{"id":' || CAST(doc_id AS VARCHAR)
+           |        || ',"lang":"' || lang || '"}') + 511) // 512 * 512
+           |    + 1024 AS BIGINT) AS shard_bytes
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      withShards(Tables.documents(s, d))
+        .select(col("doc_id"),
+          size(tar_members(col("shard"))).cast(LongType).as("n_members"),
+          length(col("shard")).cast(LongType).as("shard_bytes"))
+        .orderBy(col("doc_id")))
+
+  val all: Seq[Q] = Seq(wdsParseQ, wdsRouteQ, wdsGzParseQ, wdsExportQ)
 }
