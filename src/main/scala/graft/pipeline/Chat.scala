@@ -79,5 +79,66 @@ object Chat {
       validate(withChats(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
-  val all: Seq[Q] = Seq(chatValidateQ)
+  /** Loss-mask accounting — the SFT step that decides which tokens GET
+    * LOSS: only assistant-turn content trains; user/system tokens are
+    * masked. Per conversation: assistant tokens, total tokens, and the
+    * mask ratio in exact ppm — the number a data budget is actually
+    * written in ("N billion ASSISTANT tokens"). Computed from the
+    * PARSED turns (roles included, so the planted alternation defect
+    * shifts the count — plants propagate, they're not special-cased);
+    * the oracle re-derives both counts from the slice arithmetic. */
+  def lossTokens(chats: DataFrame): DataFrame = {
+    val parsed = chats.withColumn("turns",
+      from_json(col("chat"),
+        org.apache.spark.sql.types.DataType.fromDDL(
+          "array<struct<role:string,content:string>>")))
+    parsed.select(
+      col("doc_id"),
+      expr("""aggregate(filter(turns, t -> t.role = 'assistant'), 0L,
+        (acc, t) -> acc + CASE WHEN t.content = '' THEN 0L
+          ELSE size(split(t.content, ' ')) END)""").as("assistant_tokens"),
+      expr("""aggregate(turns, 0L,
+        (acc, t) -> acc + CASE WHEN t.content = '' THEN 0L
+          ELSE size(split(t.content, ' ')) END)""").as("total_tokens"))
+      .withColumn("mask_ppm",
+        expr("CASE WHEN total_tokens = 0 THEN 0L " +
+          "ELSE (1000000 * assistant_tokens) div total_tokens END"))
+  }
+
+  /** Slice-size arithmetic: turn i carries ((i+1)·L div n) − (i·L div
+    * n) tokens of the L-token document; assistant turns are the odd i
+    * (plus turn 0 under the %11 plant), the %13 plant zeroes turn 1. */
+  private val LossOracle =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS L,
+      |    CAST(2 * (doc_id % 2 + 1)
+      |      + CASE WHEN doc_id % 17 = 7 THEN 1 ELSE 0 END AS BIGINT) AS n
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(list_sum(list_transform(range(n), i ->
+      |      CASE WHEN (i % 2 = 1 OR (doc_id % 11 = 3 AND i = 0))
+      |             AND NOT (doc_id % 13 = 5 AND i = 1)
+      |        THEN ((i + 1) * L) // n - (i * L) // n ELSE 0 END)), 0) AS BIGINT)
+      |      AS assistant_tokens,
+      |    CAST(coalesce(list_sum(list_transform(range(n), i ->
+      |      CASE WHEN doc_id % 13 = 5 AND i = 1 THEN 0
+      |        ELSE ((i + 1) * L) // n - (i * L) // n END)), 0) AS BIGINT)
+      |      AS total_tokens
+      |  FROM m)
+      |SELECT doc_id, assistant_tokens, total_tokens,
+      |  CAST(CASE WHEN total_tokens = 0 THEN 0
+      |    ELSE (1000000 * assistant_tokens) // total_tokens END AS BIGINT)
+      |    AS mask_ppm
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  val chatLossTokensQ: Q = Q(
+    "t_chat_loss_tokens",
+    Some(LossOracle),
+    (s, d) =>
+      lossTokens(withChats(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  val all: Seq[Q] = Seq(chatValidateQ, chatLossTokensQ)
 }
