@@ -139,7 +139,9 @@ object Explain {
       "d_decontaminate_embedding" -> "semantic eval-leak scan: corpus x BROADCAST eval set (bounded by nature), per-row max-cosine, every vector reported",
       "t_warc_extract" -> "WARC ingest: record walk -> embedded HTTP message -> page body -> HtmlCodec extract, ONE narrow pass (sort only for output)",
       "m_gif_pixels" -> "full GIF87a decode: hand-rolled GIF-LZW (LSB-first growing widths, clear/EOI, KwKwK, 12-bit reset) + palette fold, pure narrow map",
-      "m_webdataset_route" -> "WebDataset shard walk (ustar checksums + framing) + extension routing to per-modality decoders, narrow + one doc-keyed fold")
+      "m_webdataset_route" -> "WebDataset shard walk (ustar checksums + framing) + extension routing to per-modality decoders, narrow + one doc-keyed fold",
+      "st_warc_ingest" -> "streaming WARC ingest (batch twin): gunzip members -> record walk -> uri seen-set election -> extract, one uri-keyed exchange",
+      "t_chat_validate" -> "SFT chat validation: construct -> from_json -> higher-order structure checks over typed turns, one narrow pass")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

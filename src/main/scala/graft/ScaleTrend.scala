@@ -132,6 +132,7 @@ object ScaleTrend {
     // hard negatives, chat parse — all narrow or single-key shapes
     "m_dedup_video_incremental", "st_warc_ingest", "g_walk_skipgrams",
     "d_fluency_buckets", "sim_hard_negatives", "t_chat_validate",
+    "t_chat_loss_tokens", "m_webdataset_export",
     // embedding decontamination: corpus scanned once vs the BROADCAST
     // bounded eval set — wall rides corpus x |eval| dot products
     "d_decontaminate_embedding",

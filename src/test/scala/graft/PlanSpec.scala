@@ -365,6 +365,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("st_warc_ingest twin: uri-keyed election, demux narrow, no cartesian") {
+    val p = plan("st_warc_ingest")
+    assert(p.contains("hashpartitioning(uri"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t_chat_validate: construct + from_json + verdicts is one narrow pass") {
+    val p = plan("t_chat_validate")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.split("Exchange").length - 1 <= 1, p) // output sort only
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("m_gif_pixels: hand-rolled LZW decode is a pure narrow map") {
     val p = plan("m_gif_pixels")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
