@@ -47,6 +47,15 @@ object AviCodec {
   /** Frame-count bomb guard (a u32 field; real corpora cap far lower). */
   val MaxFrames: Int = 4096
 
+  /** Container-size guard: the RIFF size fields are u32 and the encoder
+    * allocates the whole container in one array, so the per-frame JPEG
+    * sizes are accumulated in a LONG and the total is capped well below
+    * Int.MaxValue — an in-contract but large encode (4096 frames of
+    * multi-MB JPEGs) degrades to null instead of overflowing the Int
+    * accumulator into a negative allocation size (the codec family's
+    * nulls-never-throws rule). */
+  val MaxContainerBytes: Long = 256L << 20
+
   private val Keyframe = 0x00000010 // AVIIF_KEYFRAME
 
   // ---- little-endian byte IO ----------------------------------------------
@@ -89,25 +98,44 @@ object AviCodec {
     if (fps <= 0 || 1000000 % fps != 0) return null
     if (seedStride < 1) return null
     val frames = new Array[Array[Byte]](nFrames)
+    var moviPayloadL = 0L // Long: 4096 frames x multi-MB JPEGs can pass Int
     var f = 0
     while (f < nFrames) {
       val jpg = JpegCodec.encode(width, height, 3, seed * seedStride + f,
         acPlant = false, restartInterval = restartInterval)
       if (jpg == null) return null
       frames(f) = jpg
+      moviPayloadL += 8L + jpg.length + (jpg.length & 1)
+      // bail BEFORE encoding the rest once the container can no longer
+      // fit the cap — the guard stays cheap even for a 4096-frame ask
+      if (moviPayloadL > MaxContainerBytes) return null
       f += 1
     }
-    val usecPerFrame = 1000000 / fps
+    assemble(frames, width, height, fps)
+  }
+
+  /** Frame the pre-encoded JPEGs into a complete RIFF/AVI container.
+    * Package-private so AviCodecSpec can exercise the Long size
+    * accounting with synthetic frame bytes (forcing the cap through
+    * real JPEG encodes would take ~a minute per run). NULL when the
+    * container would exceed [[MaxContainerBytes]] — which keeps every
+    * u32 size field and the output allocation safely inside Int. */
+  private[graft] def assemble(frames: Array[Array[Byte]], width: Int,
+      height: Int, fps: Int): Array[Byte] = {
+    val nFrames = frames.length
     var maxFrame = 0
-    var moviPayload = 0
+    var moviPayloadL = 0L
     frames.foreach { fr =>
       maxFrame = math.max(maxFrame, fr.length)
-      moviPayload += 8 + fr.length + (fr.length & 1)
+      moviPayloadL += 8L + fr.length + (fr.length & 1)
     }
-    val moviSize = 4 + moviPayload
+    val usecPerFrame = 1000000 / fps
     val hdrlSize = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
     val idxSize = 16 * nFrames
-    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idxSize)
+    val riffSizeL = 4L + (8 + hdrlSize) + (8 + 4 + moviPayloadL) + (8 + idxSize)
+    if (riffSizeL + 8 > MaxContainerBytes) return null
+    val moviSize = (4 + moviPayloadL).toInt
+    val riffSize = riffSizeL.toInt
 
     val o = new java.io.ByteArrayOutputStream(riffSize + 8)
     putFcc(o, "RIFF"); putU32(o, riffSize); putFcc(o, "AVI ")
@@ -138,7 +166,7 @@ object AviCodec {
     putFcc(o, "LIST"); putU32(o, moviSize); putFcc(o, "movi")
     val offsets = new Array[Int](nFrames)
     var rel = 4 // first chunk starts right after the 'movi' fourcc
-    f = 0
+    var f = 0
     while (f < nFrames) {
       offsets(f) = rel
       putFcc(o, "00dc"); putU32(o, frames(f).length)

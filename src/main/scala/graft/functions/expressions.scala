@@ -469,13 +469,22 @@ object JpegPixelStats {
   * media-producer family; every frame is a complete baseline JFIF JPEG.
   * Six children → hand-rolled codegen like [[EncodeJpeg]]. NULL for
   * invalid geometry, non-divisor fps, or frame-count bounds. */
-case class EncodeAvi(children: Seq[Expression]) extends Expression {
+case class EncodeAvi(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes {
   require(children.length == 6 || children.length == 7,
     "encode_avi takes (w, h, nFrames, fps, seed, dri[, seedStride])")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
+  // declared input types → the analyzer inserts casts, so a SQL call
+  // with an INT seedStride literal coerces to LONG instead of blowing
+  // up the interpreted path's asInstanceOf (ADVICE r10 #4)
+  override def inputTypes: Seq[DataType] =
+    Seq(IntegerType, IntegerType, IntegerType, IntegerType, LongType,
+      IntegerType) ++ (if (children.length == 7) Seq(LongType) else Nil)
   private def strideOf(vs: Seq[Any]): Long =
-    if (vs.length == 7) vs(6).asInstanceOf[Long] else 1000L
+    // defensive numeric widen: survives even a path the analyzer's
+    // implicit casts didn't see (e.g. a directly-constructed plan)
+    if (vs.length == 7) vs(6).asInstanceOf[Number].longValue() else 1000L
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) null

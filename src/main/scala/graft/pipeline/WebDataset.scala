@@ -51,10 +51,16 @@ object WebDataset {
         max(col("lang")).as("lang"))
   }
 
+  // Member SIZES are tar-header byte counts, so the oracle measures
+  // UTF-8 BYTES (octet_length over the encoded text), not characters —
+  // the byte-vs-char distinction WarcCodec documents (ADVICE r10 #2).
+  // The BMP geometry moduli stay CHAR-driven on both sides (TarCodec
+  // uses text.length); WebDatasetSpec pins the ASCII-corpus assumption
+  // that keeps chars == bytes == UTF-16 units for that arithmetic.
   private val ParseOracle =
     """SELECT doc_id, name, size FROM (
       |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '.txt' AS name,
-      |    CAST(length(text) AS BIGINT) AS size FROM documents
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS size FROM documents
       |  UNION ALL
       |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '.bmp',
       |    CAST(54 + ((3 * (length(text) % 64 + 1) + 3) // 4 * 4)
@@ -112,7 +118,7 @@ object WebDataset {
     Some("""SELECT doc_id,
            |  CAST(3 AS BIGINT) AS n_members,
            |  CAST(3 * 512
-           |    + (length(text) + 511) // 512 * 512
+           |    + (octet_length(encode(text)) + 511) // 512 * 512
            |    + (54 + ((3 * (length(text) % 64 + 1) + 3) // 4 * 4)
            |        * (length(text) % 48 + 1) + 511) // 512 * 512
            |    + (length('{"id":' || CAST(doc_id AS VARCHAR)

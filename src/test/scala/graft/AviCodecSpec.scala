@@ -51,6 +51,22 @@ class AviCodecSpec extends AnyFunSuite {
     assert(AviCodec.encode(0, 8, 2, 25, 1L) == null)   // bad geometry
   }
 
+  test("container-size cap degrades to null, never a negative allocation (ADVICE r10 #1)") {
+    // An in-contract 4096-frame ask of ~550 KB JPEGs totals >2 GiB: the
+    // old Int accumulator wrapped negative and ByteArrayOutputStream
+    // threw IllegalArgumentException — violating nulls-never-throws.
+    // The Long accumulator + MaxContainerBytes cap must yield null.
+    // Driven through `assemble` with synthetic frame bytes (forcing the
+    // cap through real encodes costs ~a minute); `encode` itself holds
+    // the same cap via its in-loop early bail.
+    val big = new Array[Byte](1 << 20) // 1 MiB frame
+    val over = Array.fill(300)(big)    // 300 MiB > 256 MiB cap
+    assert(AviCodec.assemble(over, 16, 16, 25) == null)
+    // under the cap, assemble still frames a parseable container
+    val small = AviCodec.encode(16, 16, 2, 25, 7L)
+    assert(small != null)
+  }
+
   test("frame stats equal the planted-formula twin, every frame, stride 1") {
     val (w, h, nf, seed) = (19, 11, 5, 77L)
     val avi = AviCodec.encode(w, h, nf, 25, seed)
