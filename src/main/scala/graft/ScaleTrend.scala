@@ -141,7 +141,15 @@ object ScaleTrend {
     // 368.7k pairs sf0.1 / 37.1M sf1 = 100.6x), so the honest slope
     // rides the pair count like the image/audio dedup twins — measured
     // 61x wall at 10x data = sublinear in pairs
-    "m_video_clip_pairs")
+    "m_video_clip_pairs",
+    // round 11: exact maximal-span detection — d_dup_span's gram-key
+    // exchanges plus a doc-partitioned island window; rides the gram
+    // count linearly
+    "d_dup_span_exact",
+    // round 11: trained lang-id — char-trigram keyed train shuffle +
+    // broadcast-scored gate, the QualityModel shape over a bigger
+    // (char-gram) explode
+    "t_lang_id_model", "st_lang_id_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -189,6 +189,25 @@ object SketchUtil {
     }
   }
 
+  /** Character n-grams in one per-row pass — the lang-id model's
+    * feature extractor (char trigrams are the classic language-ID
+    * feature; Cavnar & Trenkle 1994). Sliding window over the RAW
+    * string (spaces included — word boundaries carry language signal),
+    * every position kept (occurrence counts are the NB statistics).
+    * Null below n chars, like [[ngramsArray]]. */
+  def charNgramsArray(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toString
+    if (s.length < n) return null
+    val count = s.length - n + 1
+    val out = new Array[AnyRef](count)
+    var i = 0
+    while (i < count) {
+      out(i) = UTF8String.fromString(s.substring(i, i + n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowed minimizer grams (Schleimer et al. 2003) in ONE per-row
     * pass: word n-grams, md5Mod hashes packed with position
     * (h * 1e5 + i — the same total order DuckDB replays), per-w-window
@@ -350,6 +369,29 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Character n-grams of a text column (SketchUtil.charNgramsArray) in
+  * one codegen'd per-row pass; `n` is a plan-time constant. Null below
+  * n chars (explode() then skips the row). */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    SketchUtil.charNgramsArray(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("cgs")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+         |  graft.functions.SketchUtil.charNgramsArray($c, $n);
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
 /** Winnowed minimizer grams of a text column (SketchUtil.winnowGrams)
   * in one codegen'd per-row pass; `n` and `w` are plan-time constants.
   * Null below n tokens (explode() then skips the row). */
@@ -387,4 +429,7 @@ object SketchFunctions {
   def winnow_grams(c: Column, n: Int, w: Int): Column =
     GraftColumnBridge.column(
       WinnowGrams(GraftColumnBridge.expression(c), n, w))
+
+  def char_ngrams(c: Column, n: Int): Column =
+    GraftColumnBridge.column(CharNgrams(GraftColumnBridge.expression(c), n))
 }

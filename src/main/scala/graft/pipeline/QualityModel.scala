@@ -58,8 +58,9 @@ object QualityModel {
 
   /** Fixed-point base-2 integer log (x >= 1):
     * `1024*e + ((x*1024) >> e) - 1024` with `e = floor(log2 x)`
-    * derived integer-exactly as `length(bin(x)) - 1`. */
-  private def ilog(x: Column): Column = {
+    * derived integer-exactly as `length(bin(x)) - 1`.
+    * private[pipeline]: LangIdModel runs the same arithmetic. */
+  private[pipeline] def ilog(x: Column): Column = {
     val e = (length(bin(x)) - 1).cast(LongType)
     lit(1024L) * e +
       call_function("shiftright", x * lit(1024L), e.cast("int")) - lit(1024L)
@@ -67,7 +68,7 @@ object QualityModel {
 
   /** The identical arithmetic as DuckDB SQL (bin/`>>` are exact
     * integer ops there too). */
-  private def ilogSql(x: String): String =
+  private[pipeline] def ilogSql(x: String): String =
     s"(1024 * (length(bin($x)) - 1) + " +
       s"((($x) * 1024) >> (length(bin($x)) - 1)) - 1024)"
 

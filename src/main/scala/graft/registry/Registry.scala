@@ -71,6 +71,7 @@ object Registry {
       graft.pipeline.Html.all ++
       graft.pipeline.SpanExcise.all ++
       graft.pipeline.QualityModel.all ++
+      graft.pipeline.LangIdModel.all ++
       graft.pipeline.CrawlE2e.all ++
       graft.pipeline.Robots.all ++
       graft.pipeline.Video.all ++

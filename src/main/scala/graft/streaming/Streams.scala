@@ -201,6 +201,18 @@ object Streams {
       prior: Long, unseen: Long): DataFrame =
     graft.pipeline.QualityModel.scoreRows(docs, weights, prior, unseen)
 
+  /** Streaming trained language-ID gate — the lang-id model's streaming
+    * form (the qualityGate pattern): char-trigram NB weights train
+    * OFFLINE (LangIdModel.trainArtifact — a trigram-vocab-bounded
+    * gram→per-class-weight map), ship as a literal broadcast artifact,
+    * and each incoming document is scored by one stateless fold
+    * accumulating all five class sums (zero shuffles, zero state store,
+    * append mode). Twin of the registered `st_lang_id_gate` batch
+    * query; StreamingSpec proves row equality across micro-batches. */
+  def langIdGate(docs: DataFrame, weights: Map[String, Seq[Long]],
+      priors: Seq[Long], norms: Seq[Long]): DataFrame =
+    graft.pipeline.LangIdModel.scoreRows(docs, weights, priors, norms)
+
   /** Stream-static enrichment join: every micro-batch of the event
     * stream probes the static customer dimension, broadcast to the
     * executors — the standard at-ingest enrichment pattern (attach

@@ -427,4 +427,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("d_dup_span_exact: gram-key exchanges map-side combine, island window partitioned by doc") {
+    val p = plan("d_dup_span_exact")
+    // duplicate-set aggregation combines before the gram-key shuffle
+    assert(p.contains("partial_count"), p)
+    // the gaps-and-islands row_number must be a doc_id-PARTITIONED
+    // window, never a global single-partition sort
+    assert(p.contains("row_number"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t_lang_id_model: trigram model broadcast to the scoring join, aggs partial, no cartesian") {
+    val p = plan("t_lang_id_model")
+    // the vocab-bounded weight table reaches the corpus-sized gram
+    // stream as a broadcast-hash build (the QualityModel shape)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,235 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stateful restart recovery (VERDICT r10 #1): StreamingSpec proves
+  * SINK-side exactly-once across a restart; these tests prove the
+  * STATE-STORE half — a stateful query stopped mid-stream and
+  * restarted from the same checkpoint must RESTORE its state, i.e.
+  * batch-2 duplicates of batch-1 keys stay suppressed (the crawl/WARC
+  * URI seen-set, the dedup key set), a window held open across the
+  * kill emits exactly once with the pre-kill rows counted, and the
+  * restored WATERMARK keeps dropping late data.
+  *
+  * Harness notes:
+  *  - sinks are `foreachBatch` into a driver buffer, because that sink
+  *    class supports checkpoint recovery; the `memory` sink does not
+  *    (Spark refuses to restart one from a checkpoint). Production
+  *    durable sinks (parquet/kafka) recover the same way — the
+  *    sink-side half is already proven in StreamingSpec.
+  *  - sources are MemoryStream: its offsets are checkpointed and the
+  *    SAME instance is re-resolved by the restarted query, so the
+  *    committed prefix is NOT re-read — any suppression observed in
+  *    run 2 can only come from the restored state store, never from
+  *    re-seeing batch 1. (MemoryStream is not durable across JVMs;
+  *    in-process it is exactly Spark's own restart-test harness.)
+  */
+class StreamingRestartSpec extends SparkSpec {
+
+  private def ckptDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toString
+
+  /** foreachBatch sink into a per-run driver buffer. */
+  private final class BufSink {
+    val rows = new scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    def apply(b: DataFrame, id: Long): Unit =
+      synchronized { rows ++= b.collect().map(_.toSeq) }
+  }
+
+  private def lastStateRows(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(p => p.stateOperators.map(_.numRowsTotal))
+      .lastOption.getOrElse(-1L)
+
+  test("crawl-ingest URI seen-set restores: batch-2 re-fetches stay suppressed after kill/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.GraftFunctions.gzip_text
+
+    val docs = Tables.documents(spark, sf())
+    val pages = graft.pipeline.CrawlE2e.withCrawlUrls(docs)
+      .join(graft.pipeline.Html.withHtml(docs), "doc_id")
+      .select(col("doc_id"), col("url"), gzip_text(col("html")).as("payload"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+      .sortBy(_._1)
+    // each url pair: the min doc_id arrives BEFORE the kill, its
+    // re-fetch twin AFTER the restart — suppression of the twin can
+    // only come from the checkpointed seen set
+    val pairMin = pages.groupBy(_._1 / 2).map(_._2.map(_._1).min).toSet
+    val (first, second) = pages.partition(p => pairMin(p._1))
+
+    val ckpt = ckptDir()
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    def start(sink: BufSink) =
+      graft.streaming.Streams
+        .crawlIngest(input.toDF().toDF("doc_id", "url", "payload"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: DataFrame, id: Long) => sink(b, id))
+        .start()
+
+    val run1 = new BufSink
+    val q1 = start(run1)
+    val state1 = try {
+      input.addData(first.toSeq)
+      q1.processAllAvailable()
+      lastStateRows(q1)
+    } finally q1.stop()
+    assert(run1.rows.map(_.head).toSet === pairMin.map(x => x: Any))
+    assert(state1 === pairMin.size.toLong, "seen-set rows before the kill")
+
+    // ---- kill happened here; restart from the same checkpoint ----
+    input.addData(second.toSeq)
+    val run2 = new BufSink
+    val q2 = start(run2)
+    val (state2, inRows2) = try {
+      q2.processAllAvailable()
+      (lastStateRows(q2),
+        q2.recentProgress.map(_.numInputRows).sum)
+    } finally q2.stop()
+
+    // run 2 really consumed batch 2 (the source replayed nothing else)...
+    assert(inRows2 === second.length.toLong,
+      s"run 2 must process exactly batch 2 ($inRows2 vs ${second.length})")
+    // ...and every row dropped at the RESTORED seen set
+    assert(run2.rows.isEmpty,
+      s"batch-2 re-fetches leaked through the restart: ${run2.rows.take(3)}")
+    // the restored store grew by the new canonical keys it saw (each
+    // re-fetch twin still inserts its key check — total stays the pair
+    // count because twins canonicalize onto batch-1 keys)
+    assert(state2 === pairMin.size.toLong,
+      "restored seen-set must contain exactly the elected keys")
+  }
+
+  test("windowed aggregation restores: pre-kill rows count, watermark survives, no double emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val ckpt = ckptDir()
+    val input = MemoryStream[(Timestamp, String)]
+    def start(sink: BufSink) =
+      input.toDF().toDF("ts", "event_type")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .count()
+        .select(col("w.start").cast("string").as("h"), col("event_type"),
+          col("count"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: DataFrame, id: Long) => sink(b, id))
+        .start()
+
+    // run 1: hour-10 'a' window closes (wm 12:50 via the 13:00 event);
+    // the hour-13 'b' window stays OPEN in state across the kill
+    val run1 = new BufSink
+    val q1 = start(run1)
+    try {
+      input.addData(Seq((ts("2024-01-01 10:05:00"), "a"),
+        (ts("2024-01-01 10:50:00"), "a"),
+        (ts("2024-01-01 13:00:00"), "b")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(run1.rows.toSet === Set(Seq("2024-01-01 10:00:00", "a", 2L)))
+
+    // restart: a LATE hour-10 row (behind the RESTORED 12:50 watermark)
+    // must drop — not reopen the closed window — and the 16:00 row
+    // closes hour-13, emitting the PRE-KILL 'b' row exactly once
+    val run2 = new BufSink
+    val q2 = start(run2)
+    try {
+      input.addData(Seq((ts("2024-01-01 10:30:00"), "a"),
+        (ts("2024-01-01 16:00:00"), "b")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(run2.rows.toSet === Set(Seq("2024-01-01 13:00:00", "b", 1L)),
+      s"expected only the restored hour-13 window: ${run2.rows}")
+    // no double emission of hour-10 anywhere across both runs
+    assert((run1.rows ++ run2.rows).count(_.head == "2024-01-01 10:00:00") === 1)
+  }
+
+  test("session_window state restores: a session open across the kill emits once, complete") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val ckpt = ckptDir()
+    val input = MemoryStream[(Long, Timestamp)]
+    def start(sink: BufSink) =
+      input.toDF().toDF("user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: DataFrame, id: Long) => sink(b, id))
+        .start()
+
+    // user 7's session is OPEN (2 events) when the query dies
+    val run1 = new BufSink
+    val q1 = start(run1)
+    try {
+      input.addData(Seq((7L, ts("2024-01-01 10:00:00")),
+        (7L, ts("2024-01-01 10:10:00"))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(run1.rows.isEmpty, "open session must not emit before the kill")
+
+    // restart: one more event EXTENDS the restored session, then a far
+    // event closes it — the emission must count all three events
+    val run2 = new BufSink
+    val q2 = start(run2)
+    try {
+      input.addData(Seq((7L, ts("2024-01-01 10:35:00"))))
+      q2.processAllAvailable()
+      input.addData(Seq((9L, ts("2024-01-01 15:00:00"))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(run2.rows.filter(_.head == 7L).map(r => r(1)) === Seq(3L),
+      s"session spanning the restart must emit once with n=3: ${run2.rows}")
+  }
+
+  test("dropDuplicatesWithinWatermark key state restores: post-restart duplicate suppressed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val ckpt = ckptDir()
+    val input = MemoryStream[(Long, Timestamp)]
+    def start(sink: BufSink) =
+      input.toDF().toDF("id", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("id")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: DataFrame, id: Long) => sink(b, id))
+        .start()
+
+    val run1 = new BufSink
+    val q1 = start(run1)
+    try {
+      input.addData(Seq((1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:01:00"))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(run1.rows.map(_.head).toSet === Set(1L, 2L))
+
+    // restart: id 1 re-delivered inside the horizon must STAY
+    // suppressed (restored key state); id 3 is genuinely new
+    val run2 = new BufSink
+    val q2 = start(run2)
+    try {
+      input.addData(Seq((1L, ts("2024-01-01 10:05:00")),
+        (3L, ts("2024-01-01 10:06:00"))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(run2.rows.map(_.head).toSet === Set(3L),
+      s"id 1's restart re-delivery must drop at the restored state: ${run2.rows}")
+  }
+}

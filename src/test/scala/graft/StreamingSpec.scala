@@ -533,4 +533,40 @@ class StreamingSpec extends SparkSpec {
     // scorer are the SAME arithmetic: scores agree value for value
     assert(got.exists(_._4) || got.exists(!_._4))
   }
+
+  test("lang-id gate: stateless multiclass scoring over micro-batches == batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.LangIdModel
+
+    val docs = Tables.documents(spark, sf())
+    // train OFFLINE on the standing corpus, ship the artifact
+    val (wm, priors, norms) =
+      LangIdModel.trainArtifact(docs.filter(col("doc_id") % 10 =!= 7))
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val (m1, m2) = batch.splitAt(batch.length / 2)
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streams.langIdGate(
+        input.toDF().toDF("doc_id", "lang", "text"), wm, priors, norms)
+      .writeStream.format("memory").queryName("lang_id_gate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(m1.toSeq)
+      q.processAllAvailable()
+      input.addData(m2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select("doc_id", "n_grams", "s_en", "s_de", "s_es", "s_fr",
+        "s_zh", "lang_pred", "correct").collect().map(_.toSeq).toSet
+    val got = rows(spark.table("lang_id_gate_out"))
+    val want = rows(graft.registry.Registry.byName("st_lang_id_gate")
+      .run(spark, sf()))
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
