@@ -149,7 +149,10 @@ object ScaleTrend {
     // round 11: trained lang-id — char-trigram keyed train shuffle +
     // broadcast-scored gate, the QualityModel shape over a bigger
     // (char-gram) explode
-    "t_lang_id_model", "st_lang_id_gate")
+    "t_lang_id_model", "st_lang_id_gate",
+    // round 11: FLAC encode+full-decode round trip — narrow per-row
+    // kernels riding total sample count
+    "m_flac_decode", "m_flac_loudness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

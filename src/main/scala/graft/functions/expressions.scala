@@ -296,6 +296,77 @@ object ParseWavPcm {
     StructField("peak", LongType, nullable = false)))
 }
 
+/** Synthesize a complete FLAC stream (FlacCodec.encode) from
+  * (sampleRate, channels, nSamplesPerCh, seed) — the COMPRESSED audio
+  * member of the media-producer family: real fixed-predictor + Rice
+  * frames over the WAV lane's exact planted samples, CRC-8/CRC-16
+  * framed, PCM-MD5 sealed. NULL for out-of-contract parameters. */
+case class EncodeFlac(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(sr: Any, ch: Any, n: Any, s: Any): Any =
+    FlacCodec.encode(sr.asInstanceOf[Int], ch.asInstanceOf[Int],
+      n.asInstanceOf[Int], s.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sr, ch, n, s) => s"""
+       |${ev.value} = graft.functions.FlacCodec.encode($sr, $ch, $n, $s);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): EncodeFlac =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
+/** Parse a FLAC STREAMINFO (FlacCodec.parseHeaderRaw): marker +
+  * metadata walk validated. struct(num_channels, sample_rate,
+  * bits_per_sample, n_samples); NULL on any violation. */
+case class ParseFlacHeader(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ParseFlacHeader.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    FlacCodec.parseHeader(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.FlacCodec.parseHeader($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ParseFlacHeader =
+    copy(child = newChild)
+}
+
+object ParseFlacHeader {
+  val schema: StructType = StructType(Seq(
+    StructField("num_channels", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("bits_per_sample", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false)))
+}
+
+/** FULL FLAC decode (FlacCodec.pcmStatsRaw): frame walk, Rice/fixed/
+  * LPC subframe decode, stereo decorrelation, CRC-8 + CRC-16 + PCM-MD5
+  * verification, then the WAV lane's exact loudness stats over the
+  * reconstructed samples. struct(n_samples, sum_sq, peak); NULL on any
+  * violation — a flipped bit anywhere fails a checksum, never throws. */
+case class ParseFlacPcm(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ParseWavPcm.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    FlacCodec.pcmStats(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.FlacCodec.pcmStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ParseFlacPcm =
+    copy(child = newChild)
+}
+
 /** Synthesize a structurally complete PNG (PngCodec.encode) from
   * (width, height, colorType, seed) — the big-endian "media producer"
   * of the codec family. NULL for invalid geometry/color type. */
@@ -1115,6 +1186,20 @@ object GraftFunctions {
   def parse_wav_pcm(bytes: Column): Column =
     GraftColumnBridge.column(ParseWavPcm(GraftColumnBridge.expression(bytes)))
 
+  def encode_flac(sampleRate: Column, numChannels: Column, nSamples: Column,
+      seed: Column): Column =
+    GraftColumnBridge.column(EncodeFlac(
+      GraftColumnBridge.expression(sampleRate),
+      GraftColumnBridge.expression(numChannels),
+      GraftColumnBridge.expression(nSamples),
+      GraftColumnBridge.expression(seed)))
+
+  def parse_flac_header(bytes: Column): Column =
+    GraftColumnBridge.column(ParseFlacHeader(GraftColumnBridge.expression(bytes)))
+
+  def parse_flac_pcm(bytes: Column): Column =
+    GraftColumnBridge.column(ParseFlacPcm(GraftColumnBridge.expression(bytes)))
+
   def encode_png(width: Column, height: Column, colorType: Column,
       seed: Column): Column =
     GraftColumnBridge.column(EncodePng(
@@ -1268,6 +1353,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("parse_bmp_header", es => ParseBmpHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_wav", es => EncodeWav(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_wav_header", es => ParseWavHeader(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_flac", es => EncodeFlac(es(0), es(1), es(2), es(3)), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_flac_header", es => ParseFlacHeader(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_flac_pcm", es => ParseFlacPcm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_png", es => EncodePng(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_png_header", es => ParsePngHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_pixel_stats", es => PngPixelStats(es.head), "scala_udf")

@@ -72,6 +72,7 @@ object Registry {
       graft.pipeline.SpanExcise.all ++
       graft.pipeline.QualityModel.all ++
       graft.pipeline.LangIdModel.all ++
+      graft.pipeline.Flac.all ++
       graft.pipeline.CrawlE2e.all ++
       graft.pipeline.Robots.all ++
       graft.pipeline.Video.all ++

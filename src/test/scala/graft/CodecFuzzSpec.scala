@@ -50,7 +50,12 @@ class CodecFuzzSpec extends SparkSpec {
     "gif" -> (b => graft.functions.GifCodec.parseHeaderRaw(b)),
     "gif_pixels" -> (b => graft.functions.GifCodec.pixelStatsRaw(b)),
     // tar: block framing + header checksums (the WebDataset shard walk)
-    "tar" -> (b => graft.functions.TarCodec.parseRaw(b)))
+    "tar" -> (b => graft.functions.TarCodec.parseRaw(b)),
+    // round 11 FLAC: MSB-first bit-level Rice/LPC decode — unary runs
+    // and partition walks over arbitrary bytes are the family's
+    // longest corruption-sensitive path
+    "flac" -> (b => graft.functions.FlacCodec.parseHeaderRaw(b)),
+    "flac_pcm" -> (b => graft.functions.FlacCodec.pcmStatsRaw(b)))
 
   test("random blobs never throw through any codec parse (200 seeded cases)") {
     (1L to 200L).foreach { seed =>
@@ -76,7 +81,8 @@ class CodecFuzzSpec extends SparkSpec {
       graft.functions.WarcCodec.encode(42L, "http://w7.example/p42",
         "<html><body>fuzz page</body></html>"),
       graft.functions.GifCodec.encode(13, 9, 3, 42L),
-      graft.functions.TarCodec.packSample(42L, "fuzz this shard", "en"))
+      graft.functions.TarCodec.packSample(42L, "fuzz this shard", "en"),
+      graft.functions.FlacCodec.encode(8000, 2, 300, 42L))
     (1L to 300L).foreach { seed =>
       val v = valids((seed % valids.length).toInt)
       val pos = sample(Gen.chooseNum(0, v.length - 1), seed)
