@@ -141,7 +141,12 @@ object Explain {
       "m_gif_pixels" -> "full GIF87a decode: hand-rolled GIF-LZW (LSB-first growing widths, clear/EOI, KwKwK, 12-bit reset) + palette fold, pure narrow map",
       "m_webdataset_route" -> "WebDataset shard walk (ustar checksums + framing) + extension routing to per-modality decoders, narrow + one doc-keyed fold",
       "st_warc_ingest" -> "streaming WARC ingest (batch twin): gunzip members -> record walk -> uri seen-set election -> extract, one uri-keyed exchange",
-      "t_chat_validate" -> "SFT chat validation: construct -> from_json -> higher-order structure checks over typed turns, one narrow pass")
+      "t_chat_validate" -> "SFT chat validation: construct -> from_json -> higher-order structure checks over typed turns, one narrow pass",
+      // round 11
+      "d_dup_span_exact" -> "exact maximal spans: all-positions gram explode, gram-keyed dup set, doc-PARTITIONED gaps-and-islands window (never a global sort)",
+      "t_lang_id_model" -> "trained lang-id: ONE char-trigram-keyed training shuffle, vocab-bounded 5-class model BROADCAST to the scoring join, doc-keyed re-agg",
+      "st_lang_id_gate" -> "split-trained lang-id gate (streaming twin's batch form): standing-corpus train, broadcast-scored ingest batch",
+      "m_flac_loudness" -> "FLAC encode + full decode (Rice/fixed/stereo-decorrelation + CRC/MD5 verify) round trip, pure narrow map — scan, map, sort only")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")
