@@ -169,56 +169,53 @@ object FlacCodec {
 
   // ---- subframe encoding --------------------------------------------------------
 
-  /** One channel's best subframe for this block at `bps` bits:
-    * returns (headerTypeBits, body writer ops) cost and writes into bw. */
-  private def writeSubframe(bw: BitWriter, s: Array[Int], bps: Int): Unit = {
+  /** The selection a subframe encode will make: (totalBits, order,
+    * riceParam, escape, rawWidth). order -1 = constant, -2 = verbatim.
+    * ANALYTIC — one scratch array diffed in place across the five
+    * orders, zero other allocation (the BitWriter-probe version of
+    * this scan dominated encode wall time and its garbage was the
+    * measured superlinearity at 10x corpus). */
+  private def selectSubframe(s: Array[Int], bps: Int): (Long, Int, Int, Boolean, Int) = {
     val n = s.length
-    // constant?
-    var const = true
+    var const = n > 0
     var i = 1
     while (i < n && const) { if (s(i) != s(0)) const = false; i += 1 }
-    if (const && n > 0) {
-      bw.putBits(0, 1); bw.putBits(0, 6); bw.putBits(0, 1) // type 000000, no wasted bits
-      bw.putBits(s(0).toLong & ((1L << bps) - 1), bps)
-      return
-    }
-    // fixed orders 0..4: residuals + best rice param (single partition)
+    if (const) return (8L + bps, -1, 0, false, 0)
     var bestOrder = -1
     var bestParam = 0
     var bestEscape = false
     var bestRawW = 0
     var bestCost = Long.MaxValue
-    var bestRes: Array[Int] = null
+    val cur = java.util.Arrays.copyOf(s, n) // the one scratch array
     var ord = 0
-    var cur = s
     while (ord <= 4 && ord < n) {
-      // residuals of this order (cur = order-(ord) differences)
-      if (ord > 0) {
-        val nx = new Array[Int](cur.length)
-        var j = cur.length - 1
-        while (j > 0) { nx(j) = cur(j) - cur(j - 1); j -= 1 }
-        nx(0) = cur(0)
-        cur = nx
+      if (ord > 0) { // in-place backward diff: level ord-1 -> level ord
+        var j = n - 1
+        while (j > 0) { cur(j) = cur(j) - cur(j - 1); j -= 1 }
       }
-      // cost: warmup ord*bps + residual coding
+      // sweep all 15 rice params in ONE pass over the residuals: the
+      // cost at param r is sum(u >>> r) + (n-ord)(r+1), and the widest
+      // residual fixes the escape raw width
+      val qsum = new Array[Long](15)
+      var rawW = 1
+      var ri = ord
+      while (ri < n) {
+        val u = zigzag(cur(ri))
+        var r = 0
+        while (r <= 14) { qsum(r) += u >>> r; r += 1 }
+        val v = cur(ri)
+        val need = (65 - java.lang.Long.numberOfLeadingZeros(
+          v.toLong ^ (v.toLong >> 63))).toInt
+        if (need > rawW) rawW = need
+        ri += 1
+      }
       var pcost = Long.MaxValue
       var pbest = 0
       var r = 0
       while (r <= 14) {
-        val c = riceCost(cur, ord, r)
+        val c = qsum(r) + (n - ord).toLong * (r + 1)
         if (c < pcost) { pcost = c; pbest = r }
         r += 1
-      }
-      // escape (raw two's-complement) alternative: residuals of 16-bit
-      // data at order k need up to bps+k bits — size the raw width to
-      // the WIDEST residual, never truncate
-      var rawW = 1
-      var ri = ord
-      while (ri < cur.length) {
-        val v = cur(ri)
-        val need = 65 - java.lang.Long.numberOfLeadingZeros(v.toLong ^ (v.toLong >> 63))
-        if (need > rawW) rawW = need.toInt
-        ri += 1
       }
       val rawBits = (n - ord).toLong * rawW
       val escape = rawBits + 5 < pcost && rawW <= 31
@@ -226,48 +223,68 @@ object FlacCodec {
       val total = ord.toLong * bps + 8 /*type+wasted*/ + 2 + 4 + resBits
       if (total < bestCost) {
         bestCost = total; bestOrder = ord; bestParam = pbest
-        bestEscape = escape; bestRawW = rawW; bestRes = cur
+        bestEscape = escape; bestRawW = rawW
       }
       ord += 1
     }
     val verbatimCost = 8L + n.toLong * bps
-    if (bestOrder < 0 || verbatimCost < bestCost) {
-      bw.putBits(0, 1); bw.putBits(1, 6); bw.putBits(0, 1) // type 000001 verbatim
+    if (bestOrder < 0 || verbatimCost < bestCost)
+      (verbatimCost, -2, 0, false, 0)
+    else (bestCost, bestOrder, bestParam, bestEscape, bestRawW)
+  }
+
+  /** One channel's best subframe for this block at `bps` bits. */
+  private def writeSubframe(bw: BitWriter, s: Array[Int], bps: Int): Unit = {
+    val n = s.length
+    val (_, order, param, escape, rawW) = selectSubframe(s, bps)
+    if (order == -1) { // CONSTANT
+      bw.putBits(0, 1); bw.putBits(0, 6); bw.putBits(0, 1)
+      bw.putBits(s(0).toLong & ((1L << bps) - 1), bps)
+      return
+    }
+    if (order == -2) { // VERBATIM
+      bw.putBits(0, 1); bw.putBits(1, 6); bw.putBits(0, 1)
       var j = 0
       while (j < n) { bw.putBits(s(j).toLong & ((1L << bps) - 1), bps); j += 1 }
       return
     }
+    // re-derive the chosen order's residuals in place
+    val res = java.util.Arrays.copyOf(s, n)
+    var k = 0
+    while (k < order) {
+      var j = n - 1
+      while (j > 0) { res(j) = res(j) - res(j - 1); j -= 1 }
+      k += 1
+    }
     // fixed subframe: type 001xxx
-    bw.putBits(0, 1); bw.putBits(8 | bestOrder, 6); bw.putBits(0, 1)
+    bw.putBits(0, 1); bw.putBits(8 | order, 6); bw.putBits(0, 1)
     var j = 0
-    while (j < bestOrder) { bw.putBits(s(j).toLong & ((1L << bps) - 1), bps); j += 1 }
+    while (j < order) { bw.putBits(s(j).toLong & ((1L << bps) - 1), bps); j += 1 }
     // residual: method 00 (4-bit rice), partition order 0, one partition
     bw.putBits(0, 2); bw.putBits(0, 4)
-    if (bestEscape) {
-      bw.putBits(15, 4); bw.putBits(bestRawW, 5)
-      j = bestOrder
+    if (escape) {
+      bw.putBits(15, 4); bw.putBits(rawW, 5)
+      j = order
       while (j < n) {
-        bw.putBits(bestRes(j).toLong & ((1L << bestRawW) - 1), bestRawW)
+        bw.putBits(res(j).toLong & ((1L << rawW) - 1), rawW)
         j += 1
       }
     } else {
-      bw.putBits(bestParam, 4)
-      j = bestOrder
+      bw.putBits(param, 4)
+      j = order
       while (j < n) {
-        val u = zigzag(bestRes(j))
-        bw.putUnary((u >>> bestParam).toInt)
-        if (bestParam > 0) bw.putBits(u & ((1L << bestParam) - 1), bestParam)
+        val u = zigzag(res(j))
+        bw.putUnary((u >>> param).toInt)
+        if (param > 0) bw.putBits(u & ((1L << param) - 1), param)
         j += 1
       }
     }
   }
 
-  /** Exact bit cost of the subframe [[writeSubframe]] will pick. */
-  private def subframeCost(s: Array[Int], bps: Int): Long = {
-    val probe = new BitWriter
-    writeSubframe(probe, s, bps)
-    probe.sizeBits
-  }
+  /** Exact bit cost of the subframe [[writeSubframe]] will pick
+    * (selectSubframe's cost already includes the 8 header bits). */
+  private def subframeCost(s: Array[Int], bps: Int): Long =
+    selectSubframe(s, bps)._1
 
   // ---- frame encoding ------------------------------------------------------------
 
