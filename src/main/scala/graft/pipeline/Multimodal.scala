@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{avi_frame_stats, bmp_pixel_stats, byte_histogram, encode_avi, encode_bmp, encode_gif, encode_jpeg, encode_png, encode_wav, gif_pixel_stats, gunzip_text, gzip_text, jpeg_pixel_stats, pack_frames, parse_avi_header, parse_bmp_header, parse_frames, parse_gif_header, parse_jpeg_header, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, wav_audio_fp}
+import graft.functions.GraftFunctions.{avi_frame_stats, bmp_pixel_stats, byte_histogram, encode_avi, encode_bmp, encode_flac, encode_gif, encode_jpeg, encode_png, encode_wav, gif_pixel_stats, gunzip_text, gzip_text, jpeg_pixel_stats, pack_frames, parse_avi_header, parse_bmp_header, parse_flac_header, parse_flac_pcm, parse_frames, parse_gif_header, parse_jpeg_header, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, wav_audio_fp}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -581,33 +581,36 @@ object Multimodal {
   // ---- mixed-modality corpus: magic-byte sniff + decoder dispatch -------
 
   /** A HETEROGENEOUS container column — payload kind keyed on doc_id
-    * mod 5 (PNG / BMP / WAV / gzip text / JPEG — round 10 adds the
-    * kind real crawls carry most), each produced by the same codec the
-    * uniform families use. Every decode query above assumes one
-    * payload type per column; a real crawled corpus is mixed, and the
-    * first operator over it is "sniff the magic bytes, route each
-    * blob to the right decoder". */
+    * mod 8 (PNG / BMP / WAV / gzip text / JPEG / AVI / GIF / FLAC —
+    * round 11 adds the compressed-audio kind), each produced by the
+    * same codec the uniform families use. Every decode query above
+    * assumes one payload type per column; a real crawled corpus is
+    * mixed, and the first operator over it is "sniff the magic bytes,
+    * route each blob to the right decoder". */
   def withMixedContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 7 === 0,
+    val payload = when(col("doc_id") % 8 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 7 === 1,
+      .when(col("doc_id") % 8 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 7 === 2,
+      .when(col("doc_id") % 8 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 7 === 4,
+      .when(col("doc_id") % 8 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(3), col("doc_id").cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 7 === 5,
+      .when(col("doc_id") % 8 === 5,
         encode_avi((ln % 24 + 8).cast("int"), (ln % 19 + 8).cast("int"),
           (ln % 4 + 2).cast("int"), lit(25),
           col("doc_id").cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 7 === 6,
+      .when(col("doc_id") % 8 === 6,
         encode_gif((ln % 60 + 1).cast("int"), (ln % 40 + 1).cast("int"),
           (ln % 3 + 2).cast("int"), col("doc_id").cast(LongType)))
+      .when(col("doc_id") % 8 === 7,
+        encode_flac(lit(8000), lit(1), ln.cast("int"),
+          col("doc_id").cast(LongType)))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -623,8 +626,8 @@ object Multimodal {
     * not abort, is the 100-TB contract. */
   /** Payload kind from magic bytes alone (the sniffer never sees
     * doc_id): PNG signature, BM, RIFF....WAVE, RIFF....AVI(space),
-    * gzip 1f 8b, JPEG ff d8 ff — the two RIFF forms disambiguate on
-    * the form-type fourcc, like a real sniffer. */
+    * gzip 1f 8b, JPEG ff d8 ff, GIF8, fLaC — the two RIFF forms
+    * disambiguate on the form-type fourcc, like a real sniffer. */
   def sniffKind(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(hex(substring(p, 1, 4)) === "89504E47", "image/png")
       .when(hex(substring(p, 1, 2)) === "424D", "image/bmp")
@@ -635,6 +638,7 @@ object Multimodal {
       .when(hex(substring(p, 1, 2)) === "1F8B", "text/gzip")
       .when(hex(substring(p, 1, 3)) === "FFD8FF", "image/jpeg")
       .when(hex(substring(p, 1, 4)) === "47494638", "image/gif")
+      .when(hex(substring(p, 1, 4)) === "664C6143", "audio/flac")
       .otherwise("unknown")
 
   def sniffDispatch(containers: DataFrame): DataFrame = {
@@ -663,7 +667,9 @@ object Multimodal {
               parse_avi_header(col("p")).getField("height") *
               parse_avi_header(col("p")).getField("n_frames"))
           .when(col("kind") === "image/gif",
-            parse_gif_header(col("p")).getField("n_px")),
+            parse_gif_header(col("p")).getField("n_px"))
+          .when(col("kind") === "audio/flac",
+            parse_flac_header(col("p")).getField("n_samples")),
         lit(-1L)).as("stat"))
   }
 
@@ -673,24 +679,26 @@ object Multimodal {
     * planted-pair property, mixed-corpus flavor. */
   def withMixedContentContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 7 === 0,
+    val payload = when(col("doc_id") % 8 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 7 === 1,
+      .when(col("doc_id") % 8 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           ln.cast(LongType)))
-      .when(col("doc_id") % 7 === 2,
+      .when(col("doc_id") % 8 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"), ln.cast(LongType)))
-      .when(col("doc_id") % 7 === 4,
+      .when(col("doc_id") % 8 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(3), ln.cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 7 === 5,
+      .when(col("doc_id") % 8 === 5,
         encode_avi((ln % 24 + 8).cast("int"), (ln % 19 + 8).cast("int"),
           (ln % 4 + 2).cast("int"), lit(25), ln.cast(LongType),
           lit(0).cast("int")))
-      .when(col("doc_id") % 7 === 6,
+      .when(col("doc_id") % 8 === 6,
         encode_gif((ln % 60 + 1).cast("int"), (ln % 40 + 1).cast("int"),
           (ln % 3 + 2).cast("int"), ln.cast(LongType)))
+      .when(col("doc_id") % 8 === 7,
+        encode_flac(lit(8000), lit(1), ln.cast("int"), ln.cast(LongType)))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -750,6 +758,14 @@ object Multimodal {
               concat_ws(":", x.getField("sum_r").cast("string"),
                 x.getField("sum_g").cast("string"),
                 x.getField("sum_b").cast("string"))), ",")))
+        })
+        .when(col("kind") === "audio/flac", {
+          // decoded-content key over the RECONSTRUCTED samples — the
+          // compression layer (Rice/predictors) must be transparent to
+          // it, and the decoder's internal MD5 already proved lossless
+          val fs = parse_flac_pcm(col("p"))
+          md5(concat_ws("|", fs.getField("n_samples"),
+            fs.getField("sum_sq"), fs.getField("peak")))
         }))
       .select(col("doc_id"), col("kind"), col("key"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1255,12 +1271,13 @@ object Multimodal {
     * output all hash-fail. Video's stat = total pixels w·h·frames. */
   private val SniffOracleSql: String =
     """SELECT doc_id,
-      |  CASE CAST(doc_id % 7 AS INT)
+      |  CASE CAST(doc_id % 8 AS INT)
       |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
       |    WHEN 2 THEN 'audio/wav' WHEN 4 THEN 'image/jpeg'
       |    WHEN 5 THEN 'video/avi' WHEN 6 THEN 'image/gif'
+      |    WHEN 7 THEN 'audio/flac'
       |    ELSE 'text/gzip' END AS kind,
-      |  CAST(CASE CAST(doc_id % 7 AS INT)
+      |  CAST(CASE CAST(doc_id % 8 AS INT)
       |    WHEN 0 THEN (length(text) % 80 + 1) * (length(text) % 60 + 1)
       |    WHEN 1 THEN (length(text) % 64 + 1) * (length(text) % 48 + 1)
       |    WHEN 2 THEN length(text)
@@ -1268,6 +1285,7 @@ object Multimodal {
       |    WHEN 5 THEN (length(text) % 24 + 8) * (length(text) % 19 + 8)
       |      * (length(text) % 4 + 2)
       |    WHEN 6 THEN (length(text) % 60 + 1) * (length(text) % 40 + 1)
+      |    WHEN 7 THEN length(text)
       |    ELSE length(text) END AS BIGINT) AS stat
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -1279,12 +1297,13 @@ object Multimodal {
         .orderBy(col("doc_id")))
 
   /** The oracle re-derives every kind's duplicate key from (doc_id mod
-    * 7, text) by the generator formulas — the PNG aHash, BMP per-channel
+    * 8, text) by the generator formulas — the PNG aHash, BMP per-channel
     * sum/peak digest, WAV energy-fingerprint, JPEG decoded-RGB digest,
-    * AVI per-frame-sum, and GIF decoded-stat digest constructions above, restricted to
+    * AVI per-frame-sum, GIF decoded-stat digest, and FLAC
+    * reconstructed-sample digest constructions above, restricted to
     * each kind's docs — and elects survivors with the same (kind, key)
     * min-id window. The Spark side must reproduce keeper elections
-    * through sniff + seven REAL decoders, so a mis-route, a decode bug,
+    * through sniff + eight REAL decoders, so a mis-route, a decode bug,
     * or a digest field-order slip all hash-fail. */
   private val MixedDedupOracleSql: String = {
     val raw = "((2*k*7 + L) % 251) + 256*(((2*k+1)*7 + L) % 251)"
@@ -1330,7 +1349,7 @@ object Multimodal {
        |        SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) % 80 + 1 AS BIGINT) AS w,
        |          CAST(length(text) % 60 + 1 AS BIGINT) AS h
-       |        FROM documents WHERE doc_id % 7 = 0)))),
+       |        FROM documents WHERE doc_id % 8 = 0)))),
        |bstat AS (
        |  SELECT doc_id, w, h,
        |    ${bmpChan("(L + 7*x + 13*y) % 251")} AS bs,
@@ -1339,7 +1358,7 @@ object Multimodal {
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |      CAST(length(text) % 64 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 48 + 1 AS BIGINT) AS h
-       |    FROM documents WHERE doc_id % 7 = 1)),
+       |    FROM documents WHERE doc_id % 8 = 1)),
        |jkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
@@ -1352,7 +1371,7 @@ object Multimodal {
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |      CAST(length(text) % 80 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 60 + 1 AS BIGINT) AS h
-       |    FROM documents WHERE doc_id % 7 = 4)),
+       |    FROM documents WHERE doc_id % 8 = 4)),
        |vkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|25|' ||
@@ -1364,7 +1383,7 @@ object Multimodal {
        |      CAST(length(text) % 24 + 8 AS BIGINT) AS w,
        |      CAST(length(text) % 19 + 8 AS BIGINT) AS h,
        |      CAST(length(text) % 4 + 2 AS BIGINT) AS nf
-       |    FROM documents WHERE doc_id % 7 = 5)),
+       |    FROM documents WHERE doc_id % 8 = 5)),
        |gkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' ||
@@ -1379,7 +1398,7 @@ object Multimodal {
        |      CAST(length(text) % 60 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 40 + 1 AS BIGINT) AS h,
        |      CAST(1 << CAST(length(text) % 3 + 2 AS INT) AS BIGINT) AS P
-       |    FROM documents WHERE doc_id % 7 = 6)),
+       |    FROM documents WHERE doc_id % 8 = 6)),
        |bkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
@@ -1398,7 +1417,7 @@ object Multimodal {
        |           ELSE CAST($raw AS BIGINT) * ($raw) END) AS ss
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) AS BIGINT) AS n
-       |        FROM documents WHERE doc_id % 7 = 2)),
+       |        FROM documents WHERE doc_id % 8 = 2)),
        |es AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(0, 62), w ->
@@ -1410,6 +1429,23 @@ object Multimodal {
        |      w -> CASE WHEN e[w + 1] > list_sum(e) // 63
        |           THEN (CAST(1 AS BIGINT) << w) ELSE 0 END)), 0) AS BIGINT) AS afp
        |  FROM es),
+       |fsv AS (
+       |  SELECT doc_id, n,
+       |    list_transform(generate_series(0, n - 1), k ->
+       |      CASE WHEN $raw >= 32768
+       |           THEN CAST(($raw - 65536) AS BIGINT)
+       |           ELSE CAST($raw AS BIGINT) END) AS sv
+       |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+       |          CAST(length(text) AS BIGINT) AS n
+       |        FROM documents WHERE doc_id % 8 = 7)),
+       |fkey AS (
+       |  SELECT doc_id, md5(
+       |    CAST(n AS VARCHAR) || '|' ||
+       |    CAST(CAST(COALESCE(list_sum(list_transform(sv, x -> x*x)), 0)
+       |      AS BIGINT) AS VARCHAR) || '|' ||
+       |    CAST(CAST(COALESCE(list_max(list_transform(sv, x -> abs(x))), 0)
+       |      AS BIGINT) AS VARCHAR)) AS key
+       |  FROM fsv),
        |keys AS (
        |  SELECT doc_id, 'image/png' AS kind, CAST(ahash AS VARCHAR) AS key FROM pimg
        |  UNION ALL
@@ -1417,13 +1453,15 @@ object Multimodal {
        |  UNION ALL
        |  SELECT doc_id, 'audio/wav', CAST(afp AS VARCHAR) FROM paud
        |  UNION ALL
-       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 7 = 3
+       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 8 = 3
        |  UNION ALL
        |  SELECT doc_id, 'image/jpeg', key FROM jkey
        |  UNION ALL
        |  SELECT doc_id, 'video/avi', key FROM vkey
        |  UNION ALL
-       |  SELECT doc_id, 'image/gif', key FROM gkey)
+       |  SELECT doc_id, 'image/gif', key FROM gkey
+       |  UNION ALL
+       |  SELECT doc_id, 'audio/flac', key FROM fkey)
        |SELECT doc_id, kind,
        |  min(doc_id) OVER (PARTITION BY kind, key) AS keeper_id,
        |  doc_id > min(doc_id) OVER (PARTITION BY kind, key) AS is_dup
