@@ -152,7 +152,10 @@ object ScaleTrend {
     "t_lang_id_model", "st_lang_id_gate",
     // round 11: FLAC encode+full-decode round trip — narrow per-row
     // kernels riding total sample count
-    "m_flac_decode", "m_flac_loudness")
+    "m_flac_decode", "m_flac_loudness",
+    // round 11: preference-pair validation — construct + from_json +
+    // derived verdicts, one narrow pass
+    "t_pref_pairs_validate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

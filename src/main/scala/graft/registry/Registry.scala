@@ -79,6 +79,7 @@ object Registry {
       graft.pipeline.Warc.all ++
       graft.pipeline.WebDataset.all ++
       graft.pipeline.Chat.all ++
+      graft.pipeline.Pref.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 

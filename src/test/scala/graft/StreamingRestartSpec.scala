@@ -195,6 +195,68 @@ class StreamingRestartSpec extends SparkSpec {
       s"session spanning the restart must emit once with n=3: ${run2.rows}")
   }
 
+  test("transformWithState (RocksDB) session + TIMER state restore across kill/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    // the state API v2 REQUIRES the RocksDB provider — which is also
+    // what a production deployment restores from; this pins that the
+    // typed ValueState AND the registered event-time timer both
+    // survive the restart
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = ckptDir()
+      val input = MemoryStream[graft.streaming.Streams.Ev]
+      def start(sink: BufSink) =
+        graft.streaming.Streams.sessionizeTws(input.toDS())
+          .toDF()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((b: DataFrame, id: Long) => sink(b, id))
+          .start()
+
+      // user 5's session is open (2 events) when the query dies
+      val run1 = new BufSink
+      val q1 = start(run1)
+      try {
+        input.addData(Seq(
+          graft.streaming.Streams.Ev(5L, ts("2024-01-01 10:00:00")),
+          graft.streaming.Streams.Ev(5L, ts("2024-01-01 10:10:00"))))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(run1.rows.isEmpty, "open session must not emit before the kill")
+
+      // restart: extend the restored session, then advance the
+      // watermark past its (restored, re-armed) timer — emits once,
+      // complete, through the state API v2
+      val run2 = new BufSink
+      val q2 = start(run2)
+      try {
+        input.addData(Seq(
+          graft.streaming.Streams.Ev(5L, ts("2024-01-01 10:35:00"))))
+        q2.processAllAvailable()
+        input.addData(Seq(
+          graft.streaming.Streams.Ev(-1L, ts("2024-01-01 20:00:00"))))
+        q2.processAllAvailable()
+        input.addData(Seq(
+          graft.streaming.Streams.Ev(-1L, ts("2024-01-02 20:00:00"))))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val sessions5 = run2.rows.filter(_.head == 5L)
+      assert(sessions5.map(r => r(3)) === Seq(3L),
+        s"tws session spanning the restart must emit once with n=3: ${run2.rows}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark key state restores: post-restart duplicate suppressed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
