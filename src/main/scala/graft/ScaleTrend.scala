@@ -155,7 +155,10 @@ object ScaleTrend {
     "m_flac_decode", "m_flac_loudness",
     // round 11: preference-pair validation — construct + from_json +
     // derived verdicts, one narrow pass
-    "t_pref_pairs_validate")
+    "t_pref_pairs_validate",
+    // round 11: incremental exact-span probe — standing gram index +
+    // O(batch) semi-join probe + doc-partitioned islands
+    "d_dup_span_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

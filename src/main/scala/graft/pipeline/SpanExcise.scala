@@ -218,6 +218,98 @@ object SpanExcise {
     Some(ExactOracleSql),
     (s, d) => dupSpanExactOf(Tables.documents(s, d)))
 
+  /** INCREMENTAL exact-span probe — what a standing pipeline actually
+    * re-runs per ingest batch: the STANDING corpus's distinct-gram
+    * index is the stored artifact (one gram-keyed distinct, built once
+    * and maintained additively — at 100 TB it lives bucketed by gram);
+    * the batch pays an O(batch) explode, ONE semi-join against the
+    * index for cross-corpus duplication plus one batch-local gram agg
+    * for intra-batch duplication, and the same doc-partitioned
+    * gaps-and-islands pass recovers maximal extents. The standing
+    * corpus is never re-scanned per batch beyond the index build this
+    * query times (d_dedup_incremental's exact discipline, applied to
+    * sub-document spans). Every batch doc is reported. */
+  def dupSpanIncrementalOf(standing: DataFrame, batch: DataFrame): DataFrame = {
+    import graft.functions.SketchFunctions.word_ngrams
+    import org.apache.spark.sql.expressions.Window
+    val idx = standing
+      .select(explode(word_ngrams(col("text"), 8)).as("gram")).distinct()
+    val bp = batch.select(col("doc_id"),
+      posexplode(word_ngrams(col("text"), 8)).as(Seq("pos", "gram")))
+    // intra-batch duplicated grams (>= 2 distinct batch docs)
+    val intra = bp.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gram"))
+    val dupG = idx.union(intra).distinct()
+    val dp = bp.join(dupG, "gram").select(col("doc_id"), col("pos"))
+    val isl = dp.withColumn("grp",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val spans = isl.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("m"))
+    val per = spans.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_spans"),
+      (max(col("m")) + 7).cast(LongType).as("max_span_tokens"))
+    batch.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        col("n_spans").isNotNull.as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val IncrementalOracleSql: String = {
+    val gramExpr = (1 to 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(len(toks) - 7), i -> $gramExpr) AS grams
+       |  FROM t WHERE len(toks) >= 8),
+       |sidx AS (
+       |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 10 <> 7),
+       |bp AS (
+       |  SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(grams)),
+       |      i -> {'pos': i, 'gram': grams[i+1]})) AS u
+       |    FROM g WHERE doc_id % 10 = 7)),
+       |intra AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(DISTINCT doc_id) AS nd FROM bp GROUP BY gram)
+       |  WHERE nd >= 2),
+       |dup AS (SELECT gram FROM sidx UNION SELECT gram FROM intra),
+       |dp AS (SELECT doc_id, pos FROM bp JOIN dup USING (gram)),
+       |isl AS (
+       |  SELECT doc_id,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dp),
+       |sp AS (SELECT doc_id, count(*) AS m FROM isl GROUP BY doc_id, grp),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(max(m) + 7 AS BIGINT) AS max_span_tokens
+       |  FROM sp GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(per.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  coalesce(per.max_span_tokens, CAST(0 AS BIGINT)) AS max_span_tokens,
+       |  per.doc_id IS NOT NULL AS flagged
+       |FROM documents d
+       |LEFT JOIN per ON d.doc_id = per.doc_id
+       |WHERE d.doc_id % 10 = 7
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val incrementalSpanQ: Q = Q(
+    "d_dup_span_incremental",
+    Some(IncrementalOracleSql),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      dupSpanIncrementalOf(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7))
+    })
+
   // ---- winnowed (minimizer) span fingerprinting ------------------------
 
   /** Winnowed duplicate-span detection (Schleimer/Wilkerson/Aiken 2003,
@@ -335,5 +427,5 @@ object SpanExcise {
     Some(WinnowOracleSql),
     (s, d) => dupSpanWinnowOf(Tables.documents(s, d)))
 
-  val all: Seq[Q] = Seq(exciseQ, winnowQ, exactSpanQ)
+  val all: Seq[Q] = Seq(exciseQ, winnowQ, exactSpanQ, incrementalSpanQ)
 }

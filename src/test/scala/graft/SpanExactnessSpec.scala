@@ -85,6 +85,32 @@ class SpanExactnessSpec extends SparkSpec {
     assert(out(1L) === ((0L, 0L, false)))
   }
 
+  test("incremental probe: cross-corpus and intra-batch spans detected, exact extents, batch-only report") {
+    val sStand = (0 until 12).map(i => s"std$i")   // lives in standing + batch doc 100
+    val sBatch = (0 until 9).map(i => s"bat$i")    // shared by batch docs 101/102
+    val standing = Seq(
+      doc(1, sStand, 4, 6),
+      doc(2, Nil, 14, 0),
+      // a run duplicated ONLY within standing must not leak into the
+      // batch report (no batch doc carries it)
+      doc(3, (0 until 10).map(i => s"soq$i"), 3, 3),
+      doc(4, (0 until 10).map(i => s"soq$i"), 7, 1))
+    val batch = Seq(
+      doc(100, sStand, 2, 7),   // duplicated against the STANDING index
+      doc(101, sBatch, 5, 4),   // duplicated intra-batch
+      doc(102, sBatch, 1, 9),
+      doc(103, Nil, 15, 0))     // clean
+    val out = SpanExcise.dupSpanIncrementalOf(corpus(standing), corpus(batch))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out.keySet === Set(100L, 101L, 102L, 103L), "batch docs only")
+    assert(out(100L) === ((1L, 12L, true)), "cross-corpus span, exact extent")
+    assert(out(101L) === ((1L, 9L, true)), "intra-batch span")
+    assert(out(102L) === ((1L, 9L, true)))
+    assert(out(103L) === ((0L, 0L, false)), "clean doc untouched")
+  }
+
   // ---- winnowing guarantee at the boundary ------------------------------
 
   private def winnowFlagged(rows: Seq[(Long, String)]): Map[Long, Boolean] =
