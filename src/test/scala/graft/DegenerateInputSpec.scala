@@ -337,4 +337,61 @@ class DegenerateInputSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) < 5L), "codes bounded by available seeds")
     assert(cents.count() <= 5L * graft.pipeline.PqIndex.M)
   }
+
+  // ---- round-11 lanes ----------------------------------------------------
+
+  test("lang-id model on an empty corpus: train + score are empty, never crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(graft.pipeline.LangIdModel.scoreOf(empty).count() === 0)
+  }
+
+  test("preference pairs: empty corpus is empty; an empty-text doc flags derived defects, never crashes") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.pipeline.Pref.validate(
+      graft.pipeline.Pref.withPrefPairs(empty)).count() === 0)
+    // '' tokenizes to one empty token: chosen = rejected = '' — both
+    // the empty and the degenerate flags fire BY DERIVATION
+    val one = Seq((2L, "")).toDF("doc_id", "text")
+    val r = graft.pipeline.Pref.validate(
+      graft.pipeline.Pref.withPrefPairs(one)).collect().head
+    assert(r.getBoolean(4) && r.getBoolean(5) && !r.getBoolean(7))
+  }
+
+  test("exact span detection: empty corpus empty; sub-8-token docs report zeros") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.pipeline.SpanExcise.dupSpanExactOf(empty).count() === 0)
+    val short = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = graft.pipeline.SpanExcise.dupSpanExactOf(short).collect()
+    assert(out.length === 2)
+    assert(out.forall(r => r.getLong(1) == 0L && !r.getBoolean(3)),
+      "identical 3-token docs carry no 8-gram to detect")
+  }
+
+  test("incremental span probe: cold start (empty standing) keeps intra-batch detection; empty batch is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val run = (0 until 10).map(i => s"sh$i").mkString(" ")
+    val batch = Seq((1L, s"d1a d1b $run d1c"), (2L, s"d2a $run d2b d2c"))
+      .toDF("doc_id", "text")
+    val cold = graft.pipeline.SpanExcise.dupSpanIncrementalOf(empty, batch)
+      .collect()
+    assert(cold.forall(_.getBoolean(3)), "intra-batch pair must flag on a cold start")
+    assert(cold.forall(_.getLong(2) === 10L), "exact 10-token extent")
+    assert(graft.pipeline.SpanExcise.dupSpanIncrementalOf(batch, empty)
+      .count() === 0)
+  }
+
+  test("FLAC lane of an empty corpus is empty; an empty-text doc decodes as a valid 0-sample stream") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.pipeline.Flac.loudness(
+      graft.pipeline.Flac.withFlacAudio(empty)).count() === 0)
+    val one = Seq((6L, "")).toDF("doc_id", "text")
+    val r = graft.pipeline.Flac.loudness(
+      graft.pipeline.Flac.withFlacAudio(one)).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((0L, 0L, 0L)))
+  }
 }
