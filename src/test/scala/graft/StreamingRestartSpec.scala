@@ -257,6 +257,44 @@ class StreamingRestartSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join state restores: a pre-kill signup matches a post-restart event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val ckpt = ckptDir()
+    val input = MemoryStream[(Long, Long, String, Timestamp)]
+    def start(sink: BufSink) =
+      graft.streaming.Streams.intervalJoinPairs(
+        input.toDF().toDF("event_id", "user_id", "event_type", "ts"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: DataFrame, id: Long) => sink(b, id))
+        .start()
+
+    // signup 1 arrives UNMATCHED and is buffered in join state when
+    // the query dies
+    val run1 = new BufSink
+    val q1 = start(run1)
+    try {
+      input.addData(Seq((1L, 9L, "signup", ts("2024-01-01 10:00:00"))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(run1.rows.isEmpty, "no match exists before the kill")
+
+    // restart: the matching same-user event arrives INSIDE signup 1's
+    // hour — the pair can only emit if the buffered signup was
+    // RESTORED from the checkpointed join state
+    val run2 = new BufSink
+    val q2 = start(run2)
+    try {
+      input.addData(Seq((2L, 9L, "view", ts("2024-01-01 10:20:00"))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(run2.rows.map(r => (r.head, r(1))) === Seq((1L, 2L)),
+      s"restored join state must produce the cross-restart pair: ${run2.rows}")
+  }
+
   test("dropDuplicatesWithinWatermark key state restores: post-restart duplicate suppressed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
