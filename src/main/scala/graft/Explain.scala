@@ -148,7 +148,8 @@ object Explain {
       "st_lang_id_gate" -> "split-trained lang-id gate (streaming twin's batch form): standing-corpus train, broadcast-scored ingest batch",
       "m_flac_loudness" -> "FLAC encode + full decode (Rice/fixed/stereo-decorrelation + CRC/MD5 verify) round trip, pure narrow map — scan, map, sort only",
       "t_pref_pairs_validate" -> "DPO preference-pair validation: construct -> from_json -> DERIVED verdicts (degenerate/empty/extends), one narrow pass",
-      "d_dup_span_incremental" -> "incremental exact-span probe: standing gram index + O(batch) semi-join + intra-batch agg + doc-partitioned islands")
+      "d_dup_span_incremental" -> "incremental exact-span probe: standing gram index + O(batch) semi-join + intra-batch agg + doc-partitioned islands",
+      "t_encoding_check" -> "byte-level strict-UTF-8 gate (maximal-subpart error accounting), one narrow codegen'd pass")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -158,7 +158,9 @@ object ScaleTrend {
     "t_pref_pairs_validate",
     // round 11: incremental exact-span probe — standing gram index +
     // O(batch) semi-join probe + doc-partitioned islands
-    "d_dup_span_incremental")
+    "d_dup_span_incremental",
+    // round 11: byte-level UTF-8 gate — one narrow pass
+    "t_encoding_check")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

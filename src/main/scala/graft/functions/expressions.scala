@@ -367,6 +367,33 @@ case class ParseFlacPcm(child: Expression)
     copy(child = newChild)
 }
 
+/** Strict UTF-8 validation stats over raw bytes
+  * (EncodingUtil.utf8StatsRaw — maximal-subpart error accounting):
+  * struct(n_bytes, n_chars, n_invalid, first_bad). Total: every byte
+  * string has a verdict (first_bad = -1 when clean); null only on
+  * null input. */
+case class Utf8Stats(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = Utf8Stats.schema
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    EncodingUtil.utf8Stats(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.EncodingUtil.utf8Stats($c);
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Utf8Stats =
+    copy(child = newChild)
+}
+
+object Utf8Stats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_invalid", LongType, nullable = false),
+    StructField("first_bad", LongType, nullable = false)))
+}
+
 /** Synthesize a structurally complete PNG (PngCodec.encode) from
   * (width, height, colorType, seed) — the big-endian "media producer"
   * of the codec family. NULL for invalid geometry/color type. */
@@ -1200,6 +1227,9 @@ object GraftFunctions {
   def parse_flac_pcm(bytes: Column): Column =
     GraftColumnBridge.column(ParseFlacPcm(GraftColumnBridge.expression(bytes)))
 
+  def utf8_stats(bytes: Column): Column =
+    GraftColumnBridge.column(Utf8Stats(GraftColumnBridge.expression(bytes)))
+
   def encode_png(width: Column, height: Column, colorType: Column,
       seed: Column): Column =
     GraftColumnBridge.column(EncodePng(
@@ -1356,6 +1386,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("encode_flac", es => EncodeFlac(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_flac_header", es => ParseFlacHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("parse_flac_pcm", es => ParseFlacPcm(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("utf8_stats", es => Utf8Stats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_png", es => EncodePng(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_png_header", es => ParsePngHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("png_pixel_stats", es => PngPixelStats(es.head), "scala_udf")

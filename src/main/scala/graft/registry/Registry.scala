@@ -80,6 +80,7 @@ object Registry {
       graft.pipeline.WebDataset.all ++
       graft.pipeline.Chat.all ++
       graft.pipeline.Pref.all ++
+      graft.pipeline.Encoding.all ++
       graft.pipeline.Splits.all ++
       graft.streaming.StreamingQueries.all
 
