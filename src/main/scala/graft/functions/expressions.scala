@@ -303,12 +303,20 @@ object ParseWavPcm {
   * framed, PCM-MD5 sealed. NULL for out-of-contract parameters. */
 case class EncodeFlac(first: Expression, second: Expression,
     third: Expression, fourth: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
+  // declared input types → the analyzer inserts casts, so a SQL call
+  // like encode_flac(8000, 1, 100, 42) with an INT seed literal coerces
+  // to LONG instead of ClassCastException-ing the interpreted path
+  // (ADVICE r11 #1 — the same gap EncodeAvi closed in r11)
+  override def inputTypes: Seq[DataType] =
+    Seq(IntegerType, IntegerType, IntegerType, LongType)
   override def nullSafeEval(sr: Any, ch: Any, n: Any, s: Any): Any =
     FlacCodec.encode(sr.asInstanceOf[Int], ch.asInstanceOf[Int],
-      n.asInstanceOf[Int], s.asInstanceOf[Long])
+      // defensive numeric widen: survives a directly-constructed plan
+      // that bypassed the analyzer's implicit casts
+      n.asInstanceOf[Int], s.asInstanceOf[Number].longValue())
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (sr, ch, n, s) => s"""
        |${ev.value} = graft.functions.FlacCodec.encode($sr, $ch, $n, $s);

@@ -197,15 +197,51 @@ object SketchUtil {
     * Null below n chars, like [[ngramsArray]]. */
   def charNgramsArray(text: UTF8String, n: Int): GenericArrayData = {
     val s = text.toString
-    if (s.length < n) return null
-    val count = s.length - n + 1
-    val out = new Array[AnyRef](count)
-    var i = 0
-    while (i < count) {
-      out(i) = UTF8String.fromString(s.substring(i, i + n))
-      i += 1
+    // Slide by CODE POINT, not UTF-16 unit (ADVICE r11 #2): the lang-id
+    // DuckDB oracle's length/substr count code points, so UTF-16
+    // slicing would diverge on any non-BMP character AND split
+    // surrogate pairs mid-character. On the (spec-pinned, ASCII)
+    // shipped corpus the two walks are identical; the fast path below
+    // keeps the hot loop free of the offset array.
+    val len16 = s.length
+    var hasSurrogate = false
+    var j = 0
+    while (j < len16 && !hasSurrogate) {
+      if (Character.isHighSurrogate(s.charAt(j))) hasSurrogate = true
+      j += 1
     }
-    new GenericArrayData(out)
+    if (!hasSurrogate) {
+      if (len16 < n) return null
+      val count = len16 - n + 1
+      val out = new Array[AnyRef](count)
+      var i = 0
+      while (i < count) {
+        out(i) = UTF8String.fromString(s.substring(i, i + n))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      // code-point start offsets (UTF-16 indices); window i spans
+      // offsets(i) until offsets(i+n) exclusive
+      val offs = new Array[Int](len16 + 1)
+      var cp = 0
+      var k = 0
+      while (k < len16) {
+        offs(cp) = k
+        k += Character.charCount(s.codePointAt(k))
+        cp += 1
+      }
+      offs(cp) = len16
+      if (cp < n) return null
+      val count = cp - n + 1
+      val out = new Array[AnyRef](count)
+      var i = 0
+      while (i < count) {
+        out(i) = UTF8String.fromString(s.substring(offs(i), offs(i + n)))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
   }
 
   /** Winnowed minimizer grams (Schleimer et al. 2003) in ONE per-row

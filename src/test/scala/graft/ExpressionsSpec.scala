@@ -67,6 +67,38 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaExpr === viaBatch)
   }
 
+  test("encode_flac / encode_avi coerce INT literals on the INTERPRETED path") {
+    // ADVICE r11 #1: a SQL call with an INT seed literal must degrade
+    // through the analyzer's implicit cast, not ClassCastException in
+    // the interpreted eval (codegen survives via Java int→long
+    // widening, so the gap is ONLY visible with codegen off).
+    GraftFunctions.register(spark)
+    val keys = Seq("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // INT 4th arg (seed) — EncodeFlac declares LongType there
+      val flac = spark.sql(
+        "SELECT encode_flac(8000, 1, 100, 42) AS b").head.getAs[Array[Byte]](0)
+      assert(flac != null && new String(flac.take(4), "US-ASCII") === "fLaC")
+      // INT 5th (seed) and 7th (seedStride) args — EncodeAvi declares LONG
+      val avi = spark.sql(
+        "SELECT encode_avi(16, 16, 2, 25, 7, 0, 1) AS b").head.getAs[Array[Byte]](0)
+      assert(avi != null && new String(avi.take(4), "US-ASCII") === "RIFF")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // the defensive widen also survives a DIRECTLY-constructed plan that
+    // never saw the analyzer (no implicit casts inserted)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val raw = graft.functions.EncodeFlac(
+      Literal(8000), Literal(1), Literal(100), Literal(42)) // Int seed
+      .eval(null).asInstanceOf[Array[Byte]]
+    assert(raw != null && new String(raw.take(4), "US-ASCII") === "fLaC")
+  }
+
   test("multimodal pipeline: assets carry metadata, features are 16-wide") {
     val feats = Multimodal.decodeFeatures(
       Multimodal.withAssets(Tables.documents(spark, sf())))
