@@ -107,6 +107,23 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** The same capture triplet as `.warc.zst`: each record compressed
+    * as its OWN zstd frame, frames concatenated — Common Crawl's
+    * current distribution layout (record-granular seeks, like the
+    * one-gzip-member-per-record convention; ZstdCodec.decompress
+    * decodes concatenated frames back to the plain file). */
+  def encodeZst(docId: Long, uri: String, html: String): Array[Byte] = {
+    if (uri == null || html == null) return null
+    val rs = tripletRecords(docId, uri, html)
+    val out = new java.io.ByteArrayOutputStream(256)
+    rs.foreach { r =>
+      val z = ZstdCodec.compress(r)
+      if (z == null) return null
+      out.write(z)
+    }
+    out.toByteArray
+  }
+
   /** One parsed record. `httpStatus` is the embedded HTTP status for
     * msgtype=response blocks, -1 otherwise; `body` is the HTTP payload
     * (after the HTTP header terminator) for response records, ""

@@ -798,6 +798,59 @@ case class EncodeWarcGz(first: Expression, second: Expression,
       t: Expression): EncodeWarcGz = copy(first = f, second = s, third = t)
 }
 
+/** The `.warc.zst` form (WarcCodec.encodeZst): one RFC 8878 zstd frame
+  * per record, concatenated — Common Crawl's current layout. */
+case class EncodeWarcZst(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(d: Any, u: Any, h: Any): Any =
+    WarcCodec.encodeZst(d.asInstanceOf[Long], u.toString, h.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, u, h) => s"""
+       |${ev.value} = graft.functions.WarcCodec.encodeZst($d, $u.toString(), $h.toString());
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): EncodeWarcZst = copy(first = f, second = s, third = t)
+}
+
+/** Binary zstd compress (ZstdCodec.compress): one RFC 8878 frame —
+  * real LZ77 + Huffman literals + predefined-FSE sequences; the
+  * reference CLI decodes the output (interop-pinned). */
+case class ZstdBytes(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ZstdCodec.compress(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.ZstdCodec.compress($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ZstdBytes =
+    copy(child = newChild)
+}
+
+/** Binary zstd decompress (ZstdCodec.decompress — strict RFC 8878,
+  * XXH64-checksum-verified, bomb-capped, multi-frame + skippable
+  * frames): bytes in, bytes out; NULL on any contract violation. */
+case class UnzstdBytes(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ZstdCodec.decompress(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.ZstdCodec.decompress($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): UnzstdBytes =
+    copy(child = newChild)
+}
+
 /** Binary gzip (GzipCodec.gzip): bytes in, one RFC 1952 member out —
   * the BINARY sibling of GzipText for non-text payloads (tar shards,
   * WARC records). */
@@ -1319,6 +1372,18 @@ object GraftFunctions {
   def gunzip_bytes(bytes: Column): Column =
     GraftColumnBridge.column(GunzipBytes(GraftColumnBridge.expression(bytes)))
 
+  def encode_warc_zst(docId: Column, uri: Column, html: Column): Column =
+    GraftColumnBridge.column(EncodeWarcZst(
+      GraftColumnBridge.expression(docId),
+      GraftColumnBridge.expression(uri),
+      GraftColumnBridge.expression(html)))
+
+  def zstd_bytes(bytes: Column): Column =
+    GraftColumnBridge.column(ZstdBytes(GraftColumnBridge.expression(bytes)))
+
+  def unzstd_bytes(bytes: Column): Column =
+    GraftColumnBridge.column(UnzstdBytes(GraftColumnBridge.expression(bytes)))
+
   def encode_gif(width: Column, height: Column, palBits: Column,
       seed: Column): Column =
     GraftColumnBridge.column(EncodeGif(
@@ -1412,6 +1477,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("encode_warc_gz", es => EncodeWarcGz(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("gzip_bytes", es => GzipBytes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gunzip_bytes", es => GunzipBytes(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_warc_zst", es => EncodeWarcZst(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("zstd_bytes", es => ZstdBytes(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("unzstd_bytes", es => UnzstdBytes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_gif", es => EncodeGif(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_gif_header", es => ParseGifHeader(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gif_pixel_stats", es => GifPixelStats(es.head), "scala_udf")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.WarcCodec
-import graft.functions.GraftFunctions.{encode_warc, encode_warc_gz, gunzip_bytes, html_extract, warc_records}
+import graft.functions.GraftFunctions.{encode_warc, encode_warc_gz, encode_warc_zst, gunzip_bytes, html_extract, unzstd_bytes, warc_records}
 import graft.registry.Q
 
 /** WARC ingestion (ISO 28500) — crawl corpora arrive as WARC capture
@@ -193,6 +193,34 @@ object Warc {
           col("r.http_status").as("http_status"))
         .orderBy(col("doc_id"), col("rec_idx")))
 
+  /** documents -> (doc_id, warczst): the `.warc.zst` form — one zstd
+    * FRAME per record, concatenated (Common Crawl's current layout;
+    * the zstd sibling of [[withWarcGz]]). */
+  def withWarcZst(docs: DataFrame): DataFrame =
+    Html.withHtml(docs)
+      .select(col("doc_id"),
+        encode_warc_zst(col("doc_id"),
+          concat(lit("http://w"), col("doc_id") % 50,
+            lit(".example/p"), col("doc_id")), col("html")).as("warczst"))
+
+  /** The zstd compressed path: strict multi-frame decode (RFC 8878
+    * FSE+Huffman, XXH64-verified, bomb-capped) back to the plain
+    * file, then the same record walk — the `.warc.zst` ingest a
+    * Common Crawl shard takes today. Same oracle as the plain parse:
+    * the whole compression layer must be transparent. */
+  val warcZstParseQ: Q = Q(
+    "t_warc_zst_parse",
+    Some(ParseOracle),
+    (s, d) =>
+      withWarcZst(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(warc_records(unzstd_bytes(col("warczst")))).as("r"))
+        .select(col("doc_id"), col("r.rec_idx").as("rec_idx"),
+          col("r.rec_type").as("rec_type"), col("r.uri").as("uri"),
+          col("r.content_length").as("content_length"),
+          col("r.http_status").as("http_status"))
+        .orderBy(col("doc_id"), col("rec_idx")))
+
   val all: Seq[Q] = Seq(warcParseQ, warcParseBatchQ, warcExtractQ,
-    warcGzParseQ)
+    warcGzParseQ, warcZstParseQ)
 }
