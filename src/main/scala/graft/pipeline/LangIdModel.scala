@@ -179,7 +179,8 @@ object LangIdModel {
   /** The identical featurization, statistics, fixed-point scores, and
     * argmax cascade in DuckDB (every step BIGINT). `trainWhere` scopes
     * the training rows; scoring covers `scoreWhere`. */
-  private def oracleSql(trainWhere: String, scoreWhere: String): String = {
+  private def oracleSql(trainWhere: String, scoreWhere: String,
+      docsFrom: String = "documents"): String = {
     val cnt = Classes.map(c =>
       s"CAST(coalesce(sum(CASE WHEN lang = '$c' THEN 1 END), 0) AS BIGINT) AS c_$c")
       .mkString(",\n    ")
@@ -205,7 +206,7 @@ object LangIdModel {
        |    CASE WHEN length(text) >= 3 THEN $gramsSql ELSE [] END AS grams,
        |    CAST(CASE WHEN length(text) >= 3
        |      THEN length(text) - 2 ELSE 0 END AS BIGINT) AS n_grams
-       |  FROM documents),
+       |  FROM $docsFrom),
        |p AS (SELECT doc_id, lang, unnest(grams) AS gram FROM f
        |  WHERE $trainWhere),
        |cnt AS (SELECT gram,
@@ -259,5 +260,38 @@ object LangIdModel {
       scoreWith(w, consts, docs.filter(col("doc_id") % 10 === 7))
     })
 
-  val all: Seq[Q] = Seq(modelQ, gateQ)
+  // ---- marker corpus (VERDICT r11 #6) --------------------------------------
+  // The shipped corpus's lang labels are text-independent, so modelQ
+  // honestly collapses to priors. This lane DERIVES a corpus where the
+  // labels ARE text-dependent — each doc's text gains k = 5 + doc_id%3
+  // repeats of a class marker token (' qqe'/' qqd'/' qqs'/' qqf'/
+  // ' qqz') by arithmetic BOTH engines replay (the Encoding lane's
+  // plant-by-derivation pattern, never by attribution) — and registers
+  // the same train+score pass over it. Hash-green means the trained
+  // model's SEPARATING behavior (not just the prior collapse) is
+  // oracle-pinned end-to-end; LangIdMarkerSpec pins that `correct` is
+  // in fact true for every row, so the green isn't vacuous.
+
+  private def markerLetterSql: String =
+    "CASE lang WHEN 'en' THEN 'e' WHEN 'de' THEN 'd' WHEN 'es' THEN 's' " +
+      "WHEN 'fr' THEN 'f' ELSE 'z' END"
+
+  /** documents with the derived class-marker suffix appended. */
+  def withMarkers(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      expr(s"concat(text, repeat(concat(' qq', $markerLetterSql), " +
+        "CAST(5 + doc_id % 3 AS INT)))").as("text"))
+
+  // one line: this fragment embeds inside oracleSql's stripMargin block
+  private val MarkedDocsSql: String =
+    s"(SELECT doc_id, lang, text || repeat(' qq' || $markerLetterSql, " +
+      "CAST(5 + doc_id % 3 AS INT)) AS text FROM documents)"
+
+  /** Self-trained scoring over the marker-injected corpus. */
+  val markersQ: Q = Q(
+    "t_lang_id_model_markers",
+    Some(oracleSql("TRUE", "TRUE", docsFrom = MarkedDocsSql)),
+    (s, d) => scoreOf(withMarkers(Tables.documents(s, d))))
+
+  val all: Seq[Q] = Seq(modelQ, gateQ, markersQ)
 }
