@@ -330,7 +330,10 @@ object Bench {
       "d_crawl_incremental", "st_crawl_ingest",
       // round 10 continuation: the three new ingest capstones — WARC
       // extraction, WebDataset routing, and the 7-modality mixed dedup
-      "t_warc_extract", "m_webdataset_route", "m_dedup_mixed")
+      "t_warc_extract", "m_webdataset_route", "m_dedup_mixed",
+      // round 12: the .warc.zst ingest capstone — the round's kernel,
+      // its round-over-round trend belongs in the stdout line
+      "t_warc_zst_parse")
     // Headline queries run 3x at their slot (VERDICT r6 #2: single-shot
     // numbers made a 3x swing on unchanged code indistinguishable from a
     // regression) — repeating IN PLACE keeps session caches warm across

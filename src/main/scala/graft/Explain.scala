@@ -149,7 +149,10 @@ object Explain {
       "m_flac_loudness" -> "FLAC encode + full decode (Rice/fixed/stereo-decorrelation + CRC/MD5 verify) round trip, pure narrow map — scan, map, sort only",
       "t_pref_pairs_validate" -> "DPO preference-pair validation: construct -> from_json -> DERIVED verdicts (degenerate/empty/extends), one narrow pass",
       "d_dup_span_incremental" -> "incremental exact-span probe: standing gram index + O(batch) semi-join + intra-batch agg + doc-partitioned islands",
-      "t_encoding_check" -> "byte-level strict-UTF-8 gate (maximal-subpart error accounting), one narrow codegen'd pass")
+      "t_encoding_check" -> "byte-level strict-UTF-8 gate (maximal-subpart error accounting), one narrow codegen'd pass",
+      // round 12
+      "t_warc_zst_parse" -> ".warc.zst ingest: per-record zstd frames (RFC 8878 FSE+Huffman, XXH64-verified) -> strict multi-frame decode -> record walk, pure narrow map",
+      "t_lang_id_model_markers" -> "marker-corpus lang-id: derived class-marker suffix, then the same ONE train shuffle + broadcast-scored re-agg — separation, not prior collapse")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

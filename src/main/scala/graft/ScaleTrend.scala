@@ -160,7 +160,14 @@ object ScaleTrend {
     // O(batch) semi-join probe + doc-partitioned islands
     "d_dup_span_incremental",
     // round 11: byte-level UTF-8 gate — one narrow pass
-    "t_encoding_check")
+    "t_encoding_check",
+    // round 12: .warc.zst ingest — per-row zstd encode + strict decode
+    // + record walk, a narrow map riding total archive bytes (the
+    // .warc.gz twin's shape with FSE/Huffman in place of DEFLATE)
+    "t_warc_zst_parse",
+    // round 12: marker-corpus lang-id — the t_lang_id_model shape over
+    // ~3% more grams (the appended marker suffix)
+    "t_lang_id_model_markers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -520,6 +520,7 @@ object FlacCodec {
   // ---- decoding --------------------------------------------------------------------
 
   private final case class StreamInfo(minBlock: Int, maxBlock: Int,
+      minFrame: Int, maxFrame: Int,
       sampleRate: Int, channels: Int, bps: Int, totalSamples: Long,
       md5: Array[Byte], framesOff: Int)
 
@@ -541,15 +542,22 @@ object FlacCodec {
         val r = new BitReader(b, off + 4)
         val minB = r.readBits(16).toInt
         val maxB = r.readBits(16).toInt
-        r.readBits(24); r.readBits(24) // min/max frame size (informational)
+        // min/max frame size: informational per RFC 9639 (0 = unknown),
+        // but when POPULATED they are the only STREAMINFO fields no
+        // CRC/MD5 covers a violation of — cross-check them against the
+        // observed frame walk (ADVICE r11 #4: 28/3000 single-bit flips
+        // landed here undetected; now any out-of-bounds claim nulls)
+        val minF = r.readBits(24).toInt
+        val maxF = r.readBits(24).toInt
         val rate = r.readBits(20).toInt
         val ch = r.readBits(3).toInt + 1
         val bps = r.readBits(5).toInt + 1
         val tot = r.readBits(36)
         val md5 = java.util.Arrays.copyOfRange(b, off + 4 + 18, off + 4 + 34)
         if (rate <= 0 || minB < 0 || maxB < minB) fail()
+        if (maxF > 0 && minF > maxF) fail()
         if (tot > (1L << 36) - 1) fail()
-        si = StreamInfo(minB, maxB, rate, ch, bps, tot, md5, 0)
+        si = StreamInfo(minB, maxB, minF, maxF, rate, ch, bps, tot, md5, 0)
         first = false
       } else if (btype == 127) fail() // invalid block type
       off += 4 + blen
@@ -798,6 +806,11 @@ object FlacCodec {
         val bodyEnd = r.pos
         if (crc16(b, frameStart, bodyEnd) != r.readBits(16).toInt) fail()
         off = r.pos
+        // frame-size + block-size cross-check vs STREAMINFO claims
+        val frameBytes = off - frameStart
+        if (si.maxFrame > 0 &&
+          (frameBytes < si.minFrame || frameBytes > si.maxFrame)) fail()
+        if (blockSize > si.maxBlock) fail()
         // decorrelate
         chAssign match {
           case 8 => // left/side: right = left - side

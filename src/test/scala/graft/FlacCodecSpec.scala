@@ -126,6 +126,22 @@ class FlacCodecSpec extends AnyFunSuite {
     }) == null)
     assert(FlacCodec.pcmStatsRaw(null) == null)
     assert(FlacCodec.pcmStatsRaw(Array[Byte](1, 2, 3)) == null)
+    // STREAMINFO min/max FRAME size: informational per RFC 9639 and
+    // outside CRC/MD5 coverage — the one field class the r11 fuzz
+    // found silently corruptible (ADVICE r11 #4). Now cross-checked
+    // against the observed frame walk: a maxFrame claim BELOW any real
+    // frame (byte 15..17, big-endian 24-bit) nulls...
+    assert(FlacCodec.pcmStatsRaw(mutated { b =>
+      b(12 + 3) = 0; b(13 + 3) = 0; b(14 + 3) = 1
+    }) == null)
+    // ...and a minFrame claim ABOVE any real frame nulls too
+    assert(FlacCodec.pcmStatsRaw(mutated { b =>
+      b(12) = 0x7F.toByte; b(13) = 0xFF.toByte; b(14) = 0xFF.toByte
+    }) == null)
+    // while the 0 = "unknown" convention stays decodable
+    assert(FlacCodec.pcmStatsRaw(mutated { b =>
+      b(12) = 0; b(13) = 0; b(14) = 0; b(15) = 0; b(16) = 0; b(17) = 0
+    }) != null)
   }
 
   test("random bit-flip fuzz: decode nulls or survives, never throws (200 trials)") {

@@ -447,4 +447,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("t_warc_zst_parse: zstd encode + strict decode + record walk is a pure narrow map") {
+    val p = plan("t_warc_zst_parse")
+    // the whole compression layer (FSE/Huffman frames, XXH64 checks)
+    // lives inside the projection — the ONLY exchange is the output
+    // sort's range partitioning, exactly like the .warc.gz twin
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.split("Exchange").length - 1 <= 1, p)
+    assert(p.contains("rangepartitioning(doc_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
