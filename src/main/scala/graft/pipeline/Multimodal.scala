@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{avi_frame_stats, bmp_pixel_stats, byte_histogram, encode_avi, encode_bmp, encode_flac, encode_gif, encode_jpeg, encode_png, encode_wav, gif_pixel_stats, gunzip_text, gzip_text, jpeg_pixel_stats, pack_frames, parse_avi_header, parse_bmp_header, parse_flac_header, parse_flac_pcm, parse_frames, parse_gif_header, parse_jpeg_header, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, wav_audio_fp}
+import graft.functions.GraftFunctions.{avi_frame_stats, bmp_pixel_stats, byte_histogram, encode_avi, encode_bmp, encode_flac, encode_gif, encode_jpeg, encode_png, encode_wav, gif_pixel_stats, gunzip_text, gzip_text, jpeg_pixel_stats, pack_frames, parse_avi_header, parse_bmp_header, parse_flac_header, parse_flac_pcm, parse_frames, parse_gif_header, parse_jpeg_header, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, unzstd_bytes, wav_audio_fp, zstd_bytes}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -581,36 +581,38 @@ object Multimodal {
   // ---- mixed-modality corpus: magic-byte sniff + decoder dispatch -------
 
   /** A HETEROGENEOUS container column — payload kind keyed on doc_id
-    * mod 8 (PNG / BMP / WAV / gzip text / JPEG / AVI / GIF / FLAC —
-    * round 11 adds the compressed-audio kind), each produced by the
+    * mod 9 (PNG / BMP / WAV / gzip text / JPEG / AVI / GIF / FLAC /
+    * zstd text — round 12 adds the modern compressed-text kind), each produced by the
     * same codec the uniform families use. Every decode query above
     * assumes one payload type per column; a real crawled corpus is
     * mixed, and the first operator over it is "sniff the magic bytes,
     * route each blob to the right decoder". */
   def withMixedContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 8 === 0,
+    val payload = when(col("doc_id") % 9 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 8 === 1,
+      .when(col("doc_id") % 9 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 8 === 2,
+      .when(col("doc_id") % 9 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 8 === 4,
+      .when(col("doc_id") % 9 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(3), col("doc_id").cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 8 === 5,
+      .when(col("doc_id") % 9 === 5,
         encode_avi((ln % 24 + 8).cast("int"), (ln % 19 + 8).cast("int"),
           (ln % 4 + 2).cast("int"), lit(25),
           col("doc_id").cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 8 === 6,
+      .when(col("doc_id") % 9 === 6,
         encode_gif((ln % 60 + 1).cast("int"), (ln % 40 + 1).cast("int"),
           (ln % 3 + 2).cast("int"), col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 8 === 7,
+      .when(col("doc_id") % 9 === 7,
         encode_flac(lit(8000), lit(1), ln.cast("int"),
           col("doc_id").cast(LongType)))
+      .when(col("doc_id") % 9 === 8,
+        zstd_bytes(encode(col("text"), "UTF-8")))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -639,6 +641,7 @@ object Multimodal {
       .when(hex(substring(p, 1, 3)) === "FFD8FF", "image/jpeg")
       .when(hex(substring(p, 1, 4)) === "47494638", "image/gif")
       .when(hex(substring(p, 1, 4)) === "664C6143", "audio/flac")
+      .when(hex(substring(p, 1, 4)) === "28B52FFD", "application/zstd")
       .otherwise("unknown")
 
   def sniffDispatch(containers: DataFrame): DataFrame = {
@@ -669,7 +672,9 @@ object Multimodal {
           .when(col("kind") === "image/gif",
             parse_gif_header(col("p")).getField("n_px"))
           .when(col("kind") === "audio/flac",
-            parse_flac_header(col("p")).getField("n_samples")),
+            parse_flac_header(col("p")).getField("n_samples"))
+          .when(col("kind") === "application/zstd",
+            length(unzstd_bytes(col("p")).cast("string")).cast(LongType)),
         lit(-1L)).as("stat"))
   }
 
@@ -679,26 +684,28 @@ object Multimodal {
     * planted-pair property, mixed-corpus flavor. */
   def withMixedContentContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 8 === 0,
+    val payload = when(col("doc_id") % 9 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 8 === 1,
+      .when(col("doc_id") % 9 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           ln.cast(LongType)))
-      .when(col("doc_id") % 8 === 2,
+      .when(col("doc_id") % 9 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"), ln.cast(LongType)))
-      .when(col("doc_id") % 8 === 4,
+      .when(col("doc_id") % 9 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(3), ln.cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 8 === 5,
+      .when(col("doc_id") % 9 === 5,
         encode_avi((ln % 24 + 8).cast("int"), (ln % 19 + 8).cast("int"),
           (ln % 4 + 2).cast("int"), lit(25), ln.cast(LongType),
           lit(0).cast("int")))
-      .when(col("doc_id") % 8 === 6,
+      .when(col("doc_id") % 9 === 6,
         encode_gif((ln % 60 + 1).cast("int"), (ln % 40 + 1).cast("int"),
           (ln % 3 + 2).cast("int"), ln.cast(LongType)))
-      .when(col("doc_id") % 8 === 7,
+      .when(col("doc_id") % 9 === 7,
         encode_flac(lit(8000), lit(1), ln.cast("int"), ln.cast(LongType)))
+      .when(col("doc_id") % 9 === 8,
+        zstd_bytes(encode(col("text"), "UTF-8")))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -766,7 +773,11 @@ object Multimodal {
           val fs = parse_flac_pcm(col("p"))
           md5(concat_ws("|", fs.getField("n_samples"),
             fs.getField("sum_sq"), fs.getField("peak")))
-        }))
+        })
+        // decoded-content key: the strict FSE/Huffman decode must be
+        // transparent (XXH64-sealed), so md5(decompressed) == md5(text)
+        .when(col("kind") === "application/zstd",
+          md5(unzstd_bytes(col("p")))))
       .select(col("doc_id"), col("kind"), col("key"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("kind"), col("key"))
@@ -1264,20 +1275,21 @@ object Multimodal {
       audioNearDups(withWavContentContainers(Tables.documents(s, d))))
 
   /** The oracle knows which kind each doc_id CARRIES (the generator's
-    * mod-7 rule) and that kind's canonical stat formula — the Spark
+    * mod-9 rule) and that kind's canonical stat formula — the Spark
     * side must recover both from the BYTES alone (magic sniff, then
     * the kind's real decoder), so a mis-route, a magic collision
     * (including the WAVE/AVI shared RIFF prefix), or a wrong decoder
     * output all hash-fail. Video's stat = total pixels w·h·frames. */
   private val SniffOracleSql: String =
     """SELECT doc_id,
-      |  CASE CAST(doc_id % 8 AS INT)
+      |  CASE CAST(doc_id % 9 AS INT)
       |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
       |    WHEN 2 THEN 'audio/wav' WHEN 4 THEN 'image/jpeg'
       |    WHEN 5 THEN 'video/avi' WHEN 6 THEN 'image/gif'
       |    WHEN 7 THEN 'audio/flac'
+      |    WHEN 8 THEN 'application/zstd'
       |    ELSE 'text/gzip' END AS kind,
-      |  CAST(CASE CAST(doc_id % 8 AS INT)
+      |  CAST(CASE CAST(doc_id % 9 AS INT)
       |    WHEN 0 THEN (length(text) % 80 + 1) * (length(text) % 60 + 1)
       |    WHEN 1 THEN (length(text) % 64 + 1) * (length(text) % 48 + 1)
       |    WHEN 2 THEN length(text)
@@ -1286,6 +1298,7 @@ object Multimodal {
       |      * (length(text) % 4 + 2)
       |    WHEN 6 THEN (length(text) % 60 + 1) * (length(text) % 40 + 1)
       |    WHEN 7 THEN length(text)
+      |    WHEN 8 THEN length(text)
       |    ELSE length(text) END AS BIGINT) AS stat
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -1349,7 +1362,7 @@ object Multimodal {
        |        SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) % 80 + 1 AS BIGINT) AS w,
        |          CAST(length(text) % 60 + 1 AS BIGINT) AS h
-       |        FROM documents WHERE doc_id % 8 = 0)))),
+       |        FROM documents WHERE doc_id % 9 = 0)))),
        |bstat AS (
        |  SELECT doc_id, w, h,
        |    ${bmpChan("(L + 7*x + 13*y) % 251")} AS bs,
@@ -1358,7 +1371,7 @@ object Multimodal {
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |      CAST(length(text) % 64 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 48 + 1 AS BIGINT) AS h
-       |    FROM documents WHERE doc_id % 8 = 1)),
+       |    FROM documents WHERE doc_id % 9 = 1)),
        |jkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
@@ -1371,7 +1384,7 @@ object Multimodal {
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |      CAST(length(text) % 80 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 60 + 1 AS BIGINT) AS h
-       |    FROM documents WHERE doc_id % 8 = 4)),
+       |    FROM documents WHERE doc_id % 9 = 4)),
        |vkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|25|' ||
@@ -1383,7 +1396,7 @@ object Multimodal {
        |      CAST(length(text) % 24 + 8 AS BIGINT) AS w,
        |      CAST(length(text) % 19 + 8 AS BIGINT) AS h,
        |      CAST(length(text) % 4 + 2 AS BIGINT) AS nf
-       |    FROM documents WHERE doc_id % 8 = 5)),
+       |    FROM documents WHERE doc_id % 9 = 5)),
        |gkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' ||
@@ -1398,7 +1411,7 @@ object Multimodal {
        |      CAST(length(text) % 60 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 40 + 1 AS BIGINT) AS h,
        |      CAST(1 << CAST(length(text) % 3 + 2 AS INT) AS BIGINT) AS P
-       |    FROM documents WHERE doc_id % 8 = 6)),
+       |    FROM documents WHERE doc_id % 9 = 6)),
        |bkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
@@ -1417,7 +1430,7 @@ object Multimodal {
        |           ELSE CAST($raw AS BIGINT) * ($raw) END) AS ss
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) AS BIGINT) AS n
-       |        FROM documents WHERE doc_id % 8 = 2)),
+       |        FROM documents WHERE doc_id % 9 = 2)),
        |es AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(0, 62), w ->
@@ -1437,7 +1450,7 @@ object Multimodal {
        |           ELSE CAST($raw AS BIGINT) END) AS sv
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) AS BIGINT) AS n
-       |        FROM documents WHERE doc_id % 8 = 7)),
+       |        FROM documents WHERE doc_id % 9 = 7)),
        |fkey AS (
        |  SELECT doc_id, md5(
        |    CAST(n AS VARCHAR) || '|' ||
@@ -1453,7 +1466,7 @@ object Multimodal {
        |  UNION ALL
        |  SELECT doc_id, 'audio/wav', CAST(afp AS VARCHAR) FROM paud
        |  UNION ALL
-       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 8 = 3
+       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 9 = 3
        |  UNION ALL
        |  SELECT doc_id, 'image/jpeg', key FROM jkey
        |  UNION ALL
@@ -1461,7 +1474,9 @@ object Multimodal {
        |  UNION ALL
        |  SELECT doc_id, 'image/gif', key FROM gkey
        |  UNION ALL
-       |  SELECT doc_id, 'audio/flac', key FROM fkey)
+       |  SELECT doc_id, 'audio/flac', key FROM fkey
+       |  UNION ALL
+       |  SELECT doc_id, 'application/zstd', md5(text) FROM documents WHERE doc_id % 9 = 8)
        |SELECT doc_id, kind,
        |  min(doc_id) OVER (PARTITION BY kind, key) AS keeper_id,
        |  doc_id > min(doc_id) OVER (PARTITION BY kind, key) AS is_dup
