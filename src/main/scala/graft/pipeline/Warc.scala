@@ -203,6 +203,16 @@ object Warc {
           concat(lit("http://w"), col("doc_id") % 50,
             lit(".example/p"), col("doc_id")), col("html")).as("warczst"))
 
+  /** Paired-URI `.warc.zst` variant — the zstd sibling of
+    * [[withWarcGzPaired]], for the streaming ingest's seen set. */
+  def withWarcZstPaired(docs: DataFrame): DataFrame =
+    Html.withHtml(docs)
+      .select(col("doc_id"),
+        encode_warc_zst(col("doc_id"),
+          concat(lit("http://w"), expr("(doc_id div 2) % 50"),
+            lit(".example/p"), expr("doc_id div 2")),
+          col("html")).as("warczst"))
+
   /** The zstd compressed path: strict multi-frame decode (RFC 8878
     * FSE+Huffman, XXH64-verified, bomb-capped) back to the plain
     * file, then the same record walk — the `.warc.zst` ingest a

@@ -313,7 +313,30 @@ object StreamingQueries {
         .orderBy(col("doc_id"))
     })
 
-  val all: Seq[Q] = Seq(crawlIngest, warcIngest, tumbling, sliding, sessionize,
+  /** Deterministic batch form of [[graft.streaming.Streams.warcZstIngest]]:
+    * the same paired-URI seen-set election over `.warc.zst` shards —
+    * Common Crawl's current format. Same oracle as st_warc_ingest by
+    * construction: the compression layer must be transparent to the
+    * whole ingest, zstd exactly like gzip. */
+  val warcZstIngest: Q = Q(
+    "st_warc_zst_ingest",
+    warcIngest.oracle,
+    (s, d) => {
+      import graft.functions.GraftFunctions.{html_extract, unzstd_bytes, warc_records}
+      val shards = graft.pipeline.Warc.withWarcZstPaired(Tables.documents(s, d))
+      shards
+        .select(col("doc_id"),
+          explode(warc_records(unzstd_bytes(col("warczst")))).as("r"))
+        .filter(col("r.rec_type") === "response")
+        .select(col("doc_id"), col("r.uri").as("uri"), col("r.body").as("body"))
+        .withColumn("k", min(col("doc_id")).over(Window.partitionBy(col("uri"))))
+        .filter(col("doc_id") === col("k"))
+        .select(col("doc_id"), col("uri"),
+          length(html_extract(col("body"))).cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
+    })
+
+  val all: Seq[Q] = Seq(crawlIngest, warcIngest, warcZstIngest, tumbling, sliding, sessionize,
     sessionWindow, streamStreamJoin, streamStreamJoinOuter, dedup, enrich,
     topkWindow)
 }

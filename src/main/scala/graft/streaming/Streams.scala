@@ -188,6 +188,25 @@ object Streams {
         length(html_extract(col("body"))).cast(LongType).as("n_chars"))
   }
 
+  /** Streaming `.warc.zst` ingest — [[warcIngest]] with the zstd frame
+    * decoder in place of gunzip: Common Crawl's CURRENT shard format.
+    * Same stateless demux/decode/extract chain, same uri-keyed
+    * seen-set election; the compression swap touches exactly one
+    * expression. Twin of the registered `st_warc_zst_ingest` batch
+    * query; StreamingSpec proves row equality with ordered arrival +
+    * cross-micro-batch suppression. */
+  def warcZstIngest(shards: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.{html_extract, unzstd_bytes, warc_records}
+    shards
+      .select(col("doc_id"),
+        explode(warc_records(unzstd_bytes(col("warczst")))).as("r"))
+      .filter(col("r.rec_type") === "response")
+      .select(col("doc_id"), col("r.uri").as("uri"), col("r.body").as("body"))
+      .dropDuplicates("uri")
+      .select(col("doc_id"), col("uri"),
+        length(html_extract(col("body"))).cast(LongType).as("n_chars"))
+  }
+
   /** Streaming learned-quality gate — the quality model's streaming
     * form: the naive-Bayes model trains OFFLINE on the standing corpus
     * (QualityModel.trainArtifact — a vocab-sized token→weight map),

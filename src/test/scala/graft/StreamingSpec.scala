@@ -495,6 +495,38 @@ class StreamingSpec extends SparkSpec {
       "micro-batch 2's re-fetches must all drop at the seen set")
   }
 
+  test("warc.zst ingest: streaming zstd demux + uri seen-set == registered batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.documents(spark, sf())
+    val shards = graft.pipeline.Warc.withWarcZstPaired(docs)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val pairMin = shards.groupBy(_._1 / 2).map(_._2.map(_._1).min).toSet
+    val (first, second) = shards.partition(s => pairMin(s._1))
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.warcZstIngest(input.toDF().toDF("doc_id", "warczst"))
+      .writeStream.format("memory").queryName("warc_zst_ingest_out")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = rows(spark.table("warc_zst_ingest_out"))
+    val want = rows(StreamingQueries.warcZstIngest.run(spark, sf()))
+    assert(got === want)
+    assert(got.nonEmpty)
+    assert(got.map(_._1) === pairMin,
+      "micro-batch 2's re-fetches must all drop at the seen set")
+  }
+
   test("quality gate: stateless model scoring over micro-batches == batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
