@@ -124,6 +124,26 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** The Common Crawl DICTIONARY convention: a leading skippable frame
+    * (0x184D2A5D) carries the shared raw dictionary, then each record
+    * is its own frame compressed AGAINST it — per-record frames are
+    * tiny, so the cross-record boilerplate is only reachable through
+    * the dict. Self-contained: ZstdCodec.decompress resolves the dict
+    * from the stream itself. */
+  def encodeZstDict(docId: Long, uri: String, html: String,
+      dict: Array[Byte]): Array[Byte] = {
+    if (uri == null || html == null || dict == null) return null
+    val rs = tripletRecords(docId, uri, html)
+    val out = new java.io.ByteArrayOutputStream(256)
+    out.write(ZstdCodec.dictFrame(dict))
+    rs.foreach { r =>
+      val z = ZstdCodec.compressWithDict(r, dict)
+      if (z == null) return null
+      out.write(z)
+    }
+    out.toByteArray
+  }
+
   /** One parsed record. `httpStatus` is the embedded HTTP status for
     * msgtype=response blocks, -1 otherwise; `body` is the HTTP payload
     * (after the HTTP header terminator) for response records, ""

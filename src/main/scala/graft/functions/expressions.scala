@@ -815,6 +815,26 @@ case class EncodeWarcZst(first: Expression, second: Expression,
       t: Expression): EncodeWarcZst = copy(first = f, second = s, third = t)
 }
 
+/** The Common Crawl dictionary stream (WarcCodec.encodeZstDict):
+  * leading dict skippable frame + per-record frames compressed
+  * against the shared raw dictionary. */
+case class EncodeWarcZstDict(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(d: Any, u: Any, h: Any, dc: Any): Any =
+    WarcCodec.encodeZstDict(d.asInstanceOf[Long], u.toString, h.toString,
+      dc.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, u, h, dc) => s"""
+       |${ev.value} = graft.functions.WarcCodec.encodeZstDict($d, $u.toString(), $h.toString(), $dc);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): EncodeWarcZstDict =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 /** Binary zstd compress (ZstdCodec.compress): one RFC 8878 frame —
   * real LZ77 + Huffman literals + predefined-FSE sequences; the
   * reference CLI decodes the output (interop-pinned). */
@@ -1378,6 +1398,14 @@ object GraftFunctions {
       GraftColumnBridge.expression(uri),
       GraftColumnBridge.expression(html)))
 
+  def encode_warc_zst_dict(docId: Column, uri: Column, html: Column,
+      dict: Column): Column =
+    GraftColumnBridge.column(EncodeWarcZstDict(
+      GraftColumnBridge.expression(docId),
+      GraftColumnBridge.expression(uri),
+      GraftColumnBridge.expression(html),
+      GraftColumnBridge.expression(dict)))
+
   def zstd_bytes(bytes: Column): Column =
     GraftColumnBridge.column(ZstdBytes(GraftColumnBridge.expression(bytes)))
 
@@ -1479,6 +1507,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("gunzip_bytes", es => GunzipBytes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_warc_zst", es => EncodeWarcZst(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("zstd_bytes", es => ZstdBytes(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_warc_zst_dict", es => EncodeWarcZstDict(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("unzstd_bytes", es => UnzstdBytes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_gif", es => EncodeGif(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_gif_header", es => ParseGifHeader(es.head), "scala_udf")

@@ -100,6 +100,11 @@ object Warc {
       .replaceAll("\n\\s*", " ")
   }
 
+  /** Exposed for the dictionary-convention lane (ZstdDict): same
+    * records, same oracle — every compression form must be
+    * transparent against it. */
+  private[pipeline] def parseOracleSql: String = ParseOracle
+
   private val ParseOracle: String =
     s"""WITH h AS (
        |  SELECT doc_id,

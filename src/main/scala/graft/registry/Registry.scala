@@ -77,6 +77,7 @@ object Registry {
       graft.pipeline.Robots.all ++
       graft.pipeline.Video.all ++
       graft.pipeline.Warc.all ++
+      graft.pipeline.ZstdDict.all ++
       graft.pipeline.WebDataset.all ++
       graft.pipeline.Chat.all ++
       graft.pipeline.Pref.all ++
