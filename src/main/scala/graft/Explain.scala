@@ -152,7 +152,8 @@ object Explain {
       "t_encoding_check" -> "byte-level strict-UTF-8 gate (maximal-subpart error accounting), one narrow codegen'd pass",
       // round 12
       "t_warc_zst_parse" -> ".warc.zst ingest: per-record zstd frames (RFC 8878 FSE+Huffman, XXH64-verified) -> strict multi-frame decode -> record walk, pure narrow map",
-      "t_lang_id_model_markers" -> "marker-corpus lang-id: derived class-marker suffix, then the same ONE train shuffle + broadcast-scored re-agg — separation, not prior collapse")
+      "t_lang_id_model_markers" -> "marker-corpus lang-id: derived class-marker suffix, then the same ONE train shuffle + broadcast-scored re-agg — separation, not prior collapse",
+      "t_warc_zst_dict_parse" -> "CC dictionary convention: Spark-trained dict (ONE gram-count shuffle, top-k artifact) broadcast as a literal; self-contained dict-frame streams decode in a pure narrow map")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")
