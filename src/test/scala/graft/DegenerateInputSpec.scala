@@ -394,4 +394,49 @@ class DegenerateInputSpec extends SparkSpec {
       graft.pipeline.Flac.withFlacAudio(one)).collect().head
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((0L, 0L, 0L)))
   }
+
+  test("zst lanes: empty corpus is empty; an empty-text doc still parses its capture triplet") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.{unzstd_bytes, warc_records}
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.pipeline.Warc.withWarcZst(empty).count() === 0)
+    // the page template wraps even an empty text — all 3 records survive
+    // the full FSE/Huffman round trip
+    val one = Seq((3L, "")).toDF("doc_id", "text")
+    val recs = graft.pipeline.Warc.withWarcZst(one)
+      .select(explode(warc_records(unzstd_bytes(col("warczst")))).as("r"))
+      .collect()
+    assert(recs.length === 3)
+  }
+
+  test("dict lane: training on an empty corpus yields an empty dict; the lane degrades to dict-less frames") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val dict = graft.pipeline.ZstdDict.train(
+      graft.pipeline.Html.withHtml(empty))
+    assert(dict.length === 0)
+    assert(graft.pipeline.ZstdDict.withWarcZstDict(empty, dict).count() === 0)
+    // empty dict → compressWithDict falls back to plain frames; the
+    // stream (leading 0-byte dict frame + frames) still self-decodes
+    val one = Seq((9L, "hello")).toDF("doc_id", "text")
+    val n = graft.pipeline.ZstdDict.withWarcZstDict(one, dict)
+      .select(length(graft.functions.GraftFunctions.unzstd_bytes(
+        col("warczstd"))).as("n")).head.getInt(0)
+    assert(n > 0)
+  }
+
+  test("lang-id marker lane: empty corpus is empty; an empty-text doc is classified off its markers alone") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(graft.pipeline.LangIdModel.scoreOf(
+      graft.pipeline.LangIdModel.withMarkers(empty)).count() === 0)
+    // an empty text gains only the marker suffix — grams exist, the
+    // model trains on them, and the doc classifies correctly
+    val one = Seq((5L, "de", "")).toDF("doc_id", "lang", "text")
+    val r = graft.pipeline.LangIdModel.scoreOf(
+      graft.pipeline.LangIdModel.withMarkers(one)).collect().head
+    assert(r.getAs[Boolean]("correct"))
+  }
 }

@@ -448,6 +448,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t_warc_zst_dict_parse: the decode side stays a pure narrow map (dict ships as a literal)") {
+    val p = plan("t_warc_zst_dict_parse")
+    // the trained dict is a driver-side literal by the time this plan
+    // exists — the stream build + self-contained decode + record walk
+    // pay only the output sort's exchange; training's own gram-count
+    // shuffle ran in its separate job
+    assert(p.split("Exchange").length - 1 <= 1, p)
+    assert(p.contains("rangepartitioning(doc_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t_warc_zst_parse: zstd encode + strict decode + record walk is a pure narrow map") {
     val p = plan("t_warc_zst_parse")
     // the whole compression layer (FSE/Huffman frames, XXH64 checks)
