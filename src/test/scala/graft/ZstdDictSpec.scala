@@ -109,6 +109,44 @@ class ZstdDictSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(back, data))
   }
 
+  test("INTEROP: STRUCTURED dict (zstd --train) — ID-matched frames, primed entropy tables") {
+    assume(zstdBin.isDefined, "zstd binary not on this host")
+    // train a real structured dictionary (magic 0xEC30A437: dict ID,
+    // pre-shared Huffman/FSE tables, repcodes, content) on sample
+    // files, exactly the production workflow
+    val dir = java.nio.file.Files.createTempDirectory("zstdtrain")
+    val samples = (0 until 120).map { i =>
+      val f = dir.resolve(s"s$i.bin")
+      java.nio.file.Files.write(f, page(i))
+      f.toString
+    }
+    val dictPath = dir.resolve("trained.dict").toString
+    val pb = new ProcessBuilder(
+      (Seq(zstdBin.get, "--train", "--maxdict=2048", "-o", dictPath) ++ samples): _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    proc.getInputStream.readAllBytes()
+    assume(proc.waitFor() == 0, "zstd --train unavailable/failed on this corpus")
+    val trained = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dictPath))
+    assert((trained(0) & 0xFF) === 0x37 && (trained(1) & 0xFF) === 0xA4,
+      "--train must emit a structured dict (magic EC 30 A4 37 LE)")
+    // CLI compresses WITH the structured dict -> frames carry its ID
+    // and lean on its entropy tables + content; our decoder must
+    // resolve all of it
+    val data = page(200) // unseen by training
+    val (c1, z) = cli(Seq("-3", "-D", dictPath, "-c"), data)
+    assert(c1 === 0)
+    val back = ZstdCodec.decompressWithDict(z, trained)
+    assert(back != null, "our decoder nulled a structured-dict frame")
+    assert(java.util.Arrays.equals(back, data))
+    // ID enforcement: the same frames against the WRONG dict must null
+    assert(ZstdCodec.decompressWithDict(z, dict) == null,
+      "a frame naming dict ID X must not decode against raw dict Y")
+    assert(ZstdCodec.decompress(z) == null,
+      "a frame naming a dict ID must not decode dict-less")
+  }
+
   test("fuzz: 1500 single-bit flips on a dict stream decode correct-or-null") {
     val data = page(3)
     val stream = {
