@@ -153,7 +153,8 @@ object Explain {
       // round 12
       "t_warc_zst_parse" -> ".warc.zst ingest: per-record zstd frames (RFC 8878 FSE+Huffman, XXH64-verified) -> strict multi-frame decode -> record walk, pure narrow map",
       "t_lang_id_model_markers" -> "marker-corpus lang-id: derived class-marker suffix, then the same ONE train shuffle + broadcast-scored re-agg — separation, not prior collapse",
-      "t_warc_zst_dict_parse" -> "CC dictionary convention: Spark-trained dict (ONE gram-count shuffle, top-k artifact) broadcast as a literal; self-contained dict-frame streams decode in a pure narrow map")
+      "t_warc_zst_dict_parse" -> "CC dictionary convention: Spark-trained dict (ONE gram-count shuffle, top-k artifact) broadcast as a literal; self-contained dict-frame streams decode in a pure narrow map",
+      "t_warc_zst_seek" -> "seekable zstd random access: the trailing seek table jumps STRAIGHT to the response frame (frames 0-1 never decoded), single-record parse + extract, pure narrow map")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -164,7 +164,7 @@ object ScaleTrend {
     // round 12: .warc.zst ingest — per-row zstd encode + strict decode
     // + record walk, a narrow map riding total archive bytes (the
     // .warc.gz twin's shape with FSE/Huffman in place of DEFLATE)
-    "t_warc_zst_parse", "t_warc_zst_dict_parse",
+    "t_warc_zst_parse", "t_warc_zst_dict_parse", "t_warc_zst_seek",
     // round 12: marker-corpus lang-id — the t_lang_id_model shape over
     // ~3% more grams (the appended marker suffix)
     "t_lang_id_model_markers")

@@ -144,6 +144,15 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** The SEEKABLE `.warc.zst` form: per-record frames + the trailing
+    * seek table (zstd seekable format) — record-level random access,
+    * the CDX-indexed fetch pattern (pull ONE record from an archived
+    * shard without decompressing the rest). */
+  def encodeZstSeekable(docId: Long, uri: String, html: String): Array[Byte] = {
+    if (uri == null || html == null) return null
+    ZstdCodec.encodeSeekable(tripletRecords(docId, uri, html))
+  }
+
   /** One parsed record. `httpStatus` is the embedded HTTP status for
     * msgtype=response blocks, -1 otherwise; `body` is the HTTP payload
     * (after the HTTP header terminator) for response records, ""

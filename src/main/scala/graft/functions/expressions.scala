@@ -835,6 +835,43 @@ case class EncodeWarcZstDict(first: Expression, second: Expression,
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+/** The seekable `.warc.zst` form (WarcCodec.encodeZstSeekable):
+  * per-record frames + the trailing seek table. */
+case class EncodeWarcZstSeekable(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(d: Any, u: Any, h: Any): Any =
+    WarcCodec.encodeZstSeekable(d.asInstanceOf[Long], u.toString, h.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, u, h) => s"""
+       |${ev.value} = graft.functions.WarcCodec.encodeZstSeekable($d, $u.toString(), $h.toString());
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): EncodeWarcZstSeekable = copy(first = f, second = s, third = t)
+}
+
+/** Random-access frame extraction from a seekable zstd stream
+  * (ZstdCodec.seekExtract): decodes ONLY frame `i` via the trailing
+  * seek table — size- and checksum-verified; NULL on any violation. */
+case class ZstSeekExtract(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, i: Any): Any =
+    ZstdCodec.seekExtract(b.asInstanceOf[Array[Byte]],
+      i.asInstanceOf[Number].intValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, i) => s"""
+       |${ev.value} = graft.functions.ZstdCodec.seekExtract($b, $i);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ZstSeekExtract = copy(left = l, right = r)
+}
+
 /** Binary zstd compress (ZstdCodec.compress): one RFC 8878 frame —
   * real LZ77 + Huffman literals + predefined-FSE sequences; the
   * reference CLI decodes the output (interop-pinned). */
@@ -1406,6 +1443,16 @@ object GraftFunctions {
       GraftColumnBridge.expression(html),
       GraftColumnBridge.expression(dict)))
 
+  def encode_warc_zst_seekable(docId: Column, uri: Column, html: Column): Column =
+    GraftColumnBridge.column(EncodeWarcZstSeekable(
+      GraftColumnBridge.expression(docId),
+      GraftColumnBridge.expression(uri),
+      GraftColumnBridge.expression(html)))
+
+  def zst_seek_extract(bytes: Column, i: Column): Column =
+    GraftColumnBridge.column(ZstSeekExtract(
+      GraftColumnBridge.expression(bytes), GraftColumnBridge.expression(i)))
+
   def zstd_bytes(bytes: Column): Column =
     GraftColumnBridge.column(ZstdBytes(GraftColumnBridge.expression(bytes)))
 
@@ -1508,6 +1555,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("encode_warc_zst", es => EncodeWarcZst(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("zstd_bytes", es => ZstdBytes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_warc_zst_dict", es => EncodeWarcZstDict(es(0), es(1), es(2), es(3)), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_warc_zst_seekable", es => EncodeWarcZstSeekable(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("zst_seek_extract", es => ZstSeekExtract(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("unzstd_bytes", es => UnzstdBytes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_gif", es => EncodeGif(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("parse_gif_header", es => ParseGifHeader(es.head), "scala_udf")

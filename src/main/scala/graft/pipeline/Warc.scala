@@ -236,6 +236,35 @@ object Warc {
           col("r.http_status").as("http_status"))
         .orderBy(col("doc_id"), col("rec_idx")))
 
+  /** documents -> (doc_id, warczsts): the SEEKABLE `.warc.zst` form —
+    * per-record frames + the trailing seek table (zstd seekable
+    * format), the layout a CDX-indexed archive wants. */
+  def withWarcZstSeekable(docs: DataFrame): DataFrame =
+    Html.withHtml(docs)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.encode_warc_zst_seekable(
+          col("doc_id"),
+          concat(lit("http://w"), col("doc_id") % 50,
+            lit(".example/p"), col("doc_id")), col("html")).as("warczsts"))
+
+  /** The random-access fetch: the seek table jumps STRAIGHT to frame 2
+    * (the response record) — frames 0-1 are never decoded — then the
+    * single record parses and extracts. Same oracle as t_warc_extract:
+    * the indexed fetch must recover exactly what the full scan does. */
+  val warcZstSeekQ: Q = Q(
+    "t_warc_zst_seek",
+    Some(ExtractOracle),
+    (s, d) =>
+      withWarcZstSeekable(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(warc_records(
+            graft.functions.GraftFunctions.zst_seek_extract(
+              col("warczsts"), lit(2)))).as("r"))
+        .filter(col("r.rec_type") === "response")
+        .select(col("doc_id"), html_extract(col("r.body")).as("extract"))
+        .withColumn("n_chars", length(col("extract")).cast(LongType))
+        .orderBy(col("doc_id")))
+
   val all: Seq[Q] = Seq(warcParseQ, warcParseBatchQ, warcExtractQ,
-    warcGzParseQ, warcZstParseQ)
+    warcGzParseQ, warcZstParseQ, warcZstSeekQ)
 }

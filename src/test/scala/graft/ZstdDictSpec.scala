@@ -175,6 +175,56 @@ class ZstdDictSpec extends AnyFunSuite {
   }
 }
 
+/** The seekable format (zstd contrib spec): a trailing seek-table
+  * skippable frame enables record-level random access. */
+class ZstdSeekableSpec extends AnyFunSuite {
+
+  private def rec(i: Int): Array[Byte] =
+    (s"record $i " + ("payload " * (10 + i % 7)) + i).getBytes("UTF-8")
+
+  test("seekExtract decodes exactly one frame, size- and checksum-verified") {
+    val records = (0 until 9).map(rec).toArray
+    val z = graft.functions.ZstdCodec.encodeSeekable(records)
+    assert(z != null)
+    assert(graft.functions.ZstdCodec.seekFrameCount(z) === 9)
+    for (i <- records.indices) {
+      val got = graft.functions.ZstdCodec.seekExtract(z, i)
+      assert(got != null && java.util.Arrays.equals(got, records(i)), s"frame $i")
+    }
+    assert(graft.functions.ZstdCodec.seekExtract(z, 9) == null)
+    assert(graft.functions.ZstdCodec.seekExtract(z, -1) == null)
+  }
+
+  test("a seekable stream is ALSO a plain multi-frame stream (table frame skips)") {
+    val records = (0 until 4).map(rec).toArray
+    val z = graft.functions.ZstdCodec.encodeSeekable(records)
+    val whole = graft.functions.ZstdCodec.decompress(z)
+    assert(whole != null)
+    assert(java.util.Arrays.equals(whole,
+      records.reduce((a, b) => a ++ b)))
+  }
+
+  test("seek-table corruption nulls: footer magic, entry sums, checksums") {
+    val records = (0 until 3).map(rec).toArray
+    val z = graft.functions.ZstdCodec.encodeSeekable(records)
+    def mutated(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = z.clone(); f(c); c
+    }
+    // footer magic flip -> no table at all
+    assert(graft.functions.ZstdCodec.seekFrameCount(
+      mutated(b => b(b.length - 1) = 0)) === -1)
+    // an entry's checksum flip -> that frame nulls, others survive
+    val entry0sum = z.length - 9 - 3 * 12 + 8 // first entry's checksum
+    val zc = mutated(b => b(entry0sum) = (b(entry0sum) ^ 1).toByte)
+    assert(graft.functions.ZstdCodec.seekExtract(zc, 0) == null)
+    assert(graft.functions.ZstdCodec.seekExtract(zc, 1) != null)
+    // an entry's compressedSize flip -> entries no longer tile the data
+    val entry0c = z.length - 9 - 3 * 12
+    assert(graft.functions.ZstdCodec.seekExtract(
+      mutated(b => b(entry0c) = (b(entry0c) ^ 1).toByte), 0) == null)
+  }
+}
+
 /** Spark-side dictionary training + the registered CC-convention
   * ingest lane's non-oracle claims. */
 class ZstdDictTrainSpec extends SparkSpec {
