@@ -154,7 +154,9 @@ object Explain {
       "t_warc_zst_parse" -> ".warc.zst ingest: per-record zstd frames (RFC 8878 FSE+Huffman, XXH64-verified) -> strict multi-frame decode -> record walk, pure narrow map",
       "t_lang_id_model_markers" -> "marker-corpus lang-id: derived class-marker suffix, then the same ONE train shuffle + broadcast-scored re-agg — separation, not prior collapse",
       "t_warc_zst_dict_parse" -> "CC dictionary convention: Spark-trained dict (ONE gram-count shuffle, top-k artifact) broadcast as a literal; self-contained dict-frame streams decode in a pure narrow map",
-      "t_warc_zst_seek" -> "seekable zstd random access: the trailing seek table jumps STRAIGHT to the response frame (frames 0-1 never decoded), single-record parse + extract, pure narrow map")
+      "t_warc_zst_seek" -> "seekable zstd random access: the trailing seek table jumps STRAIGHT to the response frame (frames 0-1 never decoded), single-record parse + extract, pure narrow map",
+      // round 13
+      "t_lang_id_unicode" -> "non-ASCII marker-corpus lang-id: code-point char trigrams over a derived non-BMP marker suffix, same ONE train shuffle + broadcast-scored re-agg — the unicode-semantics pin for every gram lane")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

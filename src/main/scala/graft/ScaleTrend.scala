@@ -167,7 +167,10 @@ object ScaleTrend {
     "t_warc_zst_parse", "t_warc_zst_dict_parse", "t_warc_zst_seek",
     // round 12: marker-corpus lang-id — the t_lang_id_model shape over
     // ~3% more grams (the appended marker suffix)
-    "t_lang_id_model_markers")
+    "t_lang_id_model_markers",
+    // round 13: the same shape with non-ASCII (incl. non-BMP) markers
+    // — exercises charNgramsArray's surrogate-aware offset walk at scale
+    "t_lang_id_unicode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

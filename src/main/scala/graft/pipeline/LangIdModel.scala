@@ -293,5 +293,61 @@ object LangIdModel {
     Some(oracleSql("TRUE", "TRUE", docsFrom = MarkedDocsSql)),
     (s, d) => scoreOf(withMarkers(Tables.documents(s, d))))
 
-  val all: Seq[Q] = Seq(modelQ, gateQ, markersQ)
+  // ---- non-ASCII marker corpus (VERDICT r12 #1) ----------------------------
+  // The shipped corpus is pinned ASCII (CorpusInvariantSpec), so every
+  // hash-green gram lane so far proves only that the UTF-16 and
+  // code-point walks AGREE ON ASCII. This lane derives a corpus whose
+  // class markers are multi-byte BMP letters behind a shared NON-BMP
+  // (surrogate-pair) character, so the trigram windows both CONTAIN
+  // and CROSS the surrogate boundary: a kernel sliding by UTF-16 code
+  // unit would (a) count n_grams off by one per marker repeat vs the
+  // oracle's code-point length(text)-2, and (b) emit grams holding
+  // lone surrogates that can never equal DuckDB's substr output —
+  // hash-red either way. Green here pins charNgramsArray's code-point
+  // semantics against DuckDB's code-point substr end to end.
+
+  /** U+1D4C6 MATHEMATICAL SCRIPT SMALL Q — non-BMP, a UTF-16
+    * surrogate pair, shared by every class marker. */
+  private val NonBmp = "\uD835\uDCC6"
+
+  /** Per-class multi-byte BMP letters (2-byte Latin-1-supplement ×4,
+    * 3-byte CJK for zh) — escapes, not literals, so the Scala source
+    * stays ASCII regardless of compiler -encoding. */
+  private val ULetters: Map[String, String] = Map(
+    "en" -> "\u00E9", "de" -> "\u00FC", "es" -> "\u00F1",
+    "fr" -> "\u00E7", "zh" -> "\u4E2D")
+
+  /** documents with the derived " <nonBMP><classLetter>" suffix
+    * repeated 5 + doc_id%3 times. The marker is exactly 3 CODE POINTS,
+    * so every trigram window inside the marker run carries the class
+    * letter — the same full-separation property as [[withMarkers]]. */
+  def withUnicodeMarkers(docs: DataFrame): DataFrame = {
+    val letter = Classes.init.foldRight(lit(ULetters(Classes.last)): Column) {
+      (c, els) => when(col("lang") === c, ULetters(c)).otherwise(els)
+    }
+    docs.select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        repeat(concat(lit(" " + NonBmp), letter),
+          (lit(5) + col("doc_id") % 3).cast("int"))).as("text"))
+  }
+
+  // one line: embeds inside oracleSql's stripMargin block. The Scala
+  // escapes resolve to real UTF-8 characters in the emitted SQL, which
+  // Verify writes UTF-8 to oracle_sql.json.
+  private val UnicodeDocsSql: String = {
+    val letterCase = Classes.init.map(c =>
+      s"WHEN '$c' THEN '${ULetters(c)}'").mkString(" ")
+    s"(SELECT doc_id, lang, text || repeat(' $NonBmp' || " +
+      s"CASE lang $letterCase ELSE '${ULetters(Classes.last)}' END, " +
+      "CAST(5 + doc_id % 3 AS INT)) AS text FROM documents)"
+  }
+
+  /** Self-trained scoring over the non-ASCII (incl. non-BMP) marker
+    * corpus — the code-point-semantics pin for every gram-based lane. */
+  val unicodeQ: Q = Q(
+    "t_lang_id_unicode",
+    Some(oracleSql("TRUE", "TRUE", docsFrom = UnicodeDocsSql)),
+    (s, d) => scoreOf(withUnicodeMarkers(Tables.documents(s, d))))
+
+  val all: Seq[Q] = Seq(modelQ, gateQ, markersQ, unicodeQ)
 }

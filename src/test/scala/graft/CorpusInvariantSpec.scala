@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   *    plant, which needs every doc to hold at least max-n_turns (5)
   *    whitespace tokens, or a short doc's naturally-empty slice would
   *    hash-fail t_chat_validate.
+  *
+  * The gram-based lanes (lang-id char trigrams, shingles, winnowing)
+  * do NOT lean on this pin anymore: charNgramsArray slides by Unicode
+  * code point (sketchExpressions.scala), matching DuckDB's code-point
+  * substr on any input, and t_lang_id_unicode + LangIdUnicodeSpec keep
+  * that true on a derived non-ASCII (incl. non-BMP) corpus. The ASCII
+  * pin below protects only the byte-geometry (WebDataset) and token
+  * (Chat) invariants listed above.
   */
 class CorpusInvariantSpec extends SparkSpec {
 
