@@ -224,6 +224,54 @@ class ZstdCodecSpec extends AnyFunSuite {
     assert(ZstdCodec.decompress(zc) == null)
   }
 
+  test("window-size bound: out-of-window offsets null under the declared window") {
+    // ADVICE r12 #2: offsets were bounded by full frame history, not
+    // by the frame's declared Window_Size. Build an input whose greedy
+    // parse emits a ~190 KB-distance match: pattern A at 0, a
+    // short-period tile between (its grams touch ~509 hash slots, so
+    // A's anchors survive the table), A again at the tail.
+    val a = detBytes(1024, 101L)
+    val tile = detBytes(509, 202L)
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(a)
+    while (buf.size < 190 * 1024) buf.write(tile)
+    buf.write(a)
+    val data = buf.toByteArray
+    // plain compress() floors each block's history at the block start
+    // (offsets never exceed 128 KiB), so the far match needs the dict
+    // path: compressWithDict parses with history floor 0, letting
+    // block 2 reach the pattern-A copy back in block 1.
+    val dict = detBytes(1024, 303L)
+    val z = ZstdCodec.compressWithDict(data, dict)
+    assert(z != null)
+    assert(java.util.Arrays.equals(
+      ZstdCodec.decompressWithDict(z, dict, ZstdCodec.MaxOutBytes), data))
+    // layout: magic(4) + windowed FHD(1) + window descriptor(1) + FCS;
+    // rewrite ONLY the declared window, blocks + checksum untouched
+    assert((z(4) & 0xFF) === ((2 << 6) | 0x04))
+    def windowed(windowLog: Int): Array[Byte] = {
+      val w = z.clone()
+      w(5) = ((windowLog - 10) << 3).toByte // mantissa 0
+      w
+    }
+    // 2^18 + dict covers every emitted offset → decodes: the header
+    // rewrite itself is sound, only the bound below differs
+    assert(java.util.Arrays.equals(
+      ZstdCodec.decompressWithDict(windowed(18), dict, ZstdCodec.MaxOutBytes),
+      data))
+    // 2^17 + 1 KiB dict = 132096 < the ~194 KB cross-block offset, yet
+    // frame history covers it — the strict contract must null, not decode
+    assert(ZstdCodec.decompressWithDict(windowed(17), dict,
+      ZstdCodec.MaxOutBytes) == null)
+  }
+
+  test("xxh64Range over an interior slice equals xxh64 over the copy") {
+    val b = detBytes(4096, 314L)
+    for ((off, len) <- Seq((0, 4096), (1, 31), (7, 64), (100, 1000), (4000, 96), (5, 0)))
+      assert(ZstdCodec.xxh64Range(b, off, len) ===
+        ZstdCodec.xxh64(java.util.Arrays.copyOfRange(b, off, off + len), len))
+  }
+
   test("xxh64 matches the reference CLI's frame checksum") {
     assume(zstdBin.isDefined, "zstd binary not on this host")
     // the CLI writes XXH64(content) low 32 bits as the frame checksum;
