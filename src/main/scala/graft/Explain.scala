@@ -156,7 +156,8 @@ object Explain {
       "t_warc_zst_dict_parse" -> "CC dictionary convention: Spark-trained dict (ONE gram-count shuffle, top-k artifact) broadcast as a literal; self-contained dict-frame streams decode in a pure narrow map",
       "t_warc_zst_seek" -> "seekable zstd random access: the trailing seek table jumps STRAIGHT to the response frame (frames 0-1 never decoded), single-record parse + extract, pure narrow map",
       // round 13
-      "t_lang_id_unicode" -> "non-ASCII marker-corpus lang-id: code-point char trigrams over a derived non-BMP marker suffix, same ONE train shuffle + broadcast-scored re-agg — the unicode-semantics pin for every gram lane")
+      "t_lang_id_unicode" -> "non-ASCII marker-corpus lang-id: code-point char trigrams over a derived non-BMP marker suffix, same ONE train shuffle + broadcast-scored re-agg — the unicode-semantics pin for every gram lane",
+      "t_warc_zst_dict_artifact" -> "train-once/ship dict ingest: bare dict-compressed shards decoded against the broadcast <=4 KiB artifact — ONE scan, zero training subtree in-plan (the 100-TB dictionary economics)")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

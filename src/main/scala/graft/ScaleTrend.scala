@@ -170,7 +170,10 @@ object ScaleTrend {
     "t_lang_id_model_markers",
     // round 13: the same shape with non-ASCII (incl. non-BMP) markers
     // — exercises charNgramsArray's surrogate-aware offset walk at scale
-    "t_lang_id_unicode")
+    "t_lang_id_unicode",
+    // round 13: the shipped-dict twin — encode/decode only, the dict
+    // trained once per session (the t_warc_zst_parse slope shape)
+    "t_warc_zst_dict_artifact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

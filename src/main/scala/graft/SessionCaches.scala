@@ -34,7 +34,9 @@ object SessionCaches {
     "hyperanf" -> (s => analytics.HyperANF.clearRows(s)),
     "embed_exact" -> (s => pipeline.ExactBaselines.clear(s)),
     "pq" -> (s => pipeline.PqIndex.clear(s)),
-    "kmeans" -> (s => pipeline.SemanticCluster.clear(s)))
+    "kmeans" -> (s => pipeline.SemanticCluster.clear(s)),
+    "warc_zst" -> (s => pipeline.Warc.clearShards(s)),
+    "zst_dict" -> (s => pipeline.ZstdDict.clearDict(s)))
 
   private lazy val byName = hooks.toMap
 

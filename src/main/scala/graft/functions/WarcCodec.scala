@@ -144,6 +144,24 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** The train-once/SHIP form (VERDICT r12 #7): per-record frames
+    * compressed against a dictionary that ships SEPARATELY — no
+    * leading dict frame, the shard alone is NOT self-contained. This
+    * is the 100-TB economics: one ≤4 KiB artifact broadcast to every
+    * task instead of repeated at the head of every shard. */
+  def encodeZstDictBare(docId: Long, uri: String, html: String,
+      dict: Array[Byte]): Array[Byte] = {
+    if (uri == null || html == null || dict == null) return null
+    val rs = tripletRecords(docId, uri, html)
+    val out = new java.io.ByteArrayOutputStream(256)
+    rs.foreach { r =>
+      val z = ZstdCodec.compressWithDict(r, dict)
+      if (z == null) return null
+      out.write(z)
+    }
+    out.toByteArray
+  }
+
   /** The SEEKABLE `.warc.zst` form: per-record frames + the trailing
     * seek table (zstd seekable format) — record-level random access,
     * the CDX-indexed fetch pattern (pull ONE record from an archived

@@ -835,6 +835,46 @@ case class EncodeWarcZstDict(first: Expression, second: Expression,
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+/** The train-once/ship dict form (WarcCodec.encodeZstDictBare):
+  * per-record dict-compressed frames, NO leading dict frame — the
+  * dictionary is an out-of-band artifact (VERDICT r12 #7). */
+case class EncodeWarcZstDictBare(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(d: Any, u: Any, h: Any, dc: Any): Any =
+    WarcCodec.encodeZstDictBare(d.asInstanceOf[Long], u.toString, h.toString,
+      dc.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, u, h, dc) => s"""
+       |${ev.value} = graft.functions.WarcCodec.encodeZstDictBare($d, $u.toString(), $h.toString(), $dc);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): EncodeWarcZstDictBare =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** Out-of-band-dictionary zstd decompress
+  * (ZstdCodec.decompressWithDict): the decode side of the train-once/
+  * ship convention — the dict arrives as a broadcast literal, not in
+  * the stream. Strict like UnzstdBytes; NULL on any violation. */
+case class UnzstdBytesDict(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, dc: Any): Any =
+    ZstdCodec.decompressWithDict(b.asInstanceOf[Array[Byte]],
+      dc.asInstanceOf[Array[Byte]], ZstdCodec.MaxOutBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, dc) => s"""
+       |${ev.value} = graft.functions.ZstdCodec.decompressWithDict($b, $dc, graft.functions.ZstdCodec.MaxOutBytes());
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): UnzstdBytesDict = copy(left = l, right = r)
+}
+
 /** The seekable `.warc.zst` form (WarcCodec.encodeZstSeekable):
   * per-record frames + the trailing seek table. */
 case class EncodeWarcZstSeekable(first: Expression, second: Expression,
@@ -1443,6 +1483,19 @@ object GraftFunctions {
       GraftColumnBridge.expression(html),
       GraftColumnBridge.expression(dict)))
 
+  def encode_warc_zst_dict_bare(docId: Column, uri: Column, html: Column,
+      dict: Column): Column =
+    GraftColumnBridge.column(EncodeWarcZstDictBare(
+      GraftColumnBridge.expression(docId),
+      GraftColumnBridge.expression(uri),
+      GraftColumnBridge.expression(html),
+      GraftColumnBridge.expression(dict)))
+
+  def unzstd_bytes_dict(bytes: Column, dict: Column): Column =
+    GraftColumnBridge.column(UnzstdBytesDict(
+      GraftColumnBridge.expression(bytes),
+      GraftColumnBridge.expression(dict)))
+
   def encode_warc_zst_seekable(docId: Column, uri: Column, html: Column): Column =
     GraftColumnBridge.column(EncodeWarcZstSeekable(
       GraftColumnBridge.expression(docId),
@@ -1555,6 +1608,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("encode_warc_zst", es => EncodeWarcZst(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("zstd_bytes", es => ZstdBytes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_warc_zst_dict", es => EncodeWarcZstDict(es(0), es(1), es(2), es(3)), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_warc_zst_dict_bare", es => EncodeWarcZstDictBare(es(0), es(1), es(2), es(3)), "scala_udf")
+    reg.createOrReplaceTempFunction("unzstd_bytes_dict", es => UnzstdBytesDict(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("encode_warc_zst_seekable", es => EncodeWarcZstSeekable(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("zst_seek_extract", es => ZstSeekExtract(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("unzstd_bytes", es => UnzstdBytes(es.head), "scala_udf")

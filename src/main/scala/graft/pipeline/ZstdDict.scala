@@ -91,5 +91,64 @@ object ZstdDict {
         .orderBy(col("doc_id"), col("rec_idx"))
     })
 
-  val all: Seq[Q] = Seq(warcZstDictParseQ)
+  // ---- train-once/ship twin (VERDICT r12 #7) -------------------------------
+  // t_warc_zst_dict_parse trains its dict IN-QUERY — honest for a
+  // demo, wrong economics at 100 TB, where the dictionary is trained
+  // ONCE (on a sampled shard) and shipped to every task as a ≤4 KiB
+  // broadcast artifact. This twin registers that form: the dict is a
+  // session-cached artifact built in Bench's `_setup_zst_dict` slot,
+  // the shards carry NO leading dict frame (not self-contained), and
+  // the decode takes the dict as a literal — ZstdDictSpec pins that
+  // the query's plan has exactly ONE scan (no training subtree).
+
+  private val dictCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Array[Byte]]()
+
+  /** The shipped dictionary artifact: train once per (session, sf). */
+  private[graft] def trainedDict(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[Byte] =
+    dictCache.computeIfAbsent((graft.SessionKey(s), d), _ =>
+      train(Html.withHtml(Tables.documents(s, d))))
+
+  /** Materialize the artifact (Bench's `_setup_zst_dict` entry). */
+  def warmDict(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    trainedDict(s, d); ()
+  }
+
+  /** Drop this session's dict artifacts (graft.SessionCaches hook). */
+  private[graft] def clearDict(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sid = graft.SessionKey(spark)
+    val it = dictCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 == sid) it.remove()
+  }
+
+  /** The shipped-dict ingest: bare dict-compressed shards decoded with
+    * the broadcast artifact — same ParseOracle, so the out-of-band
+    * dictionary layer must be exactly as transparent as the in-stream
+    * one. */
+  val warcZstDictArtifactQ: Q = Q(
+    "t_warc_zst_dict_artifact",
+    Some(Warc.parseOracleSql),
+    (s, d) => {
+      val dict = trainedDict(s, d) // ≤4 KiB driver-side artifact
+      val docs = Tables.documents(s, d)
+      Html.withHtml(docs)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.encode_warc_zst_dict_bare(
+            col("doc_id"),
+            concat(lit("http://w"), col("doc_id") % 50,
+              lit(".example/p"), col("doc_id")),
+            col("html"), lit(dict)).as("warczstb"))
+        .select(col("doc_id"),
+          explode(warc_records(
+            graft.functions.GraftFunctions.unzstd_bytes_dict(
+              col("warczstb"), lit(dict)))).as("r"))
+        .select(col("doc_id"), col("r.rec_idx").as("rec_idx"),
+          col("r.rec_type").as("rec_type"), col("r.uri").as("uri"),
+          col("r.content_length").as("content_length"),
+          col("r.http_status").as("http_status"))
+        .orderBy(col("doc_id"), col("rec_idx"))
+    })
+
+  val all: Seq[Q] = Seq(warcZstDictParseQ, warcZstDictArtifactQ)
 }

@@ -459,6 +459,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t_warc_zst_dict_artifact: shipped dict is a literal; ONE scan, no training subtree") {
+    val p = plan("t_warc_zst_dict_artifact")
+    // the train-once/ship twin (VERDICT r12 #7): the ≤4 KiB dict is an
+    // out-of-band artifact, so the query plan is a single narrow map
+    // over ONE documents scan — no gram-explode/groupBy training
+    // subtree, no second scan, no join; only the output sort exchanges
+    assert(p.split("Scan parquet").length - 1 === 1, p)
+    assert(p.split("Exchange").length - 1 <= 1, p)
+    assert(p.contains("rangepartitioning(doc_id"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t_warc_zst_parse: zstd encode + strict decode + record walk is a pure narrow map") {
     val p = plan("t_warc_zst_parse")
     // the whole compression layer (FSE/Huffman frames, XXH64 checks)

@@ -257,6 +257,23 @@ class ZstdDictTrainSpec extends SparkSpec {
       s"the Spark-trained dict must help on its own corpus: $dicted vs $plain")
   }
 
+  test("bare shipped-dict shards: NOT self-contained, dict round-trips them") {
+    // the train-once/ship twin's wire property (VERDICT r12 #7): the
+    // bare stream carries no leading dict frame, so a dict-less decode
+    // must REFUSE (offsets reach virtual history that isn't there),
+    // while decompressWithDict recovers the exact records
+    val docId = 42L
+    val html = "<html><body>" + ("the same boilerplate " * 80) + "</body></html>"
+    val dict = ("the same boilerplate " * 40).getBytes("UTF-8")
+    val bare = graft.functions.WarcCodec.encodeZstDictBare(
+      docId, s"http://w42.example/p42", html, dict)
+    assert(bare != null)
+    assert(ZstdCodec.decompress(bare) == null,
+      "a bare shard must not decode without its dictionary")
+    val back = ZstdCodec.decompressWithDict(bare, dict, ZstdCodec.MaxOutBytes)
+    assert(back != null && new String(back, "UTF-8").contains("WARC/1.0"))
+  }
+
   test("the registered stream is self-contained and layout-stable") {
     val docs = Tables.documents(spark, sf())
     val dict = graft.pipeline.ZstdDict.train(graft.pipeline.Html.withHtml(docs))
