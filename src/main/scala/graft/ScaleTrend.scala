@@ -173,7 +173,9 @@ object ScaleTrend {
     "t_lang_id_unicode",
     // round 13: the shipped-dict twin — encode/decode only, the dict
     // trained once per session (the t_warc_zst_parse slope shape)
-    "t_warc_zst_dict_artifact")
+    "t_warc_zst_dict_artifact",
+    // round 13: MP3 container walk — narrow map riding archive bytes
+    "m_mp3_parse")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -835,6 +835,57 @@ case class EncodeWarcZstDict(first: Expression, second: Expression,
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+/** Deterministic MP3 stream (Mp3Codec.encode): ID3v2.3 TIT2 tag +
+  * MPEG-1 Layer III frames (CBR or Xing'd VBR by seed parity), the
+  * planted arithmetic the oracle replays. */
+case class EncodeMp3(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(s: Any, n: Any): Any =
+    Mp3Codec.encode(s.asInstanceOf[Number].longValue(),
+      n.asInstanceOf[Number].intValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) => s"""
+       |${ev.value} = graft.functions.Mp3Codec.encode($s, $n);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): EncodeMp3 = copy(left = l, right = r)
+}
+
+/** Strict MP3 container parse (Mp3Codec.parse): ID3v2.3 walk + every
+  * MPEG-1 Layer III frame header validated and measured; NULL on any
+  * structural violation. */
+case class ParseMp3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ParseMp3.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    Mp3Codec.parse(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.Mp3Codec.parse($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ParseMp3 =
+    copy(child = newChild)
+}
+
+object ParseMp3 {
+  val schema: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("bitrate_mode", StringType, nullable = false),
+    StructField("audio_bytes", LongType, nullable = false),
+    StructField("id3_bytes", LongType, nullable = false),
+    StructField("has_xing", BooleanType, nullable = false),
+    StructField("pay_sum", LongType, nullable = false)))
+}
+
 /** The train-once/ship dict form (WarcCodec.encodeZstDictBare):
   * per-record dict-compressed frames, NO leading dict frame — the
   * dictionary is an out-of-band artifact (VERDICT r12 #7). */
@@ -1483,6 +1534,14 @@ object GraftFunctions {
       GraftColumnBridge.expression(html),
       GraftColumnBridge.expression(dict)))
 
+  def encode_mp3(seed: Column, nFrames: Column): Column =
+    GraftColumnBridge.column(EncodeMp3(
+      GraftColumnBridge.expression(seed),
+      GraftColumnBridge.expression(nFrames)))
+
+  def parse_mp3(bytes: Column): Column =
+    GraftColumnBridge.column(ParseMp3(GraftColumnBridge.expression(bytes)))
+
   def encode_warc_zst_dict_bare(docId: Column, uri: Column, html: Column,
       dict: Column): Column =
     GraftColumnBridge.column(EncodeWarcZstDictBare(
@@ -1610,6 +1669,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("encode_warc_zst_dict", es => EncodeWarcZstDict(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("encode_warc_zst_dict_bare", es => EncodeWarcZstDictBare(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("unzstd_bytes_dict", es => UnzstdBytesDict(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_mp3", es => EncodeMp3(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_mp3", es => ParseMp3(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_warc_zst_seekable", es => EncodeWarcZstSeekable(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("zst_seek_extract", es => ZstSeekExtract(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("unzstd_bytes", es => UnzstdBytes(es.head), "scala_udf")

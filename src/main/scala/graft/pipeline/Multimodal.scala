@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{avi_frame_stats, bmp_pixel_stats, byte_histogram, encode_avi, encode_bmp, encode_flac, encode_gif, encode_jpeg, encode_png, encode_wav, gif_pixel_stats, gunzip_text, gzip_text, jpeg_pixel_stats, pack_frames, parse_avi_header, parse_bmp_header, parse_flac_header, parse_flac_pcm, parse_frames, parse_gif_header, parse_jpeg_header, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, unzstd_bytes, wav_audio_fp, zstd_bytes}
+import graft.functions.GraftFunctions.{avi_frame_stats, bmp_pixel_stats, byte_histogram, encode_avi, encode_bmp, encode_flac, encode_gif, encode_jpeg, encode_mp3, encode_png, encode_wav, gif_pixel_stats, gunzip_text, gzip_text, jpeg_pixel_stats, pack_frames, parse_avi_header, parse_bmp_header, parse_flac_header, parse_flac_pcm, parse_frames, parse_gif_header, parse_jpeg_header, parse_mp3, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, unzstd_bytes, wav_audio_fp, zstd_bytes}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -581,38 +581,42 @@ object Multimodal {
   // ---- mixed-modality corpus: magic-byte sniff + decoder dispatch -------
 
   /** A HETEROGENEOUS container column — payload kind keyed on doc_id
-    * mod 9 (PNG / BMP / WAV / gzip text / JPEG / AVI / GIF / FLAC /
-    * zstd text — round 12 adds the modern compressed-text kind), each produced by the
+    * mod 10 (PNG / BMP / WAV / gzip text / JPEG / AVI / GIF / FLAC /
+    * zstd text / MP3 — round 12 added the modern compressed-text kind,
+    * round 13 the MP3 container), each produced by the
     * same codec the uniform families use. Every decode query above
     * assumes one payload type per column; a real crawled corpus is
     * mixed, and the first operator over it is "sniff the magic bytes,
     * route each blob to the right decoder". */
   def withMixedContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 9 === 0,
+    val payload = when(col("doc_id") % 10 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 9 === 1,
+      .when(col("doc_id") % 10 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 9 === 2,
+      .when(col("doc_id") % 10 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 9 === 4,
+      .when(col("doc_id") % 10 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(3), col("doc_id").cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 9 === 5,
+      .when(col("doc_id") % 10 === 5,
         encode_avi((ln % 24 + 8).cast("int"), (ln % 19 + 8).cast("int"),
           (ln % 4 + 2).cast("int"), lit(25),
           col("doc_id").cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 9 === 6,
+      .when(col("doc_id") % 10 === 6,
         encode_gif((ln % 60 + 1).cast("int"), (ln % 40 + 1).cast("int"),
           (ln % 3 + 2).cast("int"), col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 9 === 7,
+      .when(col("doc_id") % 10 === 7,
         encode_flac(lit(8000), lit(1), ln.cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 9 === 8,
+      .when(col("doc_id") % 10 === 8,
         zstd_bytes(encode(col("text"), "UTF-8")))
+      .when(col("doc_id") % 10 === 9,
+        encode_mp3(col("doc_id").cast(LongType),
+          (ln % 40 + 5).cast("int")))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -628,8 +632,9 @@ object Multimodal {
     * not abort, is the 100-TB contract. */
   /** Payload kind from magic bytes alone (the sniffer never sees
     * doc_id): PNG signature, BM, RIFF....WAVE, RIFF....AVI(space),
-    * gzip 1f 8b, JPEG ff d8 ff, GIF8, fLaC — the two RIFF forms
-    * disambiguate on the form-type fourcc, like a real sniffer. */
+    * gzip 1f 8b, JPEG ff d8 ff, GIF8, fLaC, zstd magic, ID3 (MP3 with
+    * an ID3v2 tag) — the two RIFF forms disambiguate on the form-type
+    * fourcc, like a real sniffer. */
   def sniffKind(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(hex(substring(p, 1, 4)) === "89504E47", "image/png")
       .when(hex(substring(p, 1, 2)) === "424D", "image/bmp")
@@ -642,6 +647,7 @@ object Multimodal {
       .when(hex(substring(p, 1, 4)) === "47494638", "image/gif")
       .when(hex(substring(p, 1, 4)) === "664C6143", "audio/flac")
       .when(hex(substring(p, 1, 4)) === "28B52FFD", "application/zstd")
+      .when(hex(substring(p, 1, 3)) === "494433", "audio/mpeg")
       .otherwise("unknown")
 
   def sniffDispatch(containers: DataFrame): DataFrame = {
@@ -674,7 +680,9 @@ object Multimodal {
           .when(col("kind") === "audio/flac",
             parse_flac_header(col("p")).getField("n_samples"))
           .when(col("kind") === "application/zstd",
-            length(unzstd_bytes(col("p")).cast("string")).cast(LongType)),
+            length(unzstd_bytes(col("p")).cast("string")).cast(LongType))
+          .when(col("kind") === "audio/mpeg",
+            parse_mp3(col("p")).getField("n_frames") * 1152),
         lit(-1L)).as("stat"))
   }
 
@@ -684,28 +692,30 @@ object Multimodal {
     * planted-pair property, mixed-corpus flavor. */
   def withMixedContentContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 9 === 0,
+    val payload = when(col("doc_id") % 10 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 9 === 1,
+      .when(col("doc_id") % 10 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           ln.cast(LongType)))
-      .when(col("doc_id") % 9 === 2,
+      .when(col("doc_id") % 10 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"), ln.cast(LongType)))
-      .when(col("doc_id") % 9 === 4,
+      .when(col("doc_id") % 10 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(3), ln.cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 9 === 5,
+      .when(col("doc_id") % 10 === 5,
         encode_avi((ln % 24 + 8).cast("int"), (ln % 19 + 8).cast("int"),
           (ln % 4 + 2).cast("int"), lit(25), ln.cast(LongType),
           lit(0).cast("int")))
-      .when(col("doc_id") % 9 === 6,
+      .when(col("doc_id") % 10 === 6,
         encode_gif((ln % 60 + 1).cast("int"), (ln % 40 + 1).cast("int"),
           (ln % 3 + 2).cast("int"), ln.cast(LongType)))
-      .when(col("doc_id") % 9 === 7,
+      .when(col("doc_id") % 10 === 7,
         encode_flac(lit(8000), lit(1), ln.cast("int"), ln.cast(LongType)))
-      .when(col("doc_id") % 9 === 8,
+      .when(col("doc_id") % 10 === 8,
         zstd_bytes(encode(col("text"), "UTF-8")))
+      .when(col("doc_id") % 10 === 9,
+        encode_mp3(ln.cast(LongType), (ln % 40 + 5).cast("int")))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -777,7 +787,18 @@ object Multimodal {
         // decoded-content key: the strict FSE/Huffman decode must be
         // transparent (XXH64-sealed), so md5(decompressed) == md5(text)
         .when(col("kind") === "application/zstd",
-          md5(unzstd_bytes(col("p")))))
+          md5(unzstd_bytes(col("p"))))
+        .when(col("kind") === "audio/mpeg", {
+          // container-walk key: frame count, exact frame-size sum, the
+          // summed payload bytes of every non-first frame, rate and
+          // channel mode — everything the strict walk measures; the
+          // oracle replays each from the content seed
+          val m = parse_mp3(col("p"))
+          md5(concat_ws("|",
+            m.getField("n_frames"), m.getField("audio_bytes"),
+            m.getField("pay_sum"), m.getField("sample_rate"),
+            m.getField("channels")))
+        }))
       .select(col("doc_id"), col("kind"), col("key"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("kind"), col("key"))
@@ -985,6 +1006,85 @@ object Multimodal {
     Some(WavOracleSql),
     (s, d) =>
       parseWavHeadersBatch(withWavContainers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** documents -> (doc_id, container): each doc carries a complete MP3
+    * container (ID3v2.3 TIT2 tag + MPEG-1 Layer III frames, CBR or
+    * Xing'd VBR by doc_id parity) framed into GRFT1 — modality 10
+    * (VERDICT r12 #8). All parameters derive from (doc_id, text) by
+    * the arithmetic the oracle replays. */
+  def withMp3Containers(docs: DataFrame, frameSize: Int = 64): DataFrame =
+    docs.select(
+      col("doc_id"),
+      pack_frames(
+        encode_mp3(col("doc_id").cast(LongType),
+          (length(col("text")) % 40 + 5).cast("int")),
+        lit(frameSize)).as("container"))
+
+  /** Deframe + strict container parse: every frame header validated,
+    * every payload byte of frames 1..n-1 summed (pay_sum pins the
+    * byte walk; frame 0 is excluded because the Xing block overwrites
+    * its plant). */
+  def parseMp3Streams(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"), parse_mp3(col("f.payload")).as("h"))
+      .select(col("doc_id"),
+        col("h.title").as("title"),
+        col("h.sample_rate").as("sample_rate"),
+        col("h.channels").as("channels"),
+        col("h.n_frames").as("n_frames"),
+        col("h.duration_ms").as("duration_ms"),
+        col("h.bitrate_mode").as("bitrate_mode"),
+        col("h.audio_bytes").as("audio_bytes"),
+        col("h.id3_bytes").as("id3_bytes"),
+        col("h.has_xing").as("has_xing"),
+        col("h.pay_sum").as("pay_sum"))
+
+  /** The oracle recomputes EVERY field — including the summed payload
+    * bytes of every non-first frame and the VBR cycle's exact frame
+    * sizes — from (doc_id, length(text)) by the generator formulas, so
+    * a table, frame-size, ID3, Xing-offset, or byte-walk bug anywhere
+    * in the MP3 path hash-fails. */
+  private val Mp3OracleSql: String = {
+    val vbrSz = "(CASE CAST(i % 3 AS INT) WHEN 0 THEN v0 WHEN 1 THEN v1 ELSE v2 END)"
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(length(text) % 40 + 5 AS BIGINT) AS n,
+       |    CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS BIGINT) AS rate,
+       |    doc_id % 2 = 1 AS vbr,
+       |    CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192 ELSE 224 END AS BIGINT) AS ck
+       |  FROM documents),
+       |sz AS (
+       |  SELECT doc_id, n, rate, vbr,
+       |    144000 * ck // rate AS cs,
+       |    144000 * 112 // rate AS v0,
+       |    144000 * 160 // rate AS v1,
+       |    144000 * 224 // rate AS v2
+       |  FROM base)
+       |SELECT doc_id,
+       |  'doc' || CAST(doc_id AS VARCHAR) AS title,
+       |  rate AS sample_rate,
+       |  CAST(CASE WHEN doc_id % 7 < 3 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+       |  n AS n_frames,
+       |  CAST(n * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+       |  CASE WHEN vbr THEN 'vbr' ELSE 'cbr' END AS bitrate_mode,
+       |  CAST(CASE WHEN vbr
+       |    THEN (n // 3) * (v0 + v1 + v2)
+       |      + CASE WHEN n % 3 >= 1 THEN v0 ELSE 0 END
+       |      + CASE WHEN n % 3 >= 2 THEN v1 ELSE 0 END
+       |    ELSE n * cs END AS BIGINT) AS audio_bytes,
+       |  CAST(21 + length('doc' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS id3_bytes,
+       |  vbr AS has_xing,
+       |  CAST(COALESCE(list_sum(list_transform(range(1, CAST(n AS INT)), i ->
+       |    list_sum(list_transform(range(CAST((CASE WHEN vbr THEN $vbrSz ELSE cs END) - 4 AS INT)), j ->
+       |      (doc_id * 31 + i * 7 + j * 3) % 256)))), 0) AS BIGINT) AS pay_sum
+       |FROM sz ORDER BY doc_id""".stripMargin
+  }
+
+  val mp3ParseQ: Q = Q(
+    "m_mp3_parse",
+    Some(Mp3OracleSql),
+    (s, d) =>
+      parseMp3Streams(withMp3Containers(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
   /** Decode the BIG-ENDIAN format inside GRFT1 frames: each document
@@ -1275,21 +1375,22 @@ object Multimodal {
       audioNearDups(withWavContentContainers(Tables.documents(s, d))))
 
   /** The oracle knows which kind each doc_id CARRIES (the generator's
-    * mod-9 rule) and that kind's canonical stat formula — the Spark
+    * mod-10 rule) and that kind's canonical stat formula — the Spark
     * side must recover both from the BYTES alone (magic sniff, then
     * the kind's real decoder), so a mis-route, a magic collision
     * (including the WAVE/AVI shared RIFF prefix), or a wrong decoder
     * output all hash-fail. Video's stat = total pixels w·h·frames. */
   private val SniffOracleSql: String =
     """SELECT doc_id,
-      |  CASE CAST(doc_id % 9 AS INT)
+      |  CASE CAST(doc_id % 10 AS INT)
       |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
       |    WHEN 2 THEN 'audio/wav' WHEN 4 THEN 'image/jpeg'
       |    WHEN 5 THEN 'video/avi' WHEN 6 THEN 'image/gif'
       |    WHEN 7 THEN 'audio/flac'
       |    WHEN 8 THEN 'application/zstd'
+      |    WHEN 9 THEN 'audio/mpeg'
       |    ELSE 'text/gzip' END AS kind,
-      |  CAST(CASE CAST(doc_id % 9 AS INT)
+      |  CAST(CASE CAST(doc_id % 10 AS INT)
       |    WHEN 0 THEN (length(text) % 80 + 1) * (length(text) % 60 + 1)
       |    WHEN 1 THEN (length(text) % 64 + 1) * (length(text) % 48 + 1)
       |    WHEN 2 THEN length(text)
@@ -1299,6 +1400,7 @@ object Multimodal {
       |    WHEN 6 THEN (length(text) % 60 + 1) * (length(text) % 40 + 1)
       |    WHEN 7 THEN length(text)
       |    WHEN 8 THEN length(text)
+      |    WHEN 9 THEN (length(text) % 40 + 5) * 1152
       |    ELSE length(text) END AS BIGINT) AS stat
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -1310,13 +1412,14 @@ object Multimodal {
         .orderBy(col("doc_id")))
 
   /** The oracle re-derives every kind's duplicate key from (doc_id mod
-    * 8, text) by the generator formulas — the PNG aHash, BMP per-channel
-    * sum/peak digest, WAV energy-fingerprint, JPEG decoded-RGB digest,
-    * AVI per-frame-sum, GIF decoded-stat digest, and FLAC
-    * reconstructed-sample digest constructions above, restricted to
+    * 10, text) by the generator formulas — the PNG aHash, BMP
+    * per-channel sum/peak digest, WAV energy-fingerprint, JPEG
+    * decoded-RGB digest, AVI per-frame-sum, GIF decoded-stat digest,
+    * FLAC reconstructed-sample digest, zstd recovered-text md5, and
+    * MP3 container-walk digest constructions above, restricted to
     * each kind's docs — and elects survivors with the same (kind, key)
     * min-id window. The Spark side must reproduce keeper elections
-    * through sniff + eight REAL decoders, so a mis-route, a decode bug,
+    * through sniff + ten REAL decoders, so a mis-route, a decode bug,
     * or a digest field-order slip all hash-fail. */
   private val MixedDedupOracleSql: String = {
     val raw = "((2*k*7 + L) % 251) + 256*(((2*k+1)*7 + L) % 251)"
@@ -1362,7 +1465,7 @@ object Multimodal {
        |        SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) % 80 + 1 AS BIGINT) AS w,
        |          CAST(length(text) % 60 + 1 AS BIGINT) AS h
-       |        FROM documents WHERE doc_id % 9 = 0)))),
+       |        FROM documents WHERE doc_id % 10 = 0)))),
        |bstat AS (
        |  SELECT doc_id, w, h,
        |    ${bmpChan("(L + 7*x + 13*y) % 251")} AS bs,
@@ -1371,7 +1474,7 @@ object Multimodal {
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |      CAST(length(text) % 64 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 48 + 1 AS BIGINT) AS h
-       |    FROM documents WHERE doc_id % 9 = 1)),
+       |    FROM documents WHERE doc_id % 10 = 1)),
        |jkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
@@ -1384,7 +1487,7 @@ object Multimodal {
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |      CAST(length(text) % 80 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 60 + 1 AS BIGINT) AS h
-       |    FROM documents WHERE doc_id % 9 = 4)),
+       |    FROM documents WHERE doc_id % 10 = 4)),
        |vkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|25|' ||
@@ -1396,7 +1499,7 @@ object Multimodal {
        |      CAST(length(text) % 24 + 8 AS BIGINT) AS w,
        |      CAST(length(text) % 19 + 8 AS BIGINT) AS h,
        |      CAST(length(text) % 4 + 2 AS BIGINT) AS nf
-       |    FROM documents WHERE doc_id % 9 = 5)),
+       |    FROM documents WHERE doc_id % 10 = 5)),
        |gkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' ||
@@ -1411,7 +1514,7 @@ object Multimodal {
        |      CAST(length(text) % 60 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 40 + 1 AS BIGINT) AS h,
        |      CAST(1 << CAST(length(text) % 3 + 2 AS INT) AS BIGINT) AS P
-       |    FROM documents WHERE doc_id % 9 = 6)),
+       |    FROM documents WHERE doc_id % 10 = 6)),
        |bkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
@@ -1430,7 +1533,7 @@ object Multimodal {
        |           ELSE CAST($raw AS BIGINT) * ($raw) END) AS ss
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) AS BIGINT) AS n
-       |        FROM documents WHERE doc_id % 9 = 2)),
+       |        FROM documents WHERE doc_id % 10 = 2)),
        |es AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(0, 62), w ->
@@ -1450,7 +1553,7 @@ object Multimodal {
        |           ELSE CAST($raw AS BIGINT) END) AS sv
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) AS BIGINT) AS n
-       |        FROM documents WHERE doc_id % 9 = 7)),
+       |        FROM documents WHERE doc_id % 10 = 7)),
        |fkey AS (
        |  SELECT doc_id, md5(
        |    CAST(n AS VARCHAR) || '|' ||
@@ -1459,6 +1562,32 @@ object Multimodal {
        |    CAST(CAST(COALESCE(list_max(list_transform(sv, x -> abs(x))), 0)
        |      AS BIGINT) AS VARCHAR)) AS key
        |  FROM fsv),
+       |msz AS (
+       |  SELECT doc_id, L, n, rate, vbr,
+       |    144000 * ck // rate AS cs,
+       |    144000 * 112 // rate AS v0,
+       |    144000 * 160 // rate AS v1,
+       |    144000 * 224 // rate AS v2
+       |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+       |      CAST(length(text) % 40 + 5 AS BIGINT) AS n,
+       |      CAST(CASE CAST(length(text) % 3 AS INT) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS BIGINT) AS rate,
+       |      length(text) % 2 = 1 AS vbr,
+       |      CAST(CASE CAST(length(text) % 4 AS INT) WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192 ELSE 224 END AS BIGINT) AS ck
+       |    FROM documents WHERE doc_id % 10 = 9)),
+       |mkey AS (
+       |  SELECT doc_id, md5(
+       |    CAST(n AS VARCHAR) || '|' ||
+       |    CAST(CAST(CASE WHEN vbr
+       |      THEN (n // 3) * (v0 + v1 + v2)
+       |        + CASE WHEN n % 3 >= 1 THEN v0 ELSE 0 END
+       |        + CASE WHEN n % 3 >= 2 THEN v1 ELSE 0 END
+       |      ELSE n * cs END AS BIGINT) AS VARCHAR) || '|' ||
+       |    CAST(CAST(COALESCE(list_sum(list_transform(range(1, CAST(n AS INT)), i ->
+       |      list_sum(list_transform(range(CAST((CASE WHEN vbr THEN (CASE CAST(i % 3 AS INT) WHEN 0 THEN v0 WHEN 1 THEN v1 ELSE v2 END) ELSE cs END) - 4 AS INT)), j ->
+       |      (L * 31 + i * 7 + j * 3) % 256)))), 0) AS BIGINT) AS VARCHAR) || '|' ||
+       |    CAST(rate AS VARCHAR) || '|' ||
+       |    CAST(CASE WHEN L % 7 < 3 THEN 1 ELSE 2 END AS VARCHAR)) AS key
+       |  FROM msz),
        |keys AS (
        |  SELECT doc_id, 'image/png' AS kind, CAST(ahash AS VARCHAR) AS key FROM pimg
        |  UNION ALL
@@ -1466,7 +1595,7 @@ object Multimodal {
        |  UNION ALL
        |  SELECT doc_id, 'audio/wav', CAST(afp AS VARCHAR) FROM paud
        |  UNION ALL
-       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 9 = 3
+       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 10 = 3
        |  UNION ALL
        |  SELECT doc_id, 'image/jpeg', key FROM jkey
        |  UNION ALL
@@ -1476,7 +1605,9 @@ object Multimodal {
        |  UNION ALL
        |  SELECT doc_id, 'audio/flac', key FROM fkey
        |  UNION ALL
-       |  SELECT doc_id, 'application/zstd', md5(text) FROM documents WHERE doc_id % 9 = 8)
+       |  SELECT doc_id, 'application/zstd', md5(text) FROM documents WHERE doc_id % 10 = 8
+       |  UNION ALL
+       |  SELECT doc_id, 'audio/mpeg', key FROM mkey)
        |SELECT doc_id, kind,
        |  min(doc_id) OVER (PARTITION BY kind, key) AS keeper_id,
        |  doc_id > min(doc_id) OVER (PARTITION BY kind, key) AS is_dup
@@ -1791,5 +1922,5 @@ object Multimodal {
     jpegDecodeQ, jpegDecodeBatchQ, jpegPixelsQ,
     gifDecodeQ, gifDecodeBatchQ, gifPixelsQ,
     imageAHashQ, imageResizeQ, imageDedupQ, audioFpQ, audioDedupQ,
-    sniffDispatchQ, mixedDedupQ)
+    sniffDispatchQ, mixedDedupQ, mp3ParseQ)
 }

@@ -86,18 +86,19 @@ class AudioDedupSpec extends SparkSpec {
     val expectKind = Map(0 -> "image/png", 1 -> "image/bmp",
       2 -> "audio/wav", 3 -> "text/gzip", 4 -> "image/jpeg",
       5 -> "video/avi", 6 -> "image/gif", 7 -> "audio/flac",
-      8 -> "application/zstd")
+      8 -> "application/zstd", 9 -> "audio/mpeg")
     out.foreach { r =>
       val id = r.getLong(0)
-      assert(r.getString(1) === expectKind((id % 9).toInt), s"doc $id")
+      assert(r.getString(1) === expectKind((id % 10).toInt), s"doc $id")
       assert(r.getLong(2) >= 0L, s"doc $id decoded stat must be valid")
     }
-    // the round-10/11/12 kinds are actually present in the routed corpus
+    // the round-10/11/12/13 kinds are actually present in the routed corpus
     assert(out.exists(_.getString(1) == "image/jpeg"))
     assert(out.exists(_.getString(1) == "video/avi"))
     assert(out.exists(_.getString(1) == "image/gif"))
     assert(out.exists(_.getString(1) == "audio/flac"))
     assert(out.exists(_.getString(1) == "application/zstd"))
+    assert(out.exists(_.getString(1) == "audio/mpeg"))
   }
 
   test("mixed dedup: survivor election is consistent, kind-scoped, and layout-stable") {
