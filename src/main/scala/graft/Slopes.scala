@@ -34,6 +34,12 @@ object Slopes {
       name == "d_coreset_kcenter" || name == "d_decontaminate_embedding")
       "embeddings"
     else if (name.startsWith("g_")) "edges"
+    // audio/compressed-text media whose planted size IS length(text)
+    // (samples / recovered chars) ride text bytes, not doc count —
+    // /tmp/sf1 carries 13.6x the text of 10x the docs, and quoting
+    // these on docs reads a bogus +0.13 exponent
+    else if (name.startsWith("m_flac") || name.startsWith("m_wav") ||
+      name.startsWith("m_gzip") || name == "m_audio_fp") "text_bytes"
     else if (name.startsWith("m_")) "docs"
     else if (name.startsWith("t_") || name.startsWith("d_")) "text_bytes"
     else "rows" // q1/w/x/st: the relational fact tables

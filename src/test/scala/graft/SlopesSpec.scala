@@ -52,6 +52,10 @@ class SlopesSpec extends AnyFunSuite {
     assert(Slopes.basisOf("t_token_bpe") === "text_bytes")
     assert(Slopes.basisOf("d_dup_span") === "text_bytes")
     assert(Slopes.basisOf("m_jpeg_decode") === "docs")
+    assert(Slopes.basisOf("m_flac_loudness") === "text_bytes")
+    assert(Slopes.basisOf("m_wav_decode") === "text_bytes")
+    assert(Slopes.basisOf("m_gzip_decode") === "text_bytes")
+    assert(Slopes.basisOf("m_audio_fp") === "text_bytes")
     assert(Slopes.basisOf("q1_agg") === "rows")
     assert(Slopes.basisOf("x_asof_join_native") === "rows")
     assert(Slopes.basisOf("st_dedup") === "rows")
