@@ -51,21 +51,30 @@ object Slopes {
     else math.log(wallB / wallA) / math.log(massB / massA)
 
   /** Entries whose exponent worsened > 0.15 vs the prior artifact:
-    * (name, curP, priorP). Missing/NaN entries never flag. */
-  private[graft] def slopeDriftAgainst(prior: Map[String, Double],
-      cur: Map[String, Double]): Seq[(String, Double, Double)] =
-    cur.toSeq.sortBy(_._1).flatMap { case (k, p) =>
+    * (name, curP, priorP). Missing/NaN entries never flag, and BOTH
+    * measurements must carry a >= 5 s sf-B wall: the gate's own first
+    * fire (two same-code r13 runs) measured run-over-run Δp up to
+    * ±0.4 on sub-5 s entries — at those walls the exponent is noise,
+    * exactly the class the wall gate's 0.5 s absolute floor guards. */
+  private[graft] val MinWallB = 5.0
+
+  private[graft] def slopeDriftAgainst(prior: Map[String, (Double, Double)],
+      cur: Map[String, (Double, Double)]): Seq[(String, Double, Double)] =
+    cur.toSeq.sortBy(_._1).flatMap { case (k, (p, wb)) =>
       prior.get(k) match {
-        case Some(q) if p.isFinite && q.isFinite && p - q > 0.15 =>
+        case Some((q, pwb)) if p.isFinite && q.isFinite &&
+          p - q > 0.15 && wb >= MinWallB && pwb >= MinWallB =>
           Some((k, p, q))
         case _ => None
       }
     }
 
   /** Newest committed SLOPES_r*.json with the same dir pair:
-    * (tag, name -> p). Best-effort, like Bench.priorBenchMins. */
+    * (tag, name -> (p, wallB)). Best-effort, like
+    * Bench.priorBenchMins; entries without a detail wall read 0 (and
+    * so never pass the drift gate's wall floor). */
   private[graft] def priorSlopes(repoDir: String, dirA: String,
-      dirB: String): Option[(String, Map[String, Double])] =
+      dirB: String): Option[(String, Map[String, (Double, Double)])] =
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val rx = "^SLOPES_r(\\d+)\\.json$".r
@@ -84,10 +93,13 @@ object Slopes {
               root.path("dirB").asText("") != dirB ||
               !root.path("p").isObject) None
             else {
-              val m = scala.collection.mutable.Map.empty[String, Double]
+              val m = scala.collection.mutable.Map.empty[String, (Double, Double)]
               val it = root.path("p").properties().iterator()
               while (it.hasNext) {
-                val e = it.next(); m(e.getKey) = e.getValue.asDouble(Double.NaN)
+                val e = it.next()
+                val wb = root.path("detail").path(e.getKey)
+                  .path("wallB").asDouble(0.0)
+                m(e.getKey) = (e.getValue.asDouble(Double.NaN), wb)
               }
               Some((f.getName.stripSuffix(".json"), m.toMap))
             }
@@ -173,7 +185,8 @@ object Slopes {
     val prior = priorSlopes("/root/repo", dirA, dirB)
     val drift = prior match {
       case Some((_, pm)) =>
-        slopeDriftAgainst(pm, ps.map { case (n, (_, _, _, p)) => n -> p }.toMap)
+        slopeDriftAgainst(pm,
+          ps.map { case (n, (_, b, _, p)) => n -> ((p, b)) }.toMap)
       case None => Nil
     }
     def d3(v: Double): String =

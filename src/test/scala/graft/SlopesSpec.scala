@@ -19,28 +19,36 @@ class SlopesSpec extends AnyFunSuite {
     assert(Slopes.fitExponent(1.0, 1.0, 10, 10).isNaN)
   }
 
-  test("slopeDriftAgainst flags only >0.15 worsening") {
-    val prior = Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0, "d" -> 1.0)
+  test("slopeDriftAgainst flags only >0.15 worsening on >=5s walls") {
+    val prior = Map(
+      "a" -> (1.0, 9.0), "b" -> (1.0, 9.0), "c" -> (2.0, 9.0),
+      "d" -> (1.0, 9.0), "f" -> (1.0, 9.0), "g" -> (1.0, 1.0))
     val cur = Map(
-      "a" -> 1.3,            // +0.30: flagged
-      "b" -> 1.1,            // +0.10: within noise
-      "c" -> 1.2,            // improved: never flagged
-      "d" -> Double.NaN,     // unfittable: never flagged
-      "e" -> 3.0)            // no prior: never flagged
+      "a" -> (1.3, 9.0),          // +0.30 on big walls: flagged
+      "b" -> (1.1, 9.0),          // +0.10: within noise
+      "c" -> (1.2, 9.0),          // improved: never flagged
+      "d" -> (Double.NaN, 9.0),   // unfittable: never flagged
+      "e" -> (3.0, 9.0),          // no prior: never flagged
+      // sub-5s walls: the gate's own first fire measured ±0.4 Δp of
+      // pure run-over-run noise at this size — never flagged
+      "f" -> (1.6, 2.0),          // cur wall too small
+      "g" -> (1.6, 9.0))          // prior wall too small
     assert(Slopes.slopeDriftAgainst(prior, cur) === Seq(("a", 1.3, 1.0)))
   }
 
   test("priorSlopes picks the newest committed artifact with the SAME dir pair") {
     val dir = java.nio.file.Files.createTempDirectory("slopes")
-    def write(name: String, dirA: String, dirB: String, p: String): Unit =
+    def write(name: String, dirA: String, dirB: String, p: String,
+        detail: String = "{}"): Unit =
       java.nio.file.Files.writeString(dir.resolve(name),
-        s"""{"dirA":"$dirA","dirB":"$dirB","p":{$p}}""")
-    write("SLOPES_r12.json", "/sf0.1", "/sf1", "\"q\":1.05")
+        s"""{"dirA":"$dirA","dirB":"$dirB","p":{$p},"detail":$detail}""")
+    write("SLOPES_r12.json", "/sf0.1", "/sf1", "\"q\":1.05",
+      """{"q":{"wallA":1.0,"wallB":12.5,"basis":"rows"}}""")
     write("SLOPES_r13.json", "/sf0.1", "/sf10", "\"q\":2.0") // other pair
     java.nio.file.Files.writeString(dir.resolve("SLOPES_r14.json"), "{broken")
     val got = Slopes.priorSlopes(dir.toString, "/sf0.1", "/sf1")
     assert(got.map(_._1) === Some("SLOPES_r12"))
-    assert(got.get._2("q") === 1.05)
+    assert(got.get._2("q") === ((1.05, 12.5)))
     assert(Slopes.priorSlopes(dir.toString, "/x", "/y") === None)
   }
 
