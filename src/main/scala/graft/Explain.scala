@@ -158,7 +158,8 @@ object Explain {
       // round 13
       "t_lang_id_unicode" -> "non-ASCII marker-corpus lang-id: code-point char trigrams over a derived non-BMP marker suffix, same ONE train shuffle + broadcast-scored re-agg — the unicode-semantics pin for every gram lane",
       "t_warc_zst_dict_artifact" -> "train-once/ship dict ingest: bare dict-compressed shards decoded against the broadcast <=4 KiB artifact — ONE scan, zero training subtree in-plan (the 100-TB dictionary economics)",
-      "m_mp3_parse" -> "MP3 container walk (modality 10): ID3v2.3 + every MPEG-1 Layer III frame header validated + payload byte-sum, a pure narrow codegen'd map riding total archive bytes")
+      "m_mp3_parse" -> "MP3 container walk (modality 10): ID3v2.3 + every MPEG-1 Layer III frame header validated + payload byte-sum, a pure narrow codegen'd map riding total archive bytes",
+      "m_ogg_parse" -> "Ogg page walk (modality 11): RFC 3533 pages with REAL page CRC-32s verified, lacing packet reassembly, a pure narrow codegen'd map riding total archive bytes")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — headline physical plans\n\n")

@@ -175,7 +175,9 @@ object ScaleTrend {
     // trained once per session (the t_warc_zst_parse slope shape)
     "t_warc_zst_dict_artifact",
     // round 13: MP3 container walk — narrow map riding archive bytes
-    "m_mp3_parse")
+    "m_mp3_parse",
+    // round 13: Ogg page walk — CRC-verified narrow map, same shape
+    "m_ogg_parse")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.FrameCodec
-import graft.functions.GraftFunctions.{avi_frame_stats, bmp_pixel_stats, byte_histogram, encode_avi, encode_bmp, encode_flac, encode_gif, encode_jpeg, encode_mp3, encode_png, encode_wav, gif_pixel_stats, gunzip_text, gzip_text, jpeg_pixel_stats, pack_frames, parse_avi_header, parse_bmp_header, parse_flac_header, parse_flac_pcm, parse_frames, parse_gif_header, parse_jpeg_header, parse_mp3, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, unzstd_bytes, wav_audio_fp, zstd_bytes}
+import graft.functions.GraftFunctions.{avi_frame_stats, bmp_pixel_stats, byte_histogram, encode_avi, encode_bmp, encode_flac, encode_gif, encode_jpeg, encode_mp3, encode_ogg, encode_png, encode_wav, gif_pixel_stats, gunzip_text, gzip_text, jpeg_pixel_stats, pack_frames, parse_avi_header, parse_bmp_header, parse_flac_header, parse_flac_pcm, parse_frames, parse_gif_header, parse_jpeg_header, parse_mp3, parse_ogg, parse_png_header, parse_wav_header, parse_wav_pcm, png_ahash, png_pixel_stats, sample_bytes, unzstd_bytes, wav_audio_fp, zstd_bytes}
 import graft.registry.Q
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.5): media as
@@ -581,42 +581,45 @@ object Multimodal {
   // ---- mixed-modality corpus: magic-byte sniff + decoder dispatch -------
 
   /** A HETEROGENEOUS container column — payload kind keyed on doc_id
-    * mod 10 (PNG / BMP / WAV / gzip text / JPEG / AVI / GIF / FLAC /
-    * zstd text / MP3 — round 12 added the modern compressed-text kind,
-    * round 13 the MP3 container), each produced by the
+    * mod 11 (PNG / BMP / WAV / gzip text / JPEG / AVI / GIF / FLAC /
+    * zstd text / MP3 / Ogg — round 12 added the modern compressed-text
+    * kind, round 13 the MP3 and Ogg containers), each produced by the
     * same codec the uniform families use. Every decode query above
     * assumes one payload type per column; a real crawled corpus is
     * mixed, and the first operator over it is "sniff the magic bytes,
     * route each blob to the right decoder". */
   def withMixedContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 10 === 0,
+    val payload = when(col("doc_id") % 11 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 10 === 1,
+      .when(col("doc_id") % 11 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 10 === 2,
+      .when(col("doc_id") % 11 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 10 === 4,
+      .when(col("doc_id") % 11 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(3), col("doc_id").cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 10 === 5,
+      .when(col("doc_id") % 11 === 5,
         encode_avi((ln % 24 + 8).cast("int"), (ln % 19 + 8).cast("int"),
           (ln % 4 + 2).cast("int"), lit(25),
           col("doc_id").cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 10 === 6,
+      .when(col("doc_id") % 11 === 6,
         encode_gif((ln % 60 + 1).cast("int"), (ln % 40 + 1).cast("int"),
           (ln % 3 + 2).cast("int"), col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 10 === 7,
+      .when(col("doc_id") % 11 === 7,
         encode_flac(lit(8000), lit(1), ln.cast("int"),
           col("doc_id").cast(LongType)))
-      .when(col("doc_id") % 10 === 8,
+      .when(col("doc_id") % 11 === 8,
         zstd_bytes(encode(col("text"), "UTF-8")))
-      .when(col("doc_id") % 10 === 9,
+      .when(col("doc_id") % 11 === 9,
         encode_mp3(col("doc_id").cast(LongType),
           (ln % 40 + 5).cast("int")))
+      .when(col("doc_id") % 11 === 10,
+        encode_ogg(col("doc_id").cast(LongType),
+          (ln % 30 + 3).cast("int")))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -648,6 +651,7 @@ object Multimodal {
       .when(hex(substring(p, 1, 4)) === "664C6143", "audio/flac")
       .when(hex(substring(p, 1, 4)) === "28B52FFD", "application/zstd")
       .when(hex(substring(p, 1, 3)) === "494433", "audio/mpeg")
+      .when(hex(substring(p, 1, 4)) === "4F676753", "audio/ogg")
       .otherwise("unknown")
 
   def sniffDispatch(containers: DataFrame): DataFrame = {
@@ -682,7 +686,9 @@ object Multimodal {
           .when(col("kind") === "application/zstd",
             length(unzstd_bytes(col("p")).cast("string")).cast(LongType))
           .when(col("kind") === "audio/mpeg",
-            parse_mp3(col("p")).getField("n_frames") * 1152),
+            parse_mp3(col("p")).getField("n_frames") * 1152)
+          .when(col("kind") === "audio/ogg",
+            parse_ogg(col("p")).getField("n_packets")),
         lit(-1L)).as("stat"))
   }
 
@@ -692,30 +698,32 @@ object Multimodal {
     * planted-pair property, mixed-corpus flavor. */
   def withMixedContentContainers(docs: DataFrame, frameSize: Int = 64): DataFrame = {
     val ln = length(col("text"))
-    val payload = when(col("doc_id") % 10 === 0,
+    val payload = when(col("doc_id") % 11 === 0,
         encode_png((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(2), ln.cast(LongType)))
-      .when(col("doc_id") % 10 === 1,
+      .when(col("doc_id") % 11 === 1,
         encode_bmp((ln % 64 + 1).cast("int"), (ln % 48 + 1).cast("int"),
           ln.cast(LongType)))
-      .when(col("doc_id") % 10 === 2,
+      .when(col("doc_id") % 11 === 2,
         encode_wav(lit(8000), lit(1), ln.cast("int"), ln.cast(LongType)))
-      .when(col("doc_id") % 10 === 4,
+      .when(col("doc_id") % 11 === 4,
         encode_jpeg((ln % 80 + 1).cast("int"), (ln % 60 + 1).cast("int"),
           lit(3), ln.cast(LongType), lit(0).cast("int")))
-      .when(col("doc_id") % 10 === 5,
+      .when(col("doc_id") % 11 === 5,
         encode_avi((ln % 24 + 8).cast("int"), (ln % 19 + 8).cast("int"),
           (ln % 4 + 2).cast("int"), lit(25), ln.cast(LongType),
           lit(0).cast("int")))
-      .when(col("doc_id") % 10 === 6,
+      .when(col("doc_id") % 11 === 6,
         encode_gif((ln % 60 + 1).cast("int"), (ln % 40 + 1).cast("int"),
           (ln % 3 + 2).cast("int"), ln.cast(LongType)))
-      .when(col("doc_id") % 10 === 7,
+      .when(col("doc_id") % 11 === 7,
         encode_flac(lit(8000), lit(1), ln.cast("int"), ln.cast(LongType)))
-      .when(col("doc_id") % 10 === 8,
+      .when(col("doc_id") % 11 === 8,
         zstd_bytes(encode(col("text"), "UTF-8")))
-      .when(col("doc_id") % 10 === 9,
+      .when(col("doc_id") % 11 === 9,
         encode_mp3(ln.cast(LongType), (ln % 40 + 5).cast("int")))
+      .when(col("doc_id") % 11 === 10,
+        encode_ogg(ln.cast(LongType), (ln % 30 + 3).cast("int")))
       .otherwise(gzip_text(col("text")))
     docs.select(col("doc_id"),
       pack_frames(payload, lit(frameSize)).as("container"))
@@ -798,6 +806,14 @@ object Multimodal {
             m.getField("n_frames"), m.getField("audio_bytes"),
             m.getField("pay_sum"), m.getField("sample_rate"),
             m.getField("channels")))
+        })
+        .when(col("kind") === "audio/ogg", {
+          // page-walk key: packet count, reassembled payload size and
+          // byte sum, the stream serial — all CRC-verified by parse
+          val o = parse_ogg(col("p"))
+          md5(concat_ws("|",
+            o.getField("n_packets"), o.getField("payload_bytes"),
+            o.getField("pay_sum"), o.getField("serial")))
         }))
       .select(col("doc_id"), col("kind"), col("key"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1085,6 +1101,55 @@ object Multimodal {
     Some(Mp3OracleSql),
     (s, d) =>
       parseMp3Streams(withMp3Containers(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+
+  /** documents -> (doc_id, container): each doc carries a complete Ogg
+    * stream (RFC 3533 pages, real page CRC-32s, BOS/EOS placement,
+    * planted packets) framed into GRFT1 — modality 11, the sibling the
+    * VERDICT r12 #8 option named alongside MP3. */
+  def withOggContainers(docs: DataFrame, frameSize: Int = 64): DataFrame =
+    docs.select(
+      col("doc_id"),
+      pack_frames(
+        encode_ogg(col("doc_id").cast(LongType),
+          (length(col("text")) % 30 + 3).cast("int")),
+        lit(frameSize)).as("container"))
+
+  /** Deframe + strict page walk: every page CRC-verified, every
+    * packet reassembled by lacing values, every payload byte summed. */
+  def parseOggStreams(containers: DataFrame): DataFrame =
+    containers.select(col("doc_id"), parse_frames(col("container")).as("f"))
+      .select(col("doc_id"), parse_ogg(col("f.payload")).as("h"))
+      .select(col("doc_id"),
+        col("h.n_pages").as("n_pages"),
+        col("h.n_packets").as("n_packets"),
+        col("h.serial").as("serial"),
+        col("h.granule_last").as("granule_last"),
+        col("h.payload_bytes").as("payload_bytes"),
+        col("h.pay_sum").as("pay_sum"))
+
+  /** The oracle recomputes every field — page count from the
+    * 8-packets-per-page packing, every planted packet length, and the
+    * full payload byte sum — from (doc_id, length(text)), so a lacing,
+    * CRC-placement, paging, or byte-walk bug anywhere hash-fails. */
+  private val OggOracleSql: String =
+    """SELECT doc_id,
+      |  CAST((n + 7) // 8 AS BIGINT) AS n_pages,
+      |  n AS n_packets,
+      |  CAST(doc_id % 1000000000 AS BIGINT) AS serial,
+      |  n AS granule_last,
+      |  CAST(list_sum(list_transform(range(CAST(n AS INT)), k -> 100 + (doc_id*7 + k*13) % 155)) AS BIGINT) AS payload_bytes,
+      |  CAST(list_sum(list_transform(range(CAST(n AS INT)), k ->
+      |    list_sum(list_transform(range(CAST(100 + (doc_id*7 + k*13) % 155 AS INT)), j -> (doc_id*17 + k*11 + j*5) % 256)))) AS BIGINT) AS pay_sum
+      |FROM (SELECT doc_id, CAST(length(text) % 30 + 3 AS BIGINT) AS n
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  val oggParseQ: Q = Q(
+    "m_ogg_parse",
+    Some(OggOracleSql),
+    (s, d) =>
+      parseOggStreams(withOggContainers(Tables.documents(s, d)))
         .orderBy(col("doc_id")))
 
   /** Decode the BIG-ENDIAN format inside GRFT1 frames: each document
@@ -1375,22 +1440,23 @@ object Multimodal {
       audioNearDups(withWavContentContainers(Tables.documents(s, d))))
 
   /** The oracle knows which kind each doc_id CARRIES (the generator's
-    * mod-10 rule) and that kind's canonical stat formula — the Spark
+    * mod-11 rule) and that kind's canonical stat formula — the Spark
     * side must recover both from the BYTES alone (magic sniff, then
     * the kind's real decoder), so a mis-route, a magic collision
     * (including the WAVE/AVI shared RIFF prefix), or a wrong decoder
     * output all hash-fail. Video's stat = total pixels w·h·frames. */
   private val SniffOracleSql: String =
     """SELECT doc_id,
-      |  CASE CAST(doc_id % 10 AS INT)
+      |  CASE CAST(doc_id % 11 AS INT)
       |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
       |    WHEN 2 THEN 'audio/wav' WHEN 4 THEN 'image/jpeg'
       |    WHEN 5 THEN 'video/avi' WHEN 6 THEN 'image/gif'
       |    WHEN 7 THEN 'audio/flac'
       |    WHEN 8 THEN 'application/zstd'
       |    WHEN 9 THEN 'audio/mpeg'
+      |    WHEN 10 THEN 'audio/ogg'
       |    ELSE 'text/gzip' END AS kind,
-      |  CAST(CASE CAST(doc_id % 10 AS INT)
+      |  CAST(CASE CAST(doc_id % 11 AS INT)
       |    WHEN 0 THEN (length(text) % 80 + 1) * (length(text) % 60 + 1)
       |    WHEN 1 THEN (length(text) % 64 + 1) * (length(text) % 48 + 1)
       |    WHEN 2 THEN length(text)
@@ -1401,6 +1467,7 @@ object Multimodal {
       |    WHEN 7 THEN length(text)
       |    WHEN 8 THEN length(text)
       |    WHEN 9 THEN (length(text) % 40 + 5) * 1152
+      |    WHEN 10 THEN length(text) % 30 + 3
       |    ELSE length(text) END AS BIGINT) AS stat
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -1416,10 +1483,10 @@ object Multimodal {
     * per-channel sum/peak digest, WAV energy-fingerprint, JPEG
     * decoded-RGB digest, AVI per-frame-sum, GIF decoded-stat digest,
     * FLAC reconstructed-sample digest, zstd recovered-text md5, and
-    * MP3 container-walk digest constructions above, restricted to
+    * MP3 container-walk and Ogg page-walk digest constructions above, restricted to
     * each kind's docs — and elects survivors with the same (kind, key)
     * min-id window. The Spark side must reproduce keeper elections
-    * through sniff + ten REAL decoders, so a mis-route, a decode bug,
+    * through sniff + eleven REAL decoders, so a mis-route, a decode bug,
     * or a digest field-order slip all hash-fail. */
   private val MixedDedupOracleSql: String = {
     val raw = "((2*k*7 + L) % 251) + 256*(((2*k+1)*7 + L) % 251)"
@@ -1465,7 +1532,7 @@ object Multimodal {
        |        SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) % 80 + 1 AS BIGINT) AS w,
        |          CAST(length(text) % 60 + 1 AS BIGINT) AS h
-       |        FROM documents WHERE doc_id % 10 = 0)))),
+       |        FROM documents WHERE doc_id % 11 = 0)))),
        |bstat AS (
        |  SELECT doc_id, w, h,
        |    ${bmpChan("(L + 7*x + 13*y) % 251")} AS bs,
@@ -1474,7 +1541,7 @@ object Multimodal {
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |      CAST(length(text) % 64 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 48 + 1 AS BIGINT) AS h
-       |    FROM documents WHERE doc_id % 10 = 1)),
+       |    FROM documents WHERE doc_id % 11 = 1)),
        |jkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
@@ -1487,7 +1554,7 @@ object Multimodal {
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |      CAST(length(text) % 80 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 60 + 1 AS BIGINT) AS h
-       |    FROM documents WHERE doc_id % 10 = 4)),
+       |    FROM documents WHERE doc_id % 11 = 4)),
        |vkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|25|' ||
@@ -1499,7 +1566,7 @@ object Multimodal {
        |      CAST(length(text) % 24 + 8 AS BIGINT) AS w,
        |      CAST(length(text) % 19 + 8 AS BIGINT) AS h,
        |      CAST(length(text) % 4 + 2 AS BIGINT) AS nf
-       |    FROM documents WHERE doc_id % 10 = 5)),
+       |    FROM documents WHERE doc_id % 11 = 5)),
        |gkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' ||
@@ -1514,7 +1581,7 @@ object Multimodal {
        |      CAST(length(text) % 60 + 1 AS BIGINT) AS w,
        |      CAST(length(text) % 40 + 1 AS BIGINT) AS h,
        |      CAST(1 << CAST(length(text) % 3 + 2 AS INT) AS BIGINT) AS P
-       |    FROM documents WHERE doc_id % 10 = 6)),
+       |    FROM documents WHERE doc_id % 11 = 6)),
        |bkey AS (
        |  SELECT doc_id, md5(
        |    CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' || CAST(w*h AS VARCHAR)
@@ -1533,7 +1600,7 @@ object Multimodal {
        |           ELSE CAST($raw AS BIGINT) * ($raw) END) AS ss
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) AS BIGINT) AS n
-       |        FROM documents WHERE doc_id % 10 = 2)),
+       |        FROM documents WHERE doc_id % 11 = 2)),
        |es AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(0, 62), w ->
@@ -1553,7 +1620,7 @@ object Multimodal {
        |           ELSE CAST($raw AS BIGINT) END) AS sv
        |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
        |          CAST(length(text) AS BIGINT) AS n
-       |        FROM documents WHERE doc_id % 10 = 7)),
+       |        FROM documents WHERE doc_id % 11 = 7)),
        |fkey AS (
        |  SELECT doc_id, md5(
        |    CAST(n AS VARCHAR) || '|' ||
@@ -1573,7 +1640,7 @@ object Multimodal {
        |      CAST(CASE CAST(length(text) % 3 AS INT) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS BIGINT) AS rate,
        |      length(text) % 2 = 1 AS vbr,
        |      CAST(CASE CAST(length(text) % 4 AS INT) WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192 ELSE 224 END AS BIGINT) AS ck
-       |    FROM documents WHERE doc_id % 10 = 9)),
+       |    FROM documents WHERE doc_id % 11 = 9)),
        |mkey AS (
        |  SELECT doc_id, md5(
        |    CAST(n AS VARCHAR) || '|' ||
@@ -1588,6 +1655,16 @@ object Multimodal {
        |    CAST(rate AS VARCHAR) || '|' ||
        |    CAST(CASE WHEN L % 7 < 3 THEN 1 ELSE 2 END AS VARCHAR)) AS key
        |  FROM msz),
+       |okey AS (
+       |  SELECT doc_id, md5(
+       |    CAST(n AS VARCHAR) || '|' ||
+       |    CAST(CAST(list_sum(list_transform(range(CAST(n AS INT)), k -> 100 + (L*7 + k*13) % 155)) AS BIGINT) AS VARCHAR) || '|' ||
+       |    CAST(CAST(list_sum(list_transform(range(CAST(n AS INT)), k ->
+       |      list_sum(list_transform(range(CAST(100 + (L*7 + k*13) % 155 AS INT)), j -> (L*17 + k*11 + j*5) % 256)))) AS BIGINT) AS VARCHAR) || '|' ||
+       |    CAST(L % 1000000000 AS VARCHAR)) AS key
+       |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+       |      CAST(length(text) % 30 + 3 AS BIGINT) AS n
+       |    FROM documents WHERE doc_id % 11 = 10)),
        |keys AS (
        |  SELECT doc_id, 'image/png' AS kind, CAST(ahash AS VARCHAR) AS key FROM pimg
        |  UNION ALL
@@ -1595,7 +1672,7 @@ object Multimodal {
        |  UNION ALL
        |  SELECT doc_id, 'audio/wav', CAST(afp AS VARCHAR) FROM paud
        |  UNION ALL
-       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 10 = 3
+       |  SELECT doc_id, 'text/gzip', md5(text) FROM documents WHERE doc_id % 11 = 3
        |  UNION ALL
        |  SELECT doc_id, 'image/jpeg', key FROM jkey
        |  UNION ALL
@@ -1605,9 +1682,11 @@ object Multimodal {
        |  UNION ALL
        |  SELECT doc_id, 'audio/flac', key FROM fkey
        |  UNION ALL
-       |  SELECT doc_id, 'application/zstd', md5(text) FROM documents WHERE doc_id % 10 = 8
+       |  SELECT doc_id, 'application/zstd', md5(text) FROM documents WHERE doc_id % 11 = 8
        |  UNION ALL
-       |  SELECT doc_id, 'audio/mpeg', key FROM mkey)
+       |  SELECT doc_id, 'audio/mpeg', key FROM mkey
+       |  UNION ALL
+       |  SELECT doc_id, 'audio/ogg', key FROM okey)
        |SELECT doc_id, kind,
        |  min(doc_id) OVER (PARTITION BY kind, key) AS keeper_id,
        |  doc_id > min(doc_id) OVER (PARTITION BY kind, key) AS is_dup
@@ -1922,5 +2001,5 @@ object Multimodal {
     jpegDecodeQ, jpegDecodeBatchQ, jpegPixelsQ,
     gifDecodeQ, gifDecodeBatchQ, gifPixelsQ,
     imageAHashQ, imageResizeQ, imageDedupQ, audioFpQ, audioDedupQ,
-    sniffDispatchQ, mixedDedupQ, mp3ParseQ)
+    sniffDispatchQ, mixedDedupQ, mp3ParseQ, oggParseQ)
 }

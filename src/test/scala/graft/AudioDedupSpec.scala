@@ -86,10 +86,10 @@ class AudioDedupSpec extends SparkSpec {
     val expectKind = Map(0 -> "image/png", 1 -> "image/bmp",
       2 -> "audio/wav", 3 -> "text/gzip", 4 -> "image/jpeg",
       5 -> "video/avi", 6 -> "image/gif", 7 -> "audio/flac",
-      8 -> "application/zstd", 9 -> "audio/mpeg")
+      8 -> "application/zstd", 9 -> "audio/mpeg", 10 -> "audio/ogg")
     out.foreach { r =>
       val id = r.getLong(0)
-      assert(r.getString(1) === expectKind((id % 10).toInt), s"doc $id")
+      assert(r.getString(1) === expectKind((id % 11).toInt), s"doc $id")
       assert(r.getLong(2) >= 0L, s"doc $id decoded stat must be valid")
     }
     // the round-10/11/12/13 kinds are actually present in the routed corpus
@@ -99,6 +99,7 @@ class AudioDedupSpec extends SparkSpec {
     assert(out.exists(_.getString(1) == "audio/flac"))
     assert(out.exists(_.getString(1) == "application/zstd"))
     assert(out.exists(_.getString(1) == "audio/mpeg"))
+    assert(out.exists(_.getString(1) == "audio/ogg"))
   }
 
   test("mixed dedup: survivor election is consistent, kind-scoped, and layout-stable") {
