@@ -18,7 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * arithmetic the DuckDB oracles replay):
   *   - ID3v2.3: "ID3" 03 00, flags 0, syncsafe size; one TIT2 frame
   *     (ISO-8859-1) holding "doc<seed>".
-  *   - nFrames MPEG-1 Layer III frames, no CRC (prot=1), padding 0:
+  *   - nFrames MPEG-1 Layer III frames, padding 0 (seed%5 == 2 docs
+  *     use the CRC-PROTECTED form: prot bit 0 + the ISO 11172-3
+  *     CRC-16 (poly 0x8005, init 0xFFFF) over header bytes 2-3 and
+  *     the side info region, payload shifted 2 bytes):
   *     sample rate from seed%3 in {44100, 48000, 32000}; channels
   *     mono when seed%7 < 3, else stereo; CBR when seed%2 == 0 at
   *     kbps {128,160,192,224}[seed%4], else VBR cycling frame i over
@@ -43,6 +46,31 @@ object Mp3Codec {
     while (i < V1L3Kbps.length && V1L3Kbps(i) != kbps) i += 1
     i
   }
+
+  /** ISO 11172-3 frame CRC-16: polynomial 0x8005, init 0xFFFF,
+    * MSB-first (non-reflected), over header bytes 2-3 and the side
+    * info region. */
+  private def crc16Update(crc0: Int, b: Int): Int = {
+    var crc = (crc0 ^ ((b & 0xFF) << 8)) & 0xFFFF
+    var k = 0
+    while (k < 8) {
+      crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xFFFF
+      else (crc << 1) & 0xFFFF
+      k += 1
+    }
+    crc
+  }
+
+  /** CRC over frame at `p`: bytes p+2, p+3, then the side info at
+    * p+6 .. p+6+si-1 (the 2 CRC bytes themselves are excluded). */
+  private def frameCrc(b: Array[Byte], p: Int, si: Int): Int = {
+    var crc = crc16Update(crc16Update(0xFFFF, b(p + 2)), b(p + 3))
+    var i = 0
+    while (i < si) { crc = crc16Update(crc, b(p + 6 + i)); i += 1 }
+    crc
+  }
+
+  private def sideInfoLen(mono: Boolean): Int = if (mono) 17 else 32
 
   private def frameSize(kbps: Int, rate: Int): Int =
     144000 * kbps / rate
@@ -73,27 +101,42 @@ object Mp3Codec {
     out.write(0) // text encoding: ISO-8859-1
     out.write(titleB, 0, titleB.length)
     // ---- frames ----
+    // seed%5 == 2 docs carry the CRC-PROTECTED form (prot bit 0): a
+    // 2-byte ISO 11172-3 CRC-16 sits right after the header, covering
+    // header bytes 2-3 + the side info region; the planted payload
+    // starts 2 bytes later
+    val prot = seed % 5 == 2
     var i = 0
     while (i < nFrames) {
       val kbps = if (vbr) VbrKbps(i % 3) else cbrKbps
       val size = frameSize(kbps, rate)
       val frame = new Array[Byte](size)
       frame(0) = 0xFF.toByte
-      // 111 | version 11 (MPEG1) | layer 01 (III) | prot 1
-      frame(1) = 0xFB.toByte
+      // 111 | version 11 (MPEG1) | layer 01 (III) | prot (1 = no CRC)
+      frame(1) = (if (prot) 0xFA else 0xFB).toByte
       // bitrateIdx(4) | rateIdx(2) | padding 0 | private 0
       frame(2) = ((kbpsToIndex(kbps) << 4) | (rateIdx << 2)).toByte
       // channel mode (mono 11 / stereo 00) | modeExt 00 | (c)0 orig 1 emph 00
       frame(3) = (((if (mono) 3 else 0) << 6) | 0x04).toByte
+      val dataOff = if (prot) 6 else 4
       var j = 0
-      val pay = size - 4
+      val pay = size - dataOff
       while (j < pay) {
-        frame(4 + j) = ((seed * 31 + i * 7 + j * 3) % 256).toByte
+        frame(dataOff + j) = ((seed * 31 + i * 7 + j * 3) % 256).toByte
         j += 1
       }
+      if (prot) {
+        // side info (bytes dataOff..dataOff+si-1) is planted above and
+        // sits entirely BEFORE the Xing region, so compute order is
+        // irrelevant
+        val c = frameCrc(frame, 0, sideInfoLen(mono))
+        frame(4) = ((c >>> 8) & 0xFF).toByte
+        frame(5) = (c & 0xFF).toByte
+      }
       if (vbr && i == 0) {
-        // Xing block at the MPEG-1 side-info offset
-        val off = 4 + (if (mono) 17 else 32)
+        // Xing block at the MPEG-1 side-info offset (after the CRC
+        // when present)
+        val off = dataOff + sideInfoLen(mono)
         frame(off) = 'X'; frame(off + 1) = 'i'
         frame(off + 2) = 'n'; frame(off + 3) = 'g'
         frame(off + 4) = 0; frame(off + 5) = 0
@@ -139,6 +182,7 @@ object Mp3Codec {
     var p = id3Bytes
     var rate = -1
     var mono = false
+    var crcForm = false
     var nFrames = 0L
     var paySum = 0L
     var hasXing = false
@@ -151,7 +195,7 @@ object Mp3Codec {
       if ((h1 & 0xE0) != 0xE0) return null
       if (((h1 >> 3) & 3) != 3) return null // MPEG-1 only
       if (((h1 >> 1) & 3) != 1) return null // Layer III only
-      if ((h1 & 1) != 1) return null // no-CRC form only
+      val frCrc = (h1 & 1) == 0 // prot bit 0 = CRC-protected form
       val h2 = b(p + 2) & 0xFF
       val brIdx = h2 >> 4
       if (brIdx == 0 || brIdx == 15) return null // free/bad
@@ -162,20 +206,29 @@ object Mp3Codec {
       val chMode = h3 >> 6
       val frMono = chMode == 3
       val frRate = V1Rates(rIdx)
-      if (rate < 0) { rate = frRate; mono = frMono }
-      else if (rate != frRate || mono != frMono) return null
+      if (rate < 0) { rate = frRate; mono = frMono; crcForm = frCrc }
+      else if (rate != frRate || mono != frMono || crcForm != frCrc)
+        return null
       val kbps = V1L3Kbps(brIdx)
       if (kbps < loKbps) loKbps = kbps
       if (kbps > hiKbps) hiKbps = kbps
       val size = frameSize(kbps, rate) + pad
       if (p + size > b.length) return null
+      val dataOff = if (frCrc) 6 else 4
+      if (frCrc) {
+        // ISO 11172-3: the CRC-16 right after the header covers header
+        // bytes 2-3 + the side info region — verify, null on mismatch
+        if (dataOff + sideInfoLen(frMono) > size) return null
+        val want = ((b(p + 4) & 0xFF) << 8) | (b(p + 5) & 0xFF)
+        if (frameCrc(b, p, sideInfoLen(frMono)) != want) return null
+      }
       if (nFrames == 0) {
-        val off = p + 4 + (if (frMono) 17 else 32)
+        val off = p + dataOff + sideInfoLen(frMono)
         if (off + 4 <= p + size &&
           b(off) == 'X' && b(off + 1) == 'i' &&
           b(off + 2) == 'n' && b(off + 3) == 'g') hasXing = true
       } else {
-        var j = p + 4
+        var j = p + dataOff
         val end = p + size
         while (j < end) { paySum += (b(j) & 0xFF); j += 1 }
       }
@@ -195,6 +248,7 @@ object Mp3Codec {
       (b.length - id3Bytes).toLong,
       id3Bytes.toLong,
       hasXing,
-      paySum))
+      paySum,
+      crcForm))
   }
 }

@@ -883,7 +883,8 @@ object ParseMp3 {
     StructField("audio_bytes", LongType, nullable = false),
     StructField("id3_bytes", LongType, nullable = false),
     StructField("has_xing", BooleanType, nullable = false),
-    StructField("pay_sum", LongType, nullable = false)))
+    StructField("pay_sum", LongType, nullable = false),
+    StructField("has_crc", BooleanType, nullable = false)))
 }
 
 /** Deterministic Ogg stream (OggCodec.encode): RFC 3533 pages with

@@ -1054,7 +1054,8 @@ object Multimodal {
         col("h.audio_bytes").as("audio_bytes"),
         col("h.id3_bytes").as("id3_bytes"),
         col("h.has_xing").as("has_xing"),
-        col("h.pay_sum").as("pay_sum"))
+        col("h.pay_sum").as("pay_sum"),
+        col("h.has_crc").as("has_crc"))
 
   /** The oracle recomputes EVERY field — including the summed payload
     * bytes of every non-first frame and the VBR cycle's exact frame
@@ -1091,8 +1092,9 @@ object Multimodal {
        |  CAST(21 + length('doc' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS id3_bytes,
        |  vbr AS has_xing,
        |  CAST(COALESCE(list_sum(list_transform(range(1, CAST(n AS INT)), i ->
-       |    list_sum(list_transform(range(CAST((CASE WHEN vbr THEN $vbrSz ELSE cs END) - 4 AS INT)), j ->
-       |      (doc_id * 31 + i * 7 + j * 3) % 256)))), 0) AS BIGINT) AS pay_sum
+       |    list_sum(list_transform(range(CAST((CASE WHEN vbr THEN $vbrSz ELSE cs END) - (CASE WHEN doc_id % 5 = 2 THEN 6 ELSE 4 END) AS INT)), j ->
+       |      (doc_id * 31 + i * 7 + j * 3) % 256)))), 0) AS BIGINT) AS pay_sum,
+       |  doc_id % 5 = 2 AS has_crc
        |FROM sz ORDER BY doc_id""".stripMargin
   }
 
@@ -1650,7 +1652,7 @@ object Multimodal {
        |        + CASE WHEN n % 3 >= 2 THEN v1 ELSE 0 END
        |      ELSE n * cs END AS BIGINT) AS VARCHAR) || '|' ||
        |    CAST(CAST(COALESCE(list_sum(list_transform(range(1, CAST(n AS INT)), i ->
-       |      list_sum(list_transform(range(CAST((CASE WHEN vbr THEN (CASE CAST(i % 3 AS INT) WHEN 0 THEN v0 WHEN 1 THEN v1 ELSE v2 END) ELSE cs END) - 4 AS INT)), j ->
+       |      list_sum(list_transform(range(CAST((CASE WHEN vbr THEN (CASE CAST(i % 3 AS INT) WHEN 0 THEN v0 WHEN 1 THEN v1 ELSE v2 END) ELSE cs END) - (CASE WHEN L % 5 = 2 THEN 6 ELSE 4 END) AS INT)), j ->
        |      (L * 31 + i * 7 + j * 3) % 256)))), 0) AS BIGINT) AS VARCHAR) || '|' ||
        |    CAST(rate AS VARCHAR) || '|' ||
        |    CAST(CASE WHEN L % 7 < 3 THEN 1 ELSE 2 END AS VARCHAR)) AS key

@@ -65,6 +65,38 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(r.getLong(3) === 1L && r.getLong(9) === 0L)
   }
 
+  test("CRC-protected form: round-trip, has_crc, side-info flip nulls") {
+    // seed 2: protected (2%5=2), rate 32000 (2%3=2), cbr 192 (2%4=2),
+    // mono (2%7=2 < 3)
+    val (b, r) = row(2L, 6)
+    assert(r.getBoolean(10), "seed%5==2 docs must report has_crc")
+    assert(r.getLong(1) === 32000L && r.getLong(2) === 1L)
+    val fs = 144000 * 192 / 32000
+    assert(r.getLong(6) === 6L * fs)
+    // pay_sum starts after header + CRC: 2 fewer bytes per frame
+    var want = 0L
+    for (i <- 1 until 6; j <- 0 until fs - 6)
+      want += (2L * 31 + i * 7 + j * 3) % 256
+    assert(r.getLong(9) === want)
+    val id3 = 21 + 4 // 'doc2'
+    // flip a SIDE INFO byte (covered by the CRC) -> null
+    val c1 = b.clone(); c1(id3 + 10) = (c1(id3 + 10) ^ 1).toByte
+    assert(Mp3Codec.parse(c1) == null, "side-info flip must fail the CRC")
+    // flip a CRC byte itself -> null
+    val c2 = b.clone(); c2(id3 + 4) = (c2(id3 + 4) ^ 1).toByte
+    assert(Mp3Codec.parse(c2) == null)
+    // flip a PAYLOAD byte past the side info: NOT CRC-covered (the
+    // spec's CRC protects only header+side info) -> still parses,
+    // with a different pay_sum
+    val si = 17 // mono
+    val c3 = b.clone()
+    c3(id3 + fs + 6 + si + 40) = (c3(id3 + fs + 6 + si + 40) ^ 1).toByte
+    val r3 = Mp3Codec.parse(c3)
+    assert(r3 != null && r3.getLong(9) != want)
+    // unprotected docs report has_crc = false
+    assert(!row(6L, 5)._2.getBoolean(10))
+  }
+
   test("corruption nulls: sync, version, layer, bitrate, rate, truncation, ID3") {
     val b = Mp3Codec.encode(6L, 5)
     val id3 = 25 // 21 + len("doc6")
