@@ -62,7 +62,7 @@ object Condensation {
       .select(col("s1").as("src"), col("s2").as("dst")).distinct())
     val sizes = assign.groupBy(col("scc_id")).agg(count(lit(1)).as("size"))
 
-    val out = LoopConf.pinned(spark, ce.count()) {
+    val out = LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(ce)) {
       var depthFull = ckpt(assign.select(col("scc_id")).distinct()
         .select(col("scc_id"), lit(0L).as("depth"), lit(false).as("chg")))
       var depth = depthFull.select(col("scc_id"), col("depth"))
@@ -84,7 +84,7 @@ object Condensation {
             greatest(col("depth"), coalesce(col("cand"), col("depth")))
               .as("depth"),
             (col("cand").isNotNull && col("cand") > col("depth")).as("chg")))
-        changed = nextFull.filter(col("chg")).count()
+        changed = GraftColumnBridge.countTrue(nextFull, "chg")
         free(depthFull); depthFull = nextFull
         depth = depthFull.select(col("scc_id"), col("depth"))
       }

@@ -21,8 +21,11 @@ object ConnectedComponents {
     // LoopConf like the other supersteps: partitions sized once from the
     // graph (the dedup-survivor pair graphs are tiny — paying 32-task
     // rounds there was most of d_dedup_survivors' cost), AQE pinned off
-    // so state partitioning survives the localCheckpoints
-    LoopConf.pinned(edges.sparkSession, edges.count()) {
+    // so state partitioning survives the localCheckpoints. fastCount:
+    // checkpoint-backed callers (IncrementalComponents, survivors) skip
+    // the re-planned aggregate for the sizing count.
+    LoopConf.pinned(edges.sparkSession,
+      org.apache.spark.sql.GraftColumnBridge.fastCount(edges)) {
       componentsPinned(edges)
     }
 
@@ -52,11 +55,19 @@ object ConnectedComponents {
     while (changed > 0) {
       val nbrMin = bidir.join(lbl, bidir("dst") === lbl("id"))
         .groupBy(bidir("src").as("nid")).agg(min(col("comp")).as("nbComp"))
+      // the convergence flag is computed INTO the checkpointed row and
+      // counted off the materialized RDD (GraftColumnBridge.countTrue):
+      // the former filter(comp2 < comp).count() re-planned a filter +
+      // partial/final aggregate + exchange EVERY round (~100-140 ms of
+      // driver work per round on the bench host, SchedProbe) where one
+      // cached-scan job does the same count in ~30 ms (guide §1.2/§5:
+      // loop-body actions should not re-plan).
       val upd = lbl.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nbComp"), col("comp"))).as("comp2"))
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbComp"), col("comp"))).as("comp2"),
+          (coalesce(col("nbComp"), col("comp")) < col("comp")).as("chg"))
         .localCheckpoint(true)
-      changed = upd.filter(col("comp2") < col("comp")).count()
+      changed = GraftColumnBridge.countTrue(upd, "chg")
       GraftColumnBridge.checkpointRdd(prevCkpt).foreach(_.unpersist(false))
       prevCkpt = upd
       lbl = upd.select(col("id"), col("comp2").as("comp"))

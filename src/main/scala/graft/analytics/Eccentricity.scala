@@ -41,7 +41,7 @@ object Eccentricity {
   def eccentricity(spark: SparkSession, edgesRaw: DataFrame,
       sourceMax: Long = Stress.SourceMax,
       rounds: Int = Stress.Rounds): DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) {
       import org.apache.spark.sql.GraftColumnBridge
       val e = Stress.prep(edgesRaw).localCheckpoint(true)
       val (reached, _, _) = Stress.forward(spark, e, sourceMax, rounds)

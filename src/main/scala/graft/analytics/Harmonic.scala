@@ -50,7 +50,7 @@ object Harmonic {
     * forward BFS, aggregates, releases the loop's checkpoints. */
   def harmonic(spark: SparkSession, edgesRaw: DataFrame,
       sourceMax: Long = SourceMax, rounds: Int = Rounds): DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) {
       import org.apache.spark.sql.GraftColumnBridge
       val e = Stress.prep(edgesRaw).localCheckpoint(true)
       val (reached, _, _) = Stress.forward(spark, e, sourceMax, rounds)

@@ -39,7 +39,7 @@ object Hits {
 
   def hits(spark: SparkSession, edgesRaw: DataFrame, iters: Int = Iters)
       : DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) {
       hitsPinned(spark, edgesRaw, iters)
     }
 

@@ -55,7 +55,7 @@ object HopPlot {
     var frontier = bidir.localCheckpoint(true)
     var visited = frontier
     val perD = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
-    var newCount = frontier.count()
+    var newCount = org.apache.spark.sql.GraftColumnBridge.fastCount(frontier)
     if (newCount > 0) perD += 1 -> newCount // empty graph → empty hop-plot
     var cum = newCount
     var d = 1
@@ -77,7 +77,7 @@ object HopPlot {
         .distinct()
       val fresh = cand.join(visited, Seq("src", "dst"), "left_anti")
         .localCheckpoint(true)
-      newCount = fresh.count()
+      newCount = GraftColumnBridge.fastCount(fresh)
       if (newCount > 0) {
         val nextVisited = visited.union(fresh).localCheckpoint(true)
         // round 1's frontier and visited are the same checkpoint —

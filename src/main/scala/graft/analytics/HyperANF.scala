@@ -62,7 +62,7 @@ object HyperANF {
     // Iterative co-partitioning contract (below) requires partitionings
     // that survive across supersteps — AQE off, shuffle partitions sized
     // once from the edge count (LoopConf scaladoc has the full why).
-    LoopConf.pinned(spark, edges.count() * 2) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edges) * 2) {
       approxHopPlotRowsPinned(spark, edges, maxD, lgK)
     }
   }

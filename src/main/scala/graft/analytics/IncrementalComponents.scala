@@ -72,7 +72,7 @@ object IncrementalComponents {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    lastLabelEdges = labelEdges.count()
+    lastLabelEdges = org.apache.spark.sql.GraftColumnBridge.fastCount(labelEdges)
     // 3. min-label superstep on the contracted graph only
     val mergedLbl =
       if (lastLabelEdges == 0L)
@@ -83,7 +83,7 @@ object IncrementalComponents {
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("old_comp"), col("comp").as("new_comp"))
       .localCheckpoint(true)
-    lastTouched = mapping.count()
+    lastTouched = org.apache.spark.sql.GraftColumnBridge.fastCount(mapping)
     // 4. one narrow pass over the standing assignment applies the
     // broadcast mapping; batch-only vertices append with their merged
     // label

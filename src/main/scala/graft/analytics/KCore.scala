@@ -63,7 +63,7 @@ object KCore {
 
   def kcore(spark: SparkSession, edgesRaw: DataFrame, k: Int = K,
       rounds: Int = Rounds, ckptEvery: Int = CkptEvery): DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) {
       kcorePinned(spark, edgesRaw, k, rounds, ckptEvery)
     }
 
@@ -76,7 +76,7 @@ object KCore {
       .repartition(col("src"))
       .localCheckpoint(true)
     var prev = e
-    var nEdges = e.count()
+    var nEdges = GraftColumnBridge.fastCount(e)
     lastInputEdges = nEdges
     var r = 0
     var changed = true
@@ -92,7 +92,7 @@ object KCore {
           .join(keep.select(col("id").as("id2")), cur("dst") === col("id2"), "left_semi")
       }
       val next = cur.localCheckpoint(true)
-      val nNext = next.count()
+      val nNext = GraftColumnBridge.fastCount(next)
       changed = nNext != nEdges
       nEdges = nNext
       GraftColumnBridge.checkpointRdd(prev).foreach(_.unpersist(false))

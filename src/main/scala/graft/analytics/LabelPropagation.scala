@@ -36,7 +36,7 @@ object LabelPropagation {
     // rounds=0 would return a lazy frame over the edge checkpoint that
     // the loop epilogue has already unpersisted — reject it up front
     require(rounds >= 1, s"labelProp needs at least 1 round, got $rounds")
-    LoopConf.pinned(spark, edgesRaw.count()) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) {
       labelPropPinned(spark, edgesRaw, rounds, ckptEvery)
     }
   }

@@ -40,7 +40,7 @@ object Mis {
   @volatile private[graft] var lastConvergenceRound: Int = -1
 
   def mis(spark: SparkSession, edgesRaw: DataFrame): DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) { misPinned(spark, edgesRaw) }
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) { misPinned(spark, edgesRaw) }
 
   private def misPinned(spark: SparkSession, edgesRaw: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
@@ -57,7 +57,7 @@ object Mis {
     var prevEdges = edges
     var prevActive = active
     val winnerFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var nActive = active.count()
+    var nActive = GraftColumnBridge.fastCount(active)
     var r = 0
     while (nActive > 0) {
       r += 1
@@ -85,7 +85,7 @@ object Mis {
         .join(nextActive.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint(true)
-      nActive = nextActive.count()
+      nActive = GraftColumnBridge.fastCount(nextActive)
       GraftColumnBridge.checkpointRdd(prevActive).foreach(_.unpersist(false))
       GraftColumnBridge.checkpointRdd(prevEdges).foreach(_.unpersist(false))
       active = nextActive; prevActive = nextActive

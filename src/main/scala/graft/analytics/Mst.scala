@@ -60,7 +60,7 @@ object Mst {
         (lit(1L) + (col("u") + col("v")) % lit(10L)).as("w"))
 
   def mst(spark: SparkSession, edgesRaw: DataFrame): DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) { pinned(spark, edgesRaw) }
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) { pinned(spark, edgesRaw) }
 
   private def pinned(spark: SparkSession, edgesRaw: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
@@ -92,7 +92,7 @@ object Mst {
     val keptSels = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var rounds = 0
     var jumpsConverged = true
-    var nLive = live.count()
+    var nLive = GraftColumnBridge.fastCount(live)
     while (nLive > 0) {
       rounds += 1
       // min outgoing edge per component, under the (w, ou, ov) total
@@ -146,7 +146,10 @@ object Mst {
         val nextFull = ckpt(jump(p).as("n")
           .join(p.select(col("c"), col("p").as("old")), "c")
           .select(col("c"), col("p"), (col("p") =!= col("old")).as("chg")))
-        val moved = nextFull.filter(col("chg")).count()
+        // counted off the materialized checkpoint RDD — the filter +
+        // aggregate re-planned per jump was ~100 ms of driver work each
+        // (SchedProbe; guide §1.2: loop-body actions should not re-plan)
+        val moved = GraftColumnBridge.countTrue(nextFull, "chg")
         free(pFull); pFull = nextFull
         p = pFull.select(col("c"), col("p"))
         if (moved == 0) jumping = false
@@ -165,7 +168,7 @@ object Mst {
         .distinct())
       free(pFull); free(live)
       live = nextLive
-      nLive = live.count()
+      nLive = GraftColumnBridge.fastCount(live)
     }
     free(live)
     // the kept selection checkpoints back the lazy picked frames —

@@ -52,7 +52,7 @@ object PageRank {
 
   def pageRank(spark: SparkSession, edgesRaw: DataFrame,
       iters: Int = 10, ckptEvery: Int = CkptEvery): DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) {
       pageRankPinned(spark, edgesRaw, iters, ckptEvery, seedMax = None)
     }
 
@@ -67,7 +67,7 @@ object PageRank {
     * PageRankSpec). */
   def personalizedPageRank(spark: SparkSession, edgesRaw: DataFrame,
       seedMax: Long, iters: Int = 10, ckptEvery: Int = CkptEvery): DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) {
       pageRankPinned(spark, edgesRaw, iters, ckptEvery, seedMax = Some(seedMax))
     }
 
@@ -86,7 +86,7 @@ object PageRank {
     * into a false claim. Per-round cost and plan shape are unchanged. */
   def pageRankWarm(spark: SparkSession, edgesRaw: DataFrame,
       init: DataFrame, iters: Int, ckptEvery: Int = CkptEvery): DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) {
       pageRankPinned(spark, edgesRaw, iters, ckptEvery, seedMax = None,
         warmFrom = Some(init))
     }

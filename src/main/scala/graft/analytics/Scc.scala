@@ -54,7 +54,7 @@ object Scc {
   @volatile private[graft] var lastInputEdges: Long = -1L
 
   def scc(spark: SparkSession, edgesRaw: DataFrame): DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) { sccPinned(spark, edgesRaw) }
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) { sccPinned(spark, edgesRaw) }
 
   private def sccPinned(spark: SparkSession, edgesRaw: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
@@ -73,8 +73,8 @@ object Scc {
         .repartition(col("id")))
 
     val sccFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var nActive = verts.count()
-    lastInputEdges = edges.count()
+    var nActive = GraftColumnBridge.fastCount(verts)
+    lastInputEdges = GraftColumnBridge.fastCount(edges)
     var outer = 0
     var maxFwd = 0
     var maxBwd = 0
@@ -102,7 +102,7 @@ object Scc {
         val nextVerts = ckpt(verts
           .join(edges.select(col("src").as("id")), Seq("id"), "left_semi")
           .join(edges.select(col("dst").as("id")), Seq("id"), "left_semi"))
-        val nNext = nextVerts.count()
+        val nNext = GraftColumnBridge.fastCount(nextVerts)
         if (nNext == nActive) { free(nextVerts); go = false }
         else {
           trimRounds += 1
@@ -153,7 +153,9 @@ object Scc {
       while (changed > 0) {
         fwd += 1
         val nextFull = ckpt(fwdStep(color))
-        changed = nextFull.filter(col("chg")).count()
+        // counted off the materialized checkpoint RDD (no re-planned
+        // filter+aggregate per flood round — SchedProbe, guide §1.2)
+        changed = GraftColumnBridge.countTrue(nextFull, "chg")
         free(colorFull); colorFull = nextFull
         color = colorFull.select(col("id"), col("c"))
       }
@@ -174,13 +176,13 @@ object Scc {
       }
       var member = ckpt(color.filter(col("id") === col("c"))
         .select(col("id"), col("c")))
-      var nMember = member.count()
+      var nMember = GraftColumnBridge.fastCount(member)
       changed = 1L
       var bwd = 0
       while (changed > 0) {
         bwd += 1
         val nextM = ckpt(bwdStep(member))
-        val nNext = nextM.count()
+        val nNext = GraftColumnBridge.fastCount(nextM)
         // carry the previous count in a var — re-counting the cached
         // previous checkpoint was one more scheduler round-trip per round
         changed = nNext - nMember
@@ -201,7 +203,7 @@ object Scc {
         .select(col("src"), col("dst")))
       free(verts); free(edges)
       verts = nextVerts; edges = nextEdges
-      nActive = verts.count()
+      nActive = GraftColumnBridge.fastCount(verts)
       trim()
     }
     free(verts); free(edges)

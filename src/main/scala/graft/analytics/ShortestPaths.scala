@@ -37,7 +37,7 @@ object ShortestPaths {
 
   def sssp(spark: SparkSession, edgesRaw: DataFrame, source: Long,
       rounds: Int = 10, ckptEvery: Int = CkptEvery): DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) {
       ssspPinned(spark, edgesRaw, source, rounds, ckptEvery)
     }
 

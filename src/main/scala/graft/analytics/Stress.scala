@@ -95,7 +95,12 @@ object Stress {
         .select(col("s"), col("v"), lit(k.toLong).as("d"),
           col("nsig").as("sig"))
       val next = ckpt(reached.union(fresh))
-      if (next.count() == reached.count()) frontierEmpty = true
+      // both counts off materialized checkpoint RDDs (SchedProbe; the
+      // reached side was ALREADY materialized last round — its recount
+      // is a cached scan either way, but the Dataset.count() pair
+      // re-planned two aggregates per BFS level)
+      if (org.apache.spark.sql.GraftColumnBridge.fastCount(next) ==
+        org.apache.spark.sql.GraftColumnBridge.fastCount(reached)) frontierEmpty = true
       else maxDepth = k
       free(reached); reached = next
       k += 1
@@ -105,7 +110,7 @@ object Stress {
 
   def stress(spark: SparkSession, edgesRaw: DataFrame,
       sourceMax: Long = SourceMax, rounds: Int = Rounds): DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) {
       val e = ckpt(prep(edgesRaw))
       val (reached, maxDepth, _) = forward(spark, e, sourceMax, rounds)
       val out = backward(spark, e, reached, maxDepth, rounds)
@@ -203,7 +208,7 @@ object Stress {
     * bound. */
   def bfsDrained(spark: SparkSession, edgesRaw: DataFrame,
       sourceMax: Long = SourceMax, rounds: Int = Rounds): Boolean =
-    LoopConf.pinned(spark, edgesRaw.count()) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) {
       val e = ckpt(prep(edgesRaw))
       val (reached, _, drained) = forward(spark, e, sourceMax, rounds)
       free(e); free(reached)

@@ -32,7 +32,7 @@ object TemporalReach {
 
   def earliestArrival(spark: SparkSession, tEdges: DataFrame, source: Long,
       rounds: Int = 10): DataFrame =
-    LoopConf.pinned(spark, tEdges.count()) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(tEdges)) {
       pinned(spark, tEdges, source, rounds)
     }
 

@@ -71,7 +71,7 @@ object Truss {
     import org.apache.spark.sql.GraftColumnBridge
     var e = e0
     var prev = e0
-    var n = e.count()
+    var n = GraftColumnBridge.fastCount(e)
     var r = 0
     var changed = n > 0
     while (changed && r < maxRounds) {
@@ -80,7 +80,7 @@ object Truss {
         .filter(col("sup") >= k - 2)
         .select(col("a"), col("b"))
         .localCheckpoint(true)
-      val nNext = next.count()
+      val nNext = GraftColumnBridge.fastCount(next)
       changed = nNext != n
       n = nNext
       // e0 belongs to the caller — only free checkpoints this loop made
@@ -103,7 +103,7 @@ object Truss {
     * for every edge of the 3-truss, labeled 4 when it survives the
     * nested 4-peel. */
   def decompose(spark: SparkSession, edgesRaw: DataFrame): DataFrame =
-    LoopConf.pinned(spark, edgesRaw.count()) {
+    LoopConf.pinned(spark, org.apache.spark.sql.GraftColumnBridge.memoCount(edgesRaw)) {
       val e0 = graft.graph.CitationGraph.bidirectional(edgesRaw)
         .filter(col("src") < col("dst"))
         .select(col("src").as("a"), col("dst").as("b"))

@@ -79,7 +79,7 @@ object TableStats {
   val statsQ: Q = Q(
     "x_table_stats",
     Some(oracleSql),
-    (s, d) => stats(Tables.orders(s, d)).orderBy(col("col_name")))
+    (s, d) => stats(Tables.fanout(Tables.orders(s, d))).orderBy(col("col_name")))
 
   def all: Seq[Q] = Seq(statsQ)
 }

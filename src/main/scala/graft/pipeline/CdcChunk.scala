@@ -120,7 +120,7 @@ object CdcChunk {
   val cdcQ: Q = Q(
     "t_cdc_chunk",
     Some(oracleSql),
-    (s, d) => chunkStats(Tables.documents(s, d)).orderBy(col("doc_id")))
+    (s, d) => chunkStats(Tables.fanout(Tables.documents(s, d))).orderBy(col("doc_id")))
 
   def all: Seq[Q] = Seq(cdcQ)
 }

@@ -79,7 +79,7 @@ object Coreset {
         (col("vec_id") === col("cid")).as("sel")))
 
     var r = 1
-    var exhausted = seedRow.count() == 0L
+    var exhausted = GraftColumnBridge.fastCount(seedRow) == 0L
     while (r < k && !exhausted) {
       val cand = state.filter(!col("sel"))
       val maxd = cand.agg(max(col("mindist")).as("maxd"))
@@ -89,7 +89,7 @@ object Coreset {
           col("vec_id") === col("cid"))
         .select(col("cid"), col("q").as("cq"), col("l2").as("cl2"),
           col("radius")))
-      if (centerRow.count() == 0L) { exhausted = true; free(centerRow) }
+      if (GraftColumnBridge.fastCount(centerRow) == 0L) { exhausted = true; free(centerRow) }
       else {
         selected ::= centerRow.select(lit(r.toLong).as("rnd"),
           col("cid").as("vec_id"), col("radius"))

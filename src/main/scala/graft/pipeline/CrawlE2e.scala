@@ -237,7 +237,7 @@ object CrawlE2e {
 
   /** (doc_id, url, html): each page with its own crawl URL. */
   private def pagesWithUrls(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.fanout(Tables.documents(s, d))
     withCrawlUrls(docs).join(Html.withHtml(docs), "doc_id")
   }
 

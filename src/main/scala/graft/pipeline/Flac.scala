@@ -117,21 +117,21 @@ object Flac {
     "m_flac_decode",
     Some(HeaderOracleSql),
     (s, d) =>
-      decodeHeaders(withFlacAudio(Tables.documents(s, d)))
+      decodeHeaders(withFlacAudio(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("doc_id")))
 
   val loudnessQ: Q = Q(
     "m_flac_loudness",
     Some(PcmOracleSql),
     (s, d) =>
-      loudness(withFlacAudio(Tables.documents(s, d)))
+      loudness(withFlacAudio(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("doc_id")))
 
   val loudnessBatchQ: Q = Q(
     "m_flac_loudness_batch",
     Some(PcmOracleSql),
     (s, d) =>
-      loudnessBatch(withFlacAudio(Tables.documents(s, d)))
+      loudnessBatch(withFlacAudio(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("doc_id")))
 
   val all: Seq[Q] = Seq(decodeQ, loudnessQ, loudnessBatchQ)

@@ -1102,7 +1102,7 @@ object Multimodal {
     "m_mp3_parse",
     Some(Mp3OracleSql),
     (s, d) =>
-      parseMp3Streams(withMp3Containers(Tables.documents(s, d)))
+      parseMp3Streams(withMp3Containers(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("doc_id")))
 
   /** documents -> (doc_id, container): each doc carries a complete Ogg
@@ -1174,7 +1174,7 @@ object Multimodal {
     "m_png_decode",
     Some(PngOracleSql),
     (s, d) =>
-      parsePngHeaders(withPngContainers(Tables.documents(s, d)))
+      parsePngHeaders(withPngContainers(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("doc_id")))
 
   /** Same oracle through the batched (one-dispatch-per-batch) path. */
@@ -1182,7 +1182,7 @@ object Multimodal {
     "m_png_decode_batch",
     Some(PngOracleSql),
     (s, d) =>
-      parsePngHeadersBatch(withPngContainers(Tables.documents(s, d)))
+      parsePngHeadersBatch(withPngContainers(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("doc_id")))
 
   /** The WAV data bytes are (i·7 + seed) % 251 (WavCodec.encode), so
@@ -1264,7 +1264,7 @@ object Multimodal {
     "m_png_pixels",
     Some(PngPixelsOracleSql),
     (s, d) =>
-      pngPixels(withPngContainers(Tables.documents(s, d)))
+      pngPixels(withPngContainers(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("doc_id")))
 
   /** Same oracle through the batched full-payload path. */
@@ -1272,7 +1272,7 @@ object Multimodal {
     "m_png_pixels_batch",
     Some(PngPixelsOracleSql),
     (s, d) =>
-      pngPixelsBatch(withPngContainers(Tables.documents(s, d)))
+      pngPixelsBatch(withPngContainers(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("doc_id")))
 
   /** The recovered text must be CONTENT-identical to the original
@@ -1362,7 +1362,7 @@ object Multimodal {
     "m_image_resize",
     Some(ImageResizeOracleSql),
     (s, d) =>
-      imageResize(withPngContentContainers(Tables.documents(s, d)))
+      imageResize(withPngContentContainers(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("doc_id")))
 
   val imageAHashQ: Q = Q(
@@ -1370,7 +1370,7 @@ object Multimodal {
     Some(s"""WITH $AHashCte
             |SELECT doc_id, ahash FROM h ORDER BY doc_id""".stripMargin),
     (s, d) =>
-      imageAHashes(withPngContentContainers(Tables.documents(s, d)))
+      imageAHashes(withPngContentContainers(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("doc_id")))
 
   /** Near-dup image pairs; the oracle is the INDEPENDENT all-pairs
@@ -1477,7 +1477,7 @@ object Multimodal {
     "m_sniff_dispatch",
     Some(SniffOracleSql),
     (s, d) =>
-      sniffDispatch(withMixedContainers(Tables.documents(s, d)))
+      sniffDispatch(withMixedContainers(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("doc_id")))
 
   /** The oracle re-derives every kind's duplicate key from (doc_id mod
@@ -1699,7 +1699,7 @@ object Multimodal {
     "m_dedup_mixed",
     Some(MixedDedupOracleSql),
     (s, d) =>
-      mixedDedupSurvivors(withMixedContentContainers(Tables.documents(s, d))))
+      mixedDedupSurvivors(withMixedContentContainers(Tables.fanout(Tables.documents(s, d)))))
 
   val bmpPixelsQ: Q = Q(
     "m_bmp_pixels",
@@ -1882,7 +1882,7 @@ object Multimodal {
     "m_jpeg_pixels",
     Some(JpegPixelsOracleSql),
     (s, d) =>
-      jpegPixels(withJpegContainers(Tables.documents(s, d)))
+      jpegPixels(withJpegContainers(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("doc_id")))
 
   // ---- GIF87a (palette + hand-rolled LZW) ---------------------------------
@@ -1989,7 +1989,7 @@ object Multimodal {
     "m_gif_pixels",
     Some(GifPixelsOracleSql),
     (s, d) =>
-      withGifContainers(Tables.documents(s, d))
+      withGifContainers(Tables.fanout(Tables.documents(s, d)))
         .select(col("doc_id"), parse_frames(col("container")).as("f"))
         .select(col("doc_id"), gif_pixel_stats(col("f.payload")).as("s"))
         .select(col("doc_id") +: GifPixelCols.map(c => col(s"s.$c").as(c)): _*)

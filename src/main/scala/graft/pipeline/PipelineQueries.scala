@@ -1293,7 +1293,7 @@ object PipelineQueries {
             |  5 * len(list_distinct(grams)) < 4 * n_grams AS repetitive
             |FROM g ORDER BY doc_id""".stripMargin),
     (s, d) => {
-      val t = Tables.documents(s, d)
+      val t = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), toks(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
       val grams = transform(
@@ -1330,7 +1330,7 @@ object PipelineQueries {
             |SELECT pr[1] AS a, pr[2] AS b, CAST(count(*) AS BIGINT) AS cnt
             |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin),
     (s, d) => {
-      val t = Tables.documents(s, d)
+      val t = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), toks(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
       val n = size(col("toks"))
@@ -2151,7 +2151,7 @@ object PipelineQueries {
             |  n_alpha_tokens, n_grams, n_distinct_grams, reasons,
             |  reasons = 0 AS pass
             |FROM r ORDER BY doc_id""".stripMargin),
-    (s, d) => qualityFilterOf(Tables.documents(s, d)))
+    (s, d) => qualityFilterOf(Tables.fanout(Tables.documents(s, d))))
 
   /** The t_quality_filter body over any (doc_id, text) frame (public —
     * the crafted-document spec drives it directly). */

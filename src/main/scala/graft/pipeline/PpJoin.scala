@@ -223,7 +223,7 @@ object PpJoin {
       .select(col("a_id"), col("b_id")).distinct()
       .localCheckpoint(true))
     graft.analytics.CheckpointRegistry.trackFinal(spark, cand)
-    lastCandidates = cand.count()
+    lastCandidates = org.apache.spark.sql.GraftColumnBridge.fastCount(cand)
     verifyPairs(spark, cand, sets)
   }
 
@@ -263,7 +263,7 @@ object PpJoin {
       .distinct()
       .localCheckpoint(true))
     graft.analytics.CheckpointRegistry.trackFinal(spark, cand)
-    lastIncrCandidates = cand.count()
+    lastIncrCandidates = org.apache.spark.sql.GraftColumnBridge.fastCount(cand)
     verifyPairs(spark, cand, sets)
   }
 

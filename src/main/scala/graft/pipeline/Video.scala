@@ -181,7 +181,7 @@ object Video {
     "m_video_clip_pairs",
     Some(ClipOracle),
     (s, d) =>
-      clipPairs(withClipVideos(Tables.documents(s, d)), minShared = 2)
+      clipPairs(withClipVideos(Tables.fanout(Tables.documents(s, d))), minShared = 2)
         .orderBy(col("a_id"), col("b_id")))
 
   // ---- oracles (direct construction from doc_id arithmetic alone) --------
@@ -263,20 +263,20 @@ object Video {
     "m_video_decode",
     Some(HeaderOracle),
     (s, d) =>
-      parseHeaders(withVideos(Tables.documents(s, d))).orderBy(col("doc_id")))
+      parseHeaders(withVideos(Tables.fanout(Tables.documents(s, d)))).orderBy(col("doc_id")))
 
   val videoDecodeBatchQ: Q = Q(
     "m_video_decode_batch",
     Some(HeaderOracle),
     (s, d) =>
-      parseHeadersBatch(withVideos(Tables.documents(s, d)))
+      parseHeadersBatch(withVideos(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("doc_id")))
 
   val videoFramesQ: Q = Q(
     "m_video_frames",
     Some(FramesOracle),
     (s, d) =>
-      frameStats(withVideos(Tables.documents(s, d)), 2)
+      frameStats(withVideos(Tables.fanout(Tables.documents(s, d))), 2)
         .orderBy(col("doc_id"), col("frame_idx")))
 
   /** Incremental video dedup: an INGEST BATCH (doc_id % 10 in {5, 6} —
@@ -314,7 +314,7 @@ object Video {
     "m_dedup_video_incremental",
     Some(DedupIncrOracle),
     (s, d) => {
-      val keyed = keyedVideos(withVideos(Tables.documents(s, d)))
+      val keyed = keyedVideos(withVideos(Tables.fanout(Tables.documents(s, d))))
       val batch = keyed.filter(expr(IncrBatchPred))
       val standingIdx = keyed.filter(!expr(IncrBatchPred))
         .groupBy(col("key")).agg(min(col("doc_id")).as("s_keeper"))
@@ -335,7 +335,7 @@ object Video {
     "m_dedup_video",
     Some(DedupOracle),
     (s, d) =>
-      dedupVideos(withVideos(Tables.documents(s, d)))
+      dedupVideos(withVideos(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("keeper")))
 
   val all: Seq[Q] = Seq(videoDecodeQ, videoDecodeBatchQ, videoFramesQ,

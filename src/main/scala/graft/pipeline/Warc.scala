@@ -189,7 +189,7 @@ object Warc {
     "t_warc_gz_parse",
     Some(ParseOracle),
     (s, d) =>
-      withWarcGz(Tables.documents(s, d))
+      withWarcGz(Tables.fanout(Tables.documents(s, d)))
         .select(col("doc_id"),
           explode(warc_records(gunzip_bytes(col("warcgz")))).as("r"))
         .select(col("doc_id"), col("r.rec_idx").as("rec_idx"),
@@ -227,7 +227,7 @@ object Warc {
     "t_warc_zst_parse",
     Some(ParseOracle),
     (s, d) =>
-      withWarcZst(Tables.documents(s, d))
+      withWarcZst(Tables.fanout(Tables.documents(s, d)))
         .select(col("doc_id"),
           explode(warc_records(unzstd_bytes(col("warczst")))).as("r"))
         .select(col("doc_id"), col("r.rec_idx").as("rec_idx"),
@@ -258,7 +258,7 @@ object Warc {
 
   private[graft] def seekableShards(s: SparkSession, d: String): DataFrame =
     shardCache.computeIfAbsent((graft.SessionKey(s), d), _ =>
-      withWarcZstSeekable(Tables.documents(s, d)).localCheckpoint(true))
+      withWarcZstSeekable(Tables.fanout(Tables.documents(s, d))).localCheckpoint(true))
 
   /** Materialize the stored archive (Bench's `_setup_warc_zst`). */
   def warmShards(s: SparkSession, d: String): Unit = {

@@ -101,7 +101,7 @@ object WebDataset {
     Some(ParseOracle),
     (s, d) =>
       parseMembers(
-        withShards(Tables.documents(s, d))
+        withShards(Tables.fanout(Tables.documents(s, d)))
           .select(col("doc_id"),
             gunzip_bytes(gzip_bytes(col("shard"))).as("shard")))
         .orderBy(col("doc_id"), col("name")))

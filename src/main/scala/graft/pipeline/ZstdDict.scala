@@ -79,7 +79,7 @@ object ZstdDict {
     "t_warc_zst_dict_parse",
     Some(Warc.parseOracleSql),
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.fanout(Tables.documents(s, d))
       val dict = train(Html.withHtml(docs))
       withWarcZstDict(docs, dict)
         .select(col("doc_id"),
@@ -108,7 +108,7 @@ object ZstdDict {
   private[graft] def trainedDict(s: org.apache.spark.sql.SparkSession,
       d: String): Array[Byte] =
     dictCache.computeIfAbsent((graft.SessionKey(s), d), _ =>
-      train(Html.withHtml(Tables.documents(s, d))))
+      train(Html.withHtml(Tables.fanout(Tables.documents(s, d)))))
 
   /** Materialize the artifact (Bench's `_setup_zst_dict` entry). */
   def warmDict(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
@@ -131,7 +131,7 @@ object ZstdDict {
     Some(Warc.parseOracleSql),
     (s, d) => {
       val dict = trainedDict(s, d) // ≤4 KiB driver-side artifact
-      val docs = Tables.documents(s, d)
+      val docs = Tables.fanout(Tables.documents(s, d))
       Html.withHtml(docs)
         .select(col("doc_id"),
           graft.functions.GraftFunctions.encode_warc_zst_dict_bare(

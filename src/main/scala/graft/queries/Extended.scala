@@ -174,7 +174,7 @@ object Extended {
     "x_approx_percentile_tol",
     Some("SELECT true AS p50_ok, true AS p90_ok"),
     (s, d) =>
-      Tables.lineitem(s, d)
+      Tables.fanout(Tables.lineitem(s, d))
         .agg(
           expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
           expr("percentile(l_extendedprice, 0.5)").as("e50"),

@@ -300,7 +300,7 @@ object StreamingQueries {
             |ORDER BY s.doc_id""".stripMargin),
     (s, d) => {
       import graft.functions.GraftFunctions.{gunzip_bytes, html_extract, warc_records}
-      val shards = graft.pipeline.Warc.withWarcGzPaired(Tables.documents(s, d))
+      val shards = graft.pipeline.Warc.withWarcGzPaired(Tables.fanout(Tables.documents(s, d)))
       shards
         .select(col("doc_id"),
           explode(warc_records(gunzip_bytes(col("warcgz")))).as("r"))
@@ -323,7 +323,7 @@ object StreamingQueries {
     warcIngest.oracle,
     (s, d) => {
       import graft.functions.GraftFunctions.{html_extract, unzstd_bytes, warc_records}
-      val shards = graft.pipeline.Warc.withWarcZstPaired(Tables.documents(s, d))
+      val shards = graft.pipeline.Warc.withWarcZstPaired(Tables.fanout(Tables.documents(s, d)))
       shards
         .select(col("doc_id"),
           explode(warc_records(unzstd_bytes(col("warczst")))).as("r"))

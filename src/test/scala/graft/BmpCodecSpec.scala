@@ -134,12 +134,11 @@ class BmpCodecSpec extends SparkSpec {
   }
 
   test("BMP decode stays inside whole-stage codegen") {
-    val plan = Multimodal.parseBmpHeaders(
-      Multimodal.withBmpContainers(Tables.documents(spark, sf())))
-      .queryExecution.executedPlan
-    val codegenStages = plan.collect {
-      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
-    }
-    assert(codegenStages.nonEmpty, s"expected codegen:\n$plan")
+    // finalPlan: with the scan fan-out exchange in the plan, AQE only
+    // finalizes stages (and wraps them in WholeStageCodegen) at run time
+    val plan = finalPlan(Multimodal.parseBmpHeaders(
+      Multimodal.withBmpContainers(Tables.documents(spark, sf()))))
+    // the finalized tree renders codegen spans as `*(n)` prefixes
+    assert(plan.contains("*("), s"expected codegen:\n$plan")
   }
 }

@@ -106,7 +106,7 @@ class ExpressionsSpec extends SparkSpec {
     assert(feats.columns.toSeq === Seq("doc_id", "width", "height", "features"))
     assert(r.getSeq[Long](3).size === 16)
     // narrow plan: no shuffle in a per-row pipeline
-    val plan = feats.queryExecution.executedPlan.toString
+    val plan = sansFanout(feats.queryExecution.executedPlan.toString)
     assert(!plan.contains("Exchange"))
   }
 }

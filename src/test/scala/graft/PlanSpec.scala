@@ -12,7 +12,8 @@ import graft.registry.Registry
 class PlanSpec extends SparkSpec {
 
   private def plan(name: String): String =
-    Registry.byName(name).run(spark, sf("0.01")).queryExecution.executedPlan.toString
+    sansFanout(Registry.byName(name).run(spark, sf("0.01"))
+      .queryExecution.executedPlan.toString)
 
   test("s1_scan_prune: filter pushed to parquet, schema pruned") {
     val p = plan("s1_scan_prune")
@@ -46,8 +47,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("m_decode_features: narrow per-row pipeline, zero exchanges before sort") {
-    val p = Registry.byName("m_decode_features").run(spark, sf("0.01"))
-      .queryExecution.executedPlan.toString
+    val p = sansFanout(Registry.byName("m_decode_features").run(spark, sf("0.01"))
+      .queryExecution.executedPlan.toString)
     // one exchange allowed: the final presentation sort
     assert(p.split("Exchange").length - 1 <= 1, p)
   }

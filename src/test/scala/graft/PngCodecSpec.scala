@@ -285,13 +285,12 @@ class PngCodecSpec extends SparkSpec {
   }
 
   test("PNG decode stays inside whole-stage codegen") {
-    val plan = Multimodal.parsePngHeaders(
-      Multimodal.withPngContainers(Tables.documents(spark, sf())))
-      .queryExecution.executedPlan
-    val codegenStages = plan.collect {
-      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
-    }
-    assert(codegenStages.nonEmpty, s"expected codegen:\n$plan")
+    // finalPlan: with the scan fan-out exchange in the plan, AQE only
+    // finalizes stages (and wraps them in WholeStageCodegen) at run time
+    val plan = finalPlan(Multimodal.parsePngHeaders(
+      Multimodal.withPngContainers(Tables.documents(spark, sf()))))
+    // the finalized tree renders codegen spans as `*(n)` prefixes
+    assert(plan.contains("*("), s"expected codegen:\n$plan")
   }
 
   test("resample: grid formula exact; 8x8 grid reproduces aHash's samples") {

@@ -46,6 +46,6 @@ class RendezvousSpec extends SparkSpec {
     val p = Rendezvous.assign(Tables.documents(spark, sf()))
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), p)
-    assert(!p.contains("Exchange"), p)
+    assert(!sansFanout(p).contains("Exchange"), p)
   }
 }

@@ -18,4 +18,25 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   def sf(dir: String = "0.001"): String = s"/root/testdata/sf$dir"
+
+  /** Plan text with the byte-gated scan fan-out exchange removed
+    * (Tables.fanout: `Exchange RoundRobinPartitioning(n),
+    * REPARTITION_BY_NUM` directly above a too-small-to-fill-the-cluster
+    * scan — identity at real scale, see Tables.scala). The narrow-map /
+    * exchange-count guards keep asserting what they always asserted:
+    * no data movement the OPERATOR introduced. The pattern is exact
+    * (round-robin + REPARTITION_BY_NUM), so a hash/range exchange or a
+    * repartition a refactor sneaks in still fails the guard. */
+  def sansFanout(plan: String): String =
+    plan.replaceAll(
+      "Exchange RoundRobinPartitioning\\(\\d+\\), REPARTITION_BY_NUM[^\\n]*",
+      "[scan-fanout]")
+
+  /** Executed-and-finalized plan string: under AQE a plan containing an
+    * exchange only finalizes (codegen spans, stage boundaries) after it
+    * runs, so codegen guards must execute the frame first. */
+  def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString
+  }
 }
