@@ -40,16 +40,22 @@ object FanoutAb {
       for (_ <- 1 to reps; arm <- Seq("false", "true")) {
         sys.props("graft.fanout") = arm
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-        catch { case e: Throwable => println(s"FANOUTAB $name $arm FAILED: $e") }
+        // a failed run contributes NO sample (ADVICE r13: its tiny
+        // elapsed time could otherwise win the reported min and skew
+        // the A/B verdict the fan-out decisions are based on)
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable => println(s"FANOUTAB $name $arm FAILED: $e"); false }
         val sec = (System.nanoTime() - t0) / 1e9
-        acc(arm) = acc(arm) :+ sec
+        if (ok) acc(arm) = acc(arm) :+ sec
         graft.analytics.CheckpointRegistry.releaseAll(spark)
         graft.pipeline.PipelineQueries.releaseShared(spark)
       }
       def fmt(l: List[Double]) = l.map(s => f"$s%.2f").mkString(",")
-      println(f"FANOUTAB $name raw=[${fmt(acc("false"))}] fan=[${fmt(acc("true"))}] " +
-        f"minRaw=${acc("false").min}%.2f minFan=${acc("true").min}%.2f")
+      def mn(l: List[Double]) =
+        if (l.isEmpty) "ALL_FAILED" else f"${l.min}%.2f"
+      println(s"FANOUTAB $name raw=[${fmt(acc("false"))}] fan=[${fmt(acc("true"))}] " +
+        s"minRaw=${mn(acc("false"))} minFan=${mn(acc("true"))}")
     }
     sys.props("graft.fanout") = "true"
     spark.stop()

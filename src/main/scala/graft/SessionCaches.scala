@@ -43,8 +43,14 @@ object SessionCaches {
   def clear(spark: SparkSession, name: String): Unit =
     byName(name)(spark)
 
-  def clearAll(spark: SparkSession): Unit =
+  def clearAll(spark: SparkSession): Unit = {
     hooks.foreach { case (_, f) =>
       try f(spark) catch { case _: Throwable => () }
     }
+    // the partition-sizing count memo (GraftColumnBridge.memoCount) is
+    // session-scoped with no per-family hook; a full clear is the
+    // invalidation point for long-lived sessions whose inputs changed
+    // (VERDICT r13 what's-wrong #3)
+    org.apache.spark.sql.GraftColumnBridge.clearCountMemo(spark)
+  }
 }

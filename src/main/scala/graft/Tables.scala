@@ -51,7 +51,14 @@ object Tables {
     val cores = spark.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val gate = BigInt(spark.sessionState.conf.filesMaxPartitionBytes) * cores
-    if (cores > 1 && bytes < gate) df.repartition(cores) else df
+    // the byte gate alone is a proxy: a MANY-SMALL-FILES table can plan
+    // >= cores scan splits while staying under it (each file is its own
+    // split floor), and would then pay a whole-input round-robin shuffle
+    // for parallelism it already has (ADVICE r13). One file per core is
+    // already full scan parallelism — pass through untouched.
+    if (cores > 1 && bytes < gate && df.inputFiles.length < cores)
+      df.repartition(cores)
+    else df
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")

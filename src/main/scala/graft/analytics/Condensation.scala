@@ -76,16 +76,17 @@ object Condensation {
         val relax = depth.join(ce, col("scc_id") === col("src"))
           .groupBy(col("dst")).agg(max(col("depth") + 1L).as("cand"))
           .select(col("dst").as("scc_id"), col("cand"))
-        // relaxation and its changed flag in one checkpoint job; the
-        // convergence count is a cached scan (the Scc/Mst fusion)
-        val nextFull = ckpt(depth.join(relax.hint("shuffle_hash"),
-            Seq("scc_id"), "left")
-          .select(col("scc_id"),
-            greatest(col("depth"), coalesce(col("cand"), col("depth")))
-              .as("depth"),
-            (col("cand").isNotNull && col("cand") > col("depth")).as("chg")))
-        changed = GraftColumnBridge.countTrue(nextFull, "chg")
-        free(depthFull); depthFull = nextFull
+        // relaxation, its changed flag, AND the convergence count in one
+        // fused job (ckptCounted: materialization counts as it caches)
+        val (nextC, _, nChg) = GraftColumnBridge.ckptCounted(
+          depth.join(relax.hint("shuffle_hash"), Seq("scc_id"), "left")
+            .select(col("scc_id"),
+              greatest(col("depth"), coalesce(col("cand"), col("depth")))
+                .as("depth"),
+              (col("cand").isNotNull && col("cand") > col("depth")).as("chg")),
+          "chg")
+        changed = nChg
+        free(depthFull); depthFull = nextC
         depth = depthFull.select(col("scc_id"), col("depth"))
       }
       require(changed == 0,

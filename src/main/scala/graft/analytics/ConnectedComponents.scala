@@ -33,7 +33,14 @@ object ConnectedComponents {
     import org.apache.spark.sql.GraftColumnBridge
     import graft.graph.CitationGraph.bidirectional
     val spark = edges.sparkSession
-    val bidir = bidirectional(edges).localCheckpoint(true)
+    // dst-partitioned ONCE before the checkpoint: every propagation
+    // round joins bidir on its dst against the id-partitioned label
+    // frame — an un-partitioned checkpoint was reshuffled by dst EVERY
+    // round (guide §2.4 "two operations keyed the same way can share
+    // one exchange"); the checkpoint preserves the partitioning, so
+    // rounds now shuffle only the label/message side.
+    val bidir = bidirectional(edges).repartition(col("dst"))
+      .localCheckpoint(true)
     var lbl = bidir.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
@@ -62,12 +69,16 @@ object ConnectedComponents {
       // driver work per round on the bench host, SchedProbe) where one
       // cached-scan job does the same count in ~30 ms (guide §1.2/§5:
       // loop-body actions should not re-plan).
-      val upd = lbl.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbComp"), col("comp"))).as("comp2"),
-          (coalesce(col("nbComp"), col("comp")) < col("comp")).as("chg"))
-        .localCheckpoint(true)
-      changed = GraftColumnBridge.countTrue(upd, "chg")
+      // checkpoint materialization and the changed-count fuse into ONE
+      // job (GraftColumnBridge.ckptCounted — the eager ckpt + countTrue
+      // pair was two scheduler round-trips per round, guide §1.2)
+      val (upd, _, nChg) = GraftColumnBridge.ckptCounted(
+        lbl.join(nbrMin, col("id") === col("nid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbComp"), col("comp"))).as("comp2"),
+            (coalesce(col("nbComp"), col("comp")) < col("comp")).as("chg")),
+        "chg")
+      changed = nChg
       GraftColumnBridge.checkpointRdd(prevCkpt).foreach(_.unpersist(false))
       prevCkpt = upd
       lbl = upd.select(col("id"), col("comp2").as("comp"))

@@ -49,13 +49,22 @@ object HopPlot {
     import graft.graph.CitationGraph.bidirectional
 
     val bidir = bidirectional(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // src-partitioned neighbor table, persisted once: every BFS level
+    // probes it on m = src; unpartitioned, the full pair list was
+    // reshuffled by m at EVERY level (guide §2.4) — now only the
+    // (shrinking) frontier side shuffles per level
     val nbr = bidir.select(col("src").as("m"), col("dst").as("nb"))
+      .repartition(col("m")).persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ordered pairs (both directions kept: needed to expand frontiers)
-    var frontier = bidir.localCheckpoint(true)
+    // ordered pairs (both directions kept: needed to expand frontiers).
+    // Fused checkpoint+count: one job materializes and counts (the eager
+    // ckpt + fastCount pair was two scheduler round-trips — guide §1.2).
+    val (frontier0, newCount0, _) =
+      org.apache.spark.sql.GraftColumnBridge.ckptCounted(bidir)
+    var frontier = frontier0
     var visited = frontier
     val perD = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
-    var newCount = org.apache.spark.sql.GraftColumnBridge.fastCount(frontier)
+    var newCount = newCount0
     if (newCount > 0) perD += 1 -> newCount // empty graph → empty hop-plot
     var cum = newCount
     var d = 1
@@ -75,9 +84,9 @@ object HopPlot {
         .select(col("src"), col("nb").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-      val fresh = cand.join(visited, Seq("src", "dst"), "left_anti")
-        .localCheckpoint(true)
-      newCount = GraftColumnBridge.fastCount(fresh)
+      val (fresh, nFresh, _) = GraftColumnBridge.ckptCounted(
+        cand.join(visited, Seq("src", "dst"), "left_anti"))
+      newCount = nFresh
       if (newCount > 0) {
         val nextVisited = visited.union(fresh).localCheckpoint(true)
         // round 1's frontier and visited are the same checkpoint —
@@ -92,6 +101,7 @@ object HopPlot {
     // all results are driver-side counts by now — no lazy frame keeps
     // these blocks alive, so the finals are freed here, not registered
     free(frontier); free(visited)
+    nbr.unpersist(false)
     bidir.unpersist(false)
 
     val total = totalPairs.getOrElse(perD.map(_._2).sum / 2) // unordered

@@ -89,11 +89,13 @@ object HyperANF {
       .repartition(col("nb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ball(v, 0) = {v}: a 1-element sketch per vertex
-    var st = bidir.select(col("src").as("id")).distinct()
-      .groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk"))
-      .localCheckpoint(true)
-    val n = st.count()
+    // ball(v, 0) = {v}: a 1-element sketch per vertex. Fused
+    // checkpoint+count (ckptCounted): one job materializes and counts.
+    val (st0, n, _) = GraftColumnBridge.ckptCounted(
+      bidir.select(col("src").as("id")).distinct()
+        .groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk")))
+    var st = st0
+    var stCkpt = st0 // the LogicalRDD backing `st`, for explicit release
     if (n == 0) { nbr.unpersist(false); return Seq.empty }
 
     val rows = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
@@ -115,13 +117,19 @@ object HyperANF {
       lastSuperstepExchanges = mergedDs.queryExecution.executedPlan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }.size
-      val merged = mergedDs.localCheckpoint(true)
-      val tot = merged.agg(sum(hll_sketch_estimate(col("sk"))))
-        .head.getLong(0)
+      // ONE job per superstep: the estimate is computed INTO the
+      // checkpointed row and summed as the materialization caches it
+      // (ckptSummed) — the former eager checkpoint + a re-planned
+      // sum(estimate) aggregate were two jobs per superstep (guide
+      // §1.2). The est column stays out of the next round's joins via
+      // the (id, sk) projection below.
+      val (mergedFull, _, tot) = GraftColumnBridge.ckptSummed(
+        mergedDs.withColumn("est", hll_sketch_estimate(col("sk"))), "est")
       // superseded frame is fully materialized into `merged`; free its
       // blocks now instead of waiting on the ContextCleaner (ADVICE r2)
-      GraftColumnBridge.checkpointRdd(st).foreach(_.unpersist(false))
-      st = merged
+      GraftColumnBridge.checkpointRdd(stCkpt).foreach(_.unpersist(false))
+      stCkpt = mergedFull
+      st = mergedFull.select(col("id"), col("sk"))
       if (tot > last) {
         // a plateaued estimate followed by growth means the sketch was
         // noisy, not that the balls stopped growing — backfill the
@@ -138,7 +146,7 @@ object HyperANF {
         stale += 1
       }
     }
-    GraftColumnBridge.checkpointRdd(st).foreach(_.unpersist(false))
+    GraftColumnBridge.checkpointRdd(stCkpt).foreach(_.unpersist(false))
     nbr.unpersist(false)
 
     val total = if (rows.isEmpty) 1L else math.max(rows.last._2, 1L)

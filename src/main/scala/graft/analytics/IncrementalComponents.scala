@@ -63,27 +63,29 @@ object IncrementalComponents {
     val lblAll = lblOf.union(newVerts.select(col("id"), col("id").as("comp")))
     // 2. contract batch edges to label pairs (both lookups broadcast:
     // lblAll is O(|batch|) rows)
-    val labelEdges = batch
-      .join(broadcast(lblAll.withColumnRenamed("id", "src")
-        .withColumnRenamed("comp", "lsrc")), Seq("src"))
-      .join(broadcast(lblAll.withColumnRenamed("id", "dst")
-        .withColumnRenamed("comp", "ldst")), Seq("dst"))
-      .select(col("lsrc").as("src"), col("ldst").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    lastLabelEdges = org.apache.spark.sql.GraftColumnBridge.fastCount(labelEdges)
+    // fused checkpoint+count (ckptCounted): the contract count rides the
+    // materialization job instead of a second cached scan (guide §1.2)
+    val (labelEdges, nLabelEdges, _) =
+      org.apache.spark.sql.GraftColumnBridge.ckptCounted(batch
+        .join(broadcast(lblAll.withColumnRenamed("id", "src")
+          .withColumnRenamed("comp", "lsrc")), Seq("src"))
+        .join(broadcast(lblAll.withColumnRenamed("id", "dst")
+          .withColumnRenamed("comp", "ldst")), Seq("dst"))
+        .select(col("lsrc").as("src"), col("ldst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    lastLabelEdges = nLabelEdges
     // 3. min-label superstep on the contracted graph only
     val mergedLbl =
       if (lastLabelEdges == 0L)
         assignment.sparkSession.emptyDataFrame
           .select(lit(0L).as("id"), lit(0L).as("comp")).limit(0)
       else ConnectedComponents.components(labelEdges)
-    val mapping = mergedLbl
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as("old_comp"), col("comp").as("new_comp"))
-      .localCheckpoint(true)
-    lastTouched = org.apache.spark.sql.GraftColumnBridge.fastCount(mapping)
+    val (mapping, nMapping, _) = org.apache.spark.sql.GraftColumnBridge
+      .ckptCounted(mergedLbl
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("old_comp"), col("comp").as("new_comp")))
+    lastTouched = nMapping
     // 4. one narrow pass over the standing assignment applies the
     // broadcast mapping; batch-only vertices append with their merged
     // label

@@ -72,11 +72,13 @@ object KCore {
     import org.apache.spark.sql.GraftColumnBridge
     import graft.graph.CitationGraph.bidirectional
 
-    var e = bidirectional(edgesRaw)
-      .repartition(col("src"))
-      .localCheckpoint(true)
+    // fused checkpoint+count: one job materializes and counts (the eager
+    // ckpt + fastCount pair was two scheduler round-trips — guide §1.2)
+    val (e0, nE0, _) = GraftColumnBridge.ckptCounted(
+      bidirectional(edgesRaw).repartition(col("src")))
+    var e = e0
     var prev = e
-    var nEdges = GraftColumnBridge.fastCount(e)
+    var nEdges = nE0
     lastInputEdges = nEdges
     var r = 0
     var changed = true
@@ -91,8 +93,7 @@ object KCore {
           .join(keep, cur("src") === keep("id"), "left_semi")
           .join(keep.select(col("id").as("id2")), cur("dst") === col("id2"), "left_semi")
       }
-      val next = cur.localCheckpoint(true)
-      val nNext = GraftColumnBridge.fastCount(next)
+      val (next, nNext, _) = GraftColumnBridge.ckptCounted(cur)
       changed = nNext != nEdges
       nEdges = nNext
       GraftColumnBridge.checkpointRdd(prev).foreach(_.unpersist(false))

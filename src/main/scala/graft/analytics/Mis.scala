@@ -46,18 +46,27 @@ object Mis {
     import org.apache.spark.sql.GraftColumnBridge
     import graft.graph.CitationGraph.bidirectional
 
+    // dst-partitioned: every round's FIRST join (the neighbor-priority
+    // build) keys edges on dst, and the per-round shrink's final semi
+    // join leaves the next round's edges dst-partitioned too — with the
+    // former src partitioning the first round reshuffled the full edge
+    // list for nothing (guide §2.4)
     val e0 = bidirectional(edgesRaw)
-      .repartition(col("src"))
+      .repartition(col("dst"))
       .localCheckpoint(true)
     var edges = e0
-    var active = e0.select(col("src").as("id")).distinct()
-      .withColumn("h", md5(col("id").cast("string")))
-      .repartition(col("id"))
-      .localCheckpoint(true)
+    // fused checkpoint+count (ckptCounted): one job materializes AND
+    // counts — the eager ckpt + fastCount pair was two scheduler
+    // round-trips per step (guide §1.2)
+    val (active0, nActive0, _) = GraftColumnBridge.ckptCounted(
+      e0.select(col("src").as("id")).distinct()
+        .withColumn("h", md5(col("id").cast("string")))
+        .repartition(col("id")))
+    var active = active0
     var prevEdges = edges
     var prevActive = active
     val winnerFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var nActive = GraftColumnBridge.fastCount(active)
+    var nActive = nActive0
     var r = 0
     while (nActive > 0) {
       r += 1
@@ -78,14 +87,14 @@ object Mis {
         .join(winners.select(col("id").as("src")), Seq("src"), "left_semi")
         .select(col("dst").as("id"))
       val removed = winners.select(col("id")).union(nbrs).distinct()
-      val nextActive = active.join(removed, Seq("id"), "left_anti")
-        .localCheckpoint(true)
+      val (nextActive, nNextActive, _) = GraftColumnBridge.ckptCounted(
+        active.join(removed, Seq("id"), "left_anti"))
       val nextEdges = edges
         .join(nextActive.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(nextActive.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint(true)
-      nActive = GraftColumnBridge.fastCount(nextActive)
+      nActive = nNextActive
       GraftColumnBridge.checkpointRdd(prevActive).foreach(_.unpersist(false))
       GraftColumnBridge.checkpointRdd(prevEdges).foreach(_.unpersist(false))
       active = nextActive; prevActive = nextActive

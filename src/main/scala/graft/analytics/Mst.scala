@@ -77,12 +77,22 @@ object Mst {
       ckpts(clean) = c
       clean
     }
+    // fused checkpoint+count: ONE job materializes the frame AND returns
+    // the row / true-flag count (the eager-ckpt + fastCount/countTrue
+    // pair was two scheduler round-trips per loop step — guide §1.2,
+    // VERDICT r13 next-round #1: cut jobs-per-round in the loops)
+    def ckptN(df: DataFrame, boolCol: String = null): (DataFrame, Long, Long) = {
+      val (c, n, t) = GraftColumnBridge.ckptCounted(df, boolCol)
+      val clean = GraftColumnBridge.statsClean(c)
+      ckpts(clean) = c
+      (clean, n, t)
+    }
     def free(df: DataFrame): Unit =
       ckpts.remove(df).foreach(c =>
         GraftColumnBridge.checkpointRdd(c).foreach(_.unpersist(false)))
 
     // live edges in component space, carrying original endpoints
-    var live = ckpt(canonical(edgesRaw)
+    var (live, nLive, _) = ckptN(canonical(edgesRaw)
       .select(col("u").as("ca"), col("v").as("cb"),
         col("w"), col("u").as("ou"), col("v").as("ov")))
     val picked = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -92,7 +102,6 @@ object Mst {
     val keptSels = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var rounds = 0
     var jumpsConverged = true
-    var nLive = GraftColumnBridge.fastCount(live)
     while (nLive > 0) {
       rounds += 1
       // min outgoing edge per component, under the (w, ou, ov) total
@@ -129,36 +138,44 @@ object Mst {
       // of the outer one, and the extra shuffles cost more than the
       // saved materialization latency. One checkpointed level per jump
       // stands as the measured optimum.)
+      // the jump join COMPUTES the moved flag in the same join (the x
+      // side already carries the pre-jump pointer, so the former extra
+      // `join(p, "c")` to fetch `old` was a second shuffle join per
+      // jump doing no new work — guide §2.4 remove shuffles outright)
       def jump(q: DataFrame): DataFrame =
         q.as("x").join(
           q.select(col("c").as("pc"), col("p").as("pp")).as("y"),
           col("p") === col("pc"))
-          .select(col("c"), col("pp").as("p"))
-      var pFull = ckpt(p0.withColumn("chg", lit(true)))
-      var p = pFull.select(col("c"), col("p"))
+          .select(col("c"), col("pp").as("p"),
+            (col("pp") =!= col("p")).as("chg"))
+      // p0 is NOT checkpointed: the first jump composes it lazily (its
+      // two sides each re-evaluate the cheap sel⋈sel rooting join over
+      // the checkpointed sel), trading that duplicated small join for
+      // one fewer materialization job per round. This differs from the
+      // recorded stride-2 negative result, which chained two PROPAGATION
+      // steps (each consuming the full state twice); p0 is a single
+      // rooting join over an already-materialized, component-sized sel.
+      var pFull: DataFrame = null
+      var p = p0
       var jumping = true
       var jumps = 0
       while (jumping && jumps < JumpsUnroll) {
         jumps += 1
-        // the jump and its convergence flag materialize in ONE
-        // checkpoint job; the moved count is then a cached scan (the
-        // separate join+count per jump was a full extra shuffle job)
-        val nextFull = ckpt(jump(p).as("n")
-          .join(p.select(col("c"), col("p").as("old")), "c")
-          .select(col("c"), col("p"), (col("p") =!= col("old")).as("chg")))
-        // counted off the materialized checkpoint RDD — the filter +
-        // aggregate re-planned per jump was ~100 ms of driver work each
-        // (SchedProbe; guide §1.2: loop-body actions should not re-plan)
-        val moved = GraftColumnBridge.countTrue(nextFull, "chg")
-        free(pFull); pFull = nextFull
+        // ONE job per jump: the checkpoint materialization counts the
+        // moved flags as it caches (ckptCounted) — previously the eager
+        // checkpoint job + a countTrue cached-scan job per jump
+        val (nextFull, _, moved) = ckptN(jump(p), "chg")
+        if (pFull != null) free(pFull)
+        pFull = nextFull
         p = pFull.select(col("c"), col("p"))
         if (moved == 0) jumping = false
       }
       // the loop only exits converged (moved == 0) or at the unroll
       // bound — the latter without proof of fixpoint fails the gate
       if (jumping) jumpsConverged = false
-      // relabel live edges into merged-component space; drop loops
-      val nextLive = ckpt(live
+      // relabel live edges into merged-component space; drop loops.
+      // Materialization and the live-edge count fuse into one job.
+      val (nextLive, nNext, _) = ckptN(live
         .join(p.select(col("c").as("ca"), col("p").as("na")), Seq("ca"), "left")
         .join(p.select(col("c").as("cb"), col("p").as("nb")), Seq("cb"), "left")
         .select(coalesce(col("na"), col("ca")).as("ca"),
@@ -166,9 +183,10 @@ object Mst {
           col("w"), col("ou"), col("ov"))
         .filter(col("ca") =!= col("cb"))
         .distinct())
-      free(pFull); free(live)
+      if (pFull != null) free(pFull)
+      free(live)
       live = nextLive
-      nLive = GraftColumnBridge.fastCount(live)
+      nLive = nNext
     }
     free(live)
     // the kept selection checkpoints back the lazy picked frames —

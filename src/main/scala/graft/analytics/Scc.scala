@@ -60,21 +60,38 @@ object Scc {
     import org.apache.spark.sql.GraftColumnBridge
 
     def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // fused checkpoint+count (GraftColumnBridge.ckptCounted): one job
+    // materializes AND counts — the eager ckpt + fastCount/countTrue
+    // pair was two scheduler round-trips per loop step (guide §1.2,
+    // VERDICT r13 next-round #1)
+    def ckptN(df: DataFrame): (DataFrame, Long) = {
+      val (c, n, _) = GraftColumnBridge.ckptCounted(df)
+      (c, n)
+    }
     def free(df: DataFrame): Unit =
       GraftColumnBridge.checkpointRdd(df).foreach(_.unpersist(false))
 
-    var edges = ckpt(
+    val (edges0, nEdges0) = ckptN(
       edgesRaw.select(col("src"), col("dst"))
         .filter(col("src") =!= col("dst")).distinct()
         .repartition(col("dst")))
-    var verts = ckpt(
+    var edges = edges0
+    // src-partitioned twin of the live edge list: the forward flood
+    // joins edges on src every round, and with only the dst-partitioned
+    // copy the FULL edge list was reshuffled by src per flood round
+    // (guide §2.4 share the exchange / Pregel practice: partition edges
+    // once, route only messages). One extra checkpoint per trim/shrink
+    // buys zero edge exchanges in all fwd rounds; bwd keeps the dst copy.
+    var edgesSrc = ckpt(edges.repartition(col("src")))
+    val (verts0, nVerts0) = ckptN(
       edges.select(col("src").as("id"))
         .union(edges.select(col("dst").as("id"))).distinct()
         .repartition(col("id")))
+    var verts = verts0
 
     val sccFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var nActive = GraftColumnBridge.fastCount(verts)
-    lastInputEdges = GraftColumnBridge.fastCount(edges)
+    var nActive = nVerts0
+    lastInputEdges = nEdges0
     var outer = 0
     var maxFwd = 0
     var maxBwd = 0
@@ -99,10 +116,9 @@ object Scc {
       if (!sys.props.getOrElse("graft.scc.trim", "true").toBoolean) return
       var go = nActive > 0
       while (go) {
-        val nextVerts = ckpt(verts
+        val (nextVerts, nNext) = ckptN(verts
           .join(edges.select(col("src").as("id")), Seq("id"), "left_semi")
           .join(edges.select(col("dst").as("id")), Seq("id"), "left_semi"))
-        val nNext = GraftColumnBridge.fastCount(nextVerts)
         if (nNext == nActive) { free(nextVerts); go = false }
         else {
           trimRounds += 1
@@ -115,8 +131,9 @@ object Scc {
             .join(nextVerts.select(col("id").as("src")), Seq("src"), "left_semi")
             .join(nextVerts.select(col("id").as("dst")), Seq("dst"), "left_semi")
             .select(col("src"), col("dst")))
-          free(verts); free(edges)
+          free(verts); free(edges); free(edgesSrc)
           verts = nextVerts; edges = nextEdges
+          edgesSrc = ckpt(edges.repartition(col("src")))
           nActive = nNext
           go = nActive > 0
         }
@@ -137,7 +154,7 @@ object Scc {
       // exposure is attributed instead (contract rounds x host
       // job_rt_ms).
       def fwdStep(color: DataFrame): DataFrame = {
-        val incoming = color.join(edges, col("id") === col("src"))
+        val incoming = color.join(edgesSrc, col("id") === col("src"))
           .groupBy(col("dst")).agg(max(col("c")).as("mc"))
           .select(col("dst").as("id"), col("mc"))
         color.join(incoming.hint("shuffle_hash"), Seq("id"), "left")
@@ -152,10 +169,10 @@ object Scc {
       var fwd = 0
       while (changed > 0) {
         fwd += 1
-        val nextFull = ckpt(fwdStep(color))
-        // counted off the materialized checkpoint RDD (no re-planned
-        // filter+aggregate per flood round — SchedProbe, guide §1.2)
-        changed = GraftColumnBridge.countTrue(nextFull, "chg")
+        // ONE job per flood round: materialization counts the changed
+        // flags as it caches (previously ckpt + countTrue = two jobs)
+        val (nextFull, _, nChg) = GraftColumnBridge.ckptCounted(fwdStep(color), "chg")
+        changed = nChg
         free(colorFull); colorFull = nextFull
         color = colorFull.select(col("id"), col("c"))
       }
@@ -174,17 +191,18 @@ object Scc {
           .select(col("id"), col("c"))
         member.union(newFrontier).distinct()
       }
-      var member = ckpt(color.filter(col("id") === col("c"))
+      val (member0, nMember0) = ckptN(color.filter(col("id") === col("c"))
         .select(col("id"), col("c")))
-      var nMember = GraftColumnBridge.fastCount(member)
+      var member = member0
+      var nMember = nMember0
       changed = 1L
       var bwd = 0
       while (changed > 0) {
         bwd += 1
-        val nextM = ckpt(bwdStep(member))
-        val nNext = GraftColumnBridge.fastCount(nextM)
-        // carry the previous count in a var — re-counting the cached
-        // previous checkpoint was one more scheduler round-trip per round
+        // one fused job per membership round; the previous count is
+        // carried in a var (re-counting the cached previous checkpoint
+        // was one more scheduler round-trip per round)
+        val (nextM, nNext) = ckptN(bwdStep(member))
         changed = nNext - nMember
         nMember = nNext
         free(member); member = nextM
@@ -194,19 +212,20 @@ object Scc {
       sccFrames += assigned
       CheckpointRegistry.trackFinal(spark, assigned)
       free(member); free(colorFull)
-      // 4. shrink the live subgraph
-      val nextVerts = ckpt(verts.join(assigned.select(col("id")),
+      // 4. shrink the live subgraph (vertex materialization + count fused)
+      val (nextVerts, nNextVerts) = ckptN(verts.join(assigned.select(col("id")),
         Seq("id"), "left_anti"))
       val nextEdges = ckpt(edges
         .join(nextVerts.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(nextVerts.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst")))
-      free(verts); free(edges)
+      free(verts); free(edges); free(edgesSrc)
       verts = nextVerts; edges = nextEdges
-      nActive = GraftColumnBridge.fastCount(verts)
+      edgesSrc = ckpt(edges.repartition(col("src")))
+      nActive = nNextVerts
       trim()
     }
-    free(verts); free(edges)
+    free(verts); free(edges); free(edgesSrc)
     lastOuterRounds = outer
     lastMaxFwdRounds = maxFwd
     lastMaxBwdRounds = maxBwd

@@ -73,10 +73,17 @@ object Stress {
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
 
-    // reached (s, v, d, sig); frontier = rows at depth k-1
-    var reached = ckpt(verts.filter(col("id") < sourceMax)
-      .select(col("id").as("s"), col("id").as("v"),
-        lit(0L).as("d"), lit(1L).as("sig")))
+    // reached (s, v, d, sig); frontier = rows at depth k-1.
+    // Fused checkpoint+count (ckptCounted): materialization counts as it
+    // caches, and the per-level comparison carries the previous count in
+    // a var — the former fastCount pair was two extra cached-scan jobs
+    // per BFS level (guide §1.2).
+    val (reached0, nReached0, _) = org.apache.spark.sql.GraftColumnBridge
+      .ckptCounted(verts.filter(col("id") < sourceMax)
+        .select(col("id").as("s"), col("id").as("v"),
+          lit(0L).as("d"), lit(1L).as("sig")))
+    var reached = reached0
+    var nReached = nReached0
     // early-stop on an empty frontier: rounds past the BFS fixpoint are
     // idempotent (the unrolled oracle runs all of them and matches);
     // maxDepth then bounds the backward iterations needed (T_i is exact
@@ -94,15 +101,11 @@ object Stress {
           Seq("s", "v"), "left_anti")
         .select(col("s"), col("v"), lit(k.toLong).as("d"),
           col("nsig").as("sig"))
-      val next = ckpt(reached.union(fresh))
-      // both counts off materialized checkpoint RDDs (SchedProbe; the
-      // reached side was ALREADY materialized last round — its recount
-      // is a cached scan either way, but the Dataset.count() pair
-      // re-planned two aggregates per BFS level)
-      if (org.apache.spark.sql.GraftColumnBridge.fastCount(next) ==
-        org.apache.spark.sql.GraftColumnBridge.fastCount(reached)) frontierEmpty = true
+      val (next, nNext, _) = org.apache.spark.sql.GraftColumnBridge
+        .ckptCounted(reached.union(fresh))
+      if (nNext == nReached) frontierEmpty = true
       else maxDepth = k
-      free(reached); reached = next
+      free(reached); reached = next; nReached = nNext
       k += 1
     }
     (reached, maxDepth, frontierEmpty)

@@ -76,11 +76,12 @@ object Truss {
     var changed = n > 0
     while (changed && r < maxRounds) {
       r += 1
-      val next = supportOf(e)
-        .filter(col("sup") >= k - 2)
-        .select(col("a"), col("b"))
-        .localCheckpoint(true)
-      val nNext = GraftColumnBridge.fastCount(next)
+      // fused checkpoint+count: one job materializes and counts (the
+      // eager ckpt + fastCount pair was two round-trips — guide §1.2)
+      val (next, nNext, _) = GraftColumnBridge.ckptCounted(
+        supportOf(e)
+          .filter(col("sup") >= k - 2)
+          .select(col("a"), col("b")))
       changed = nNext != n
       n = nNext
       // e0 belongs to the caller — only free checkpoints this loop made

@@ -64,9 +64,12 @@ object Coreset {
 
     val base = fixedPoint(emb)
     val seed = base.agg(min(col("vec_id")).as("cid"))
-    val seedRow = ckpt(base.join(broadcast(seed), col("vec_id") === col("cid"))
-      .select(col("cid"), col("q").as("cq"), col("l2").as("cl2"),
-        lit(-1L).as("radius")))
+    // fused checkpoint+count (ckptCounted): the emptiness probe rides
+    // the materialization job instead of a second cached scan
+    val (seedRow, nSeed, _) = GraftColumnBridge.ckptCounted(
+      base.join(broadcast(seed), col("vec_id") === col("cid"))
+        .select(col("cid"), col("q").as("cq"), col("l2").as("cl2"),
+          lit(-1L).as("radius")))
     var selected = List(seedRow.select(lit(0L).as("rnd"),
       col("cid").as("vec_id"), col("radius")))
 
@@ -79,17 +82,17 @@ object Coreset {
         (col("vec_id") === col("cid")).as("sel")))
 
     var r = 1
-    var exhausted = GraftColumnBridge.fastCount(seedRow) == 0L
+    var exhausted = nSeed == 0L
     while (r < k && !exhausted) {
       val cand = state.filter(!col("sel"))
       val maxd = cand.agg(max(col("mindist")).as("maxd"))
       val pick = cand.join(broadcast(maxd), col("mindist") === col("maxd"))
         .agg(min(col("vec_id")).as("cid"), max(col("maxd")).as("radius"))
-      val centerRow = ckpt(state.join(broadcast(pick),
-          col("vec_id") === col("cid"))
-        .select(col("cid"), col("q").as("cq"), col("l2").as("cl2"),
-          col("radius")))
-      if (GraftColumnBridge.fastCount(centerRow) == 0L) { exhausted = true; free(centerRow) }
+      val (centerRow, nCenter, _) = GraftColumnBridge.ckptCounted(
+        state.join(broadcast(pick), col("vec_id") === col("cid"))
+          .select(col("cid"), col("q").as("cq"), col("l2").as("cl2"),
+            col("radius")))
+      if (nCenter == 0L) { exhausted = true; free(centerRow) }
       else {
         selected ::= centerRow.select(lit(r.toLong).as("rnd"),
           col("cid").as("vec_id"), col("radius"))

@@ -114,19 +114,47 @@ object PpJoin {
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= p)
-      .select(col("doc_id"), col("n"), col("t"))
+      .select(col("doc_id"), col("n"), col("t"), col("rn").cast(LongType).as("rn"))
       .localCheckpoint(true))
     graft.analytics.CheckpointRegistry.trackFinal(spark, pref)
     pref
   }
 
   /** Expand a prefix side over its admissible partner sizes so the
-    * candidate join key is (t, n) — see similarPairs' skew note. */
+    * candidate join key is (t, n) — see similarPairs' skew note.
+    * Carries the token's position `ra` for the positional filter. */
   private def expandSizes(prefix: DataFrame): DataFrame =
     prefix.withColumn("nb", explode(sequence(
         expr(s"($TauNum * n + ${TauDen - 1}) div $TauDen"),
         expr(s"(n * $TauDen) div $TauNum"))))
-      .select(col("doc_id").as("a_id"), col("t").as("ta"), col("nb"))
+      .select(col("doc_id").as("a_id"), col("t").as("ta"), col("nb"),
+        col("n").as("na"), col("rn").as("ra"))
+
+  /** The PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2), applied
+    * per generated candidate row BEFORE the distinct: a shared prefix
+    * token at 1-based positions (ra, rb) of the two docs' globally
+    * ordered token lists bounds the overlap by
+    * c ≤ 1 + min(na − ra, nb − rb) (the tokens at/after the match plus
+    * nothing before it), and J ≥ τ needs
+    * c ≥ ⌈TauNum·(na+nb) / (TauNum+TauDen)⌉. Soundness of row-level
+    * application: positions under one global total order are
+    * co-monotone, so the FIRST shared prefix token is also the first
+    * shared token overall (any earlier shared token would sit in both
+    * prefixes, contradicting firstness) — its bound is exact-prefixed
+    * (nothing shared before it) and the LOOSEST over the pair's
+    * occurrences, so a pair survives the row filter iff its first
+    * occurrence passes, exactly the PPJoin candidate condition. All
+    * integer arithmetic — no float anywhere (engine parity). */
+  private def positionalOk: org.apache.spark.sql.Column =
+    (lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb"))) *
+      lit(TauNum + TauDen) >= lit(TauNum) * (col("na") + col("nb"))
+
+  /** A/B kill-switch (measurement + the completeness spec's
+    * fewer-candidates assertion only; on by default). */
+  private def maybePositional(df: DataFrame): DataFrame =
+    if (sys.props.getOrElse("graft.ppjoin.positional", "true").toBoolean)
+      df.filter(positionalOk)
+    else df
 
   /** Distinct candidate pairs generated by the last similarPairs /
     * incrementalPairs call — the CONTRACT QUANTITY the verify wall time
@@ -215,15 +243,19 @@ object PpJoin {
     // arrays under an injectivity gate, and the score runs behind a
     // materialization barrier before the tau filter — each choice is
     // PpProbe-measured (see the scaladoc above and COVERAGE).
-    val cand = phase("cand")(expandSizes(prefix)
-      .join(prefix.select(col("doc_id").as("b_id"), col("n").as("nb2"),
-        col("t").as("tb")),
-        col("ta") === col("tb") && col("nb") === col("nb2"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-      .localCheckpoint(true))
+    // candidate generation + positional filter (see positionalOk) +
+    // fused checkpoint/contract-count (ckptCounted: one job materializes
+    // the candidate frame and counts it)
+    val (cand, nCand, _) = phase("cand")(
+      org.apache.spark.sql.GraftColumnBridge.ckptCounted(expandSizes(prefix)
+        .join(prefix.select(col("doc_id").as("b_id"), col("n").as("nb2"),
+          col("t").as("tb"), col("rn").as("rb")),
+          col("ta") === col("tb") && col("nb") === col("nb2"))
+        .filter(col("a_id") < col("b_id"))
+        .transform(maybePositional)
+        .select(col("a_id"), col("b_id")).distinct()))
     graft.analytics.CheckpointRegistry.trackFinal(spark, cand)
-    lastCandidates = org.apache.spark.sql.GraftColumnBridge.fastCount(cand)
+    lastCandidates = nCand
     verifyPairs(spark, cand, sets)
   }
 
@@ -254,16 +286,19 @@ object PpJoin {
     // either endpoint of a pair
     val index = corpusPrefix.union(batchPrefix)
       .select(col("doc_id").as("b_id"), col("n").as("nb2"),
-        col("t").as("tb"))
-    val cand = phase("cand")(expandSizes(batchPrefix)
-      .join(index, col("ta") === col("tb") && col("nb") === col("nb2"))
-      .filter(col("a_id") =!= col("b_id"))
-      .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"))
-      .distinct()
-      .localCheckpoint(true))
+        col("t").as("tb"), col("rn").as("rb"))
+    // the positional filter is symmetric in the two (size, position)
+    // pairs, so it applies before the least/greatest canonicalization
+    val (cand, nCand, _) = phase("cand")(
+      org.apache.spark.sql.GraftColumnBridge.ckptCounted(expandSizes(batchPrefix)
+        .join(index, col("ta") === col("tb") && col("nb") === col("nb2"))
+        .filter(col("a_id") =!= col("b_id"))
+        .transform(maybePositional)
+        .select(least(col("a_id"), col("b_id")).as("a_id"),
+          greatest(col("a_id"), col("b_id")).as("b_id"))
+        .distinct()))
     graft.analytics.CheckpointRegistry.trackFinal(spark, cand)
-    lastIncrCandidates = org.apache.spark.sql.GraftColumnBridge.fastCount(cand)
+    lastIncrCandidates = nCand
     verifyPairs(spark, cand, sets)
   }
 

@@ -566,11 +566,20 @@ object VectorIndex {
         .filter(col("rnk") <= 3).select(col("qid"), col("nid"))
       val exactNd = PipelineQueries.dedupEmbedding.run(s, d)
         .select(col("a_id"), col("b_id"))
+      // the ANN sides are BROADCAST explicitly (guide §3.1: size
+      // estimates after an ANN pipeline's windows/aggregates are badly
+      // inflated, so the planner picked SortMergeJoin for a ≤ top-k·|Q|
+      // row side — 7 sort-merge semi-joins, each paying two sort
+      // exchanges). Scale-safe: every ann frame here is top-k-per-probe
+      // or near-dup-pair output of a requireBounded-gated spec pipeline,
+      // bounded by construction, same order as the exact side.
       def hits(name: String, ann: DataFrame) =
-        exact3.join(ann.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+        exact3.join(broadcast(ann.select(col("qid"), col("nid"))),
+            Seq("qid", "nid"), "left_semi")
           .agg(count(lit(1)).as(name))
       def ndHits(name: String, ann: DataFrame) =
-        exactNd.join(ann.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"), "left_semi")
+        exactNd.join(broadcast(ann.select(col("a_id"), col("b_id"))),
+            Seq("a_id", "b_id"), "left_semi")
           .agg(count(lit(1)).as(name))
       exact3.agg(count(lit(1)).as("topk_possible"))
         .crossJoin(hits("lsh_topk_hits", PipelineQueries.annLsh.run(s, d)))

@@ -212,18 +212,31 @@ object Extended {
   val approxDistinctTol: Q = Q(
     "x_approx_distinct_tol",
     Some("SELECT true AS orders_ok, true AS parts_ok"),
-    (s, d) =>
-      Tables.lineitem(s, d)
-        .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-          countDistinct(col("l_partkey")).as("ep"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-          countDistinct(col("l_orderkey")).as("eo"))
+    (s, d) => {
+      // ONE single-distinct aggregate per column, assembled by a 1-row
+      // cross join (VERDICT r13 next-round #4, guide §2.3 partial agg):
+      // the former combined agg had TWO countDistinct groups, which
+      // plans an Expand multiplying every scanned row by the number of
+      // grouping profiles before the hash aggregate; a single-distinct
+      // agg plans as plain two-phase aggregation with no Expand. The
+      // VALUES are unchanged — each exact count sees the same column,
+      // and the HLL sketch is split-insensitive (duplicate-blind
+      // register maxima, commutative merge) — so the tolerance booleans
+      // are identical by construction.
+      val li = Tables.lineitem(s, d)
+      val parts = li.agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        countDistinct(col("l_partkey")).as("ep"))
+      val ords = li.agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        countDistinct(col("l_orderkey")).as("eo"))
+      ords.crossJoin(parts)
         .select(
           (abs(col("ao") - col("eo")) <= greatest(lit(1L), col("eo") * 0.05))
             .as("orders_ok"),
           (abs(col("ap") - col("ep")) <= greatest(lit(1L), col("ep") * 0.05))
-            .as("parts_ok")))
+            .as("parts_ok"))
+    })
 
   /** Array higher-order functions (exists/forall/filter) — API coverage;
     * hot paths use codegen'd equivalents (see Sketches scaladoc). */

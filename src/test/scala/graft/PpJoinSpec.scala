@@ -59,6 +59,38 @@ class PpJoinSpec extends SparkSpec {
     assert(run(docs(1L -> "", 2L -> "   ", 3L -> "solo words here")).isEmpty)
   }
 
+  test("positional filter prunes candidates without changing the output") {
+    // Constructed so ONE candidate is prunable purely by position:
+    // docs 1/2 are 20-token sets sharing 19 tokens, with their ONLY
+    // shared prefix token at rank 2 of both prefixes (r1/r3 are unique,
+    // hence rarest, hence rank 1). The required overlap is
+    // alpha = ceil(19*40/39) = 20 but the positional bound is
+    // 1 + min(20-2, 20-2) = 19 -> pruned BEFORE the verify join. The
+    // identical pair 3/4 shares its rank-1 token (bound 20 >= 20) and
+    // must survive both the filter and verification.
+    val hot = (0 until 18).map(i => s"h$i")
+    val other = (0 until 20).map(i => s"q$i")
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> (Seq("r1", "r2") ++ hot).mkString(" "),
+      2L -> (Seq("r3", "r2") ++ hot).mkString(" "),
+      3L -> other.mkString(" "),
+      4L -> other.reverse.mkString(" "))
+    def candsWith(arm: Boolean): (Set[(Long, Long)], Long) = {
+      sys.props("graft.ppjoin.positional") = arm.toString
+      try {
+        val out = run(docs(rows: _*)).map(p => (p._1, p._2)).toSet
+        (out, PpJoin.lastCandidates)
+      } finally sys.props("graft.ppjoin.positional") = "true"
+    }
+    val (outOn, candOn) = candsWith(arm = true)
+    val (outOff, candOff) = candsWith(arm = false)
+    assert(outOn === outOff)
+    assert(outOn === brute(rows))
+    assert(outOn === Set((3L, 4L)))
+    assert(candOn < candOff,
+      s"positional filter pruned nothing (on=$candOn, off=$candOff)")
+  }
+
   test("completeness vs brute force on an adversarial hot-token corpus") {
     // every doc shares 20 hot boilerplate tokens; paired docs (2k-1, 2k)
     // differ only in one rare token — the overlap a df-cap path could

@@ -25,11 +25,15 @@ trait SparkSpec extends AnyFunSuite {
     * scan — identity at real scale, see Tables.scala). The narrow-map /
     * exchange-count guards keep asserting what they always asserted:
     * no data movement the OPERATOR introduced. The pattern is exact
-    * (round-robin + REPARTITION_BY_NUM), so a hash/range exchange or a
-    * repartition a refactor sneaks in still fails the guard. */
+    * (round-robin + REPARTITION_BY_NUM) and ANCHORED to the fan-out
+    * site — the exchange must sit within three lines of the FileScan it
+    * parallelizes (ADVICE r13: the unanchored strip also hid an
+    * operator-introduced `.repartition(n)` anywhere in the pipeline; a
+    * mid-pipeline round-robin exchange now still fails the guard). */
   def sansFanout(plan: String): String =
     plan.replaceAll(
-      "Exchange RoundRobinPartitioning\\(\\d+\\), REPARTITION_BY_NUM[^\\n]*",
+      "Exchange RoundRobinPartitioning\\(\\d+\\), REPARTITION_BY_NUM[^\\n]*" +
+        "(?=(?:\\n[^\\n]*?){0,2}\\n[^\\n]*?FileScan)",
       "[scan-fanout]")
 
   /** Executed-and-finalized plan string: under AQE a plan containing an
